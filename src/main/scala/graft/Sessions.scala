@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table access helpers shared by Verify/Bench/tests.
+  *
+  * Scale notes: `shuffle.partitions` defaults to the local core count here,
+  * but every operator in this library is written so that the same code runs
+  * on a multi-executor cluster — no `collect()` in the data path, joins
+  * declare broadcast hints only for genuinely small sides, and AQE is left
+  * on to re-plan at runtime.
+  */
+object Sessions {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Readers for the driver-provided synthetic tables (TESTDATA.md).
+  * One parquet file per table under `<sfDir>/<name>.parquet`.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
