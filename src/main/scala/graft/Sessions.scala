@@ -18,6 +18,9 @@ object Sessions {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
+      // read them as epoch-nanos longs instead (SPARK-40819 escape hatch).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -17,21 +17,13 @@ object SparkEntry {
     Relational.q1Agg(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> ((s, dir) => Relational.q1Agg(s, dir))
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ TextOps.queries ++ Dedup.queries ++
+      Similarity.queries ++ WinProb.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |  COUNT(*) AS n_rows
-        |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  )
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++
+      Similarity.oracles ++ WinProb.oracles
 }

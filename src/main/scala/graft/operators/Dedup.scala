@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Deduplication operators over `documents`: exact (hash groupBy), word
+  * n-gram Jaccard, MinHash + banded LSH, and SimHash.
+  *
+  * Portability: every hash is derived from md5 (identical in Spark and
+  * DuckDB) — `g(s) = int(md5(s)[0:15], 16)` — so the oracle can replay the
+  * exact pipeline. Spark's xxhash64/hash would be faster but untestable
+  * against the oracle; at 100 TB you'd swap `portableHash` for xxhash64
+  * behind the same column signature.
+  *
+  * Scale notes: shingle→doc inverted-index joins shuffle on the shingle
+  * hash (high cardinality, well distributed); candidate generation is
+  * blocked (lang/source or LSH band) so no full cross-join ever happens;
+  * minhash signatures are fixed-width columns (no row explosion kept
+  * after the aggregate).
+  */
+object Dedup {
+
+  /** Portable 60-bit string hash: first 15 hex chars of md5 as a long. */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  private val P = 2147483647L // 2^31-1, modulus for minhash permutations
+
+  /** (a, b) parameters of the 8 minhash "permutations". */
+  val minhashParams: Seq[(Long, Long)] = Seq(
+    (131L, 7L), (137L, 91L), (139L, 173L), (149L, 255L),
+    (151L, 337L), (157L, 419L), (163L, 501L), (167L, 583L))
+
+  /** Distinct word 3-gram shingles of a text column. */
+  def shingles(text: Column): Column = {
+    val w = split(text, " ")
+    when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(1), size(w) - 2), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup via content fingerprint: survivor = min doc_id per
+    * fingerprint, plus the cluster size (hash-groupBy dedup — the shuffle
+    * carries one row per distinct fingerprint after map-side combine).
+    */
+  def q25ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("fp"))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("survivor_doc_id"), count(lit(1)).as("cluster_size"))
+      .select($"survivor_doc_id", $"cluster_size")
+      .orderBy($"survivor_doc_id")
+  }
+
+  /** N-gram Jaccard near-dup pairs, blocked by (lang, source): inverted
+    * index on shingle → pair intersection counts → |∩| / (|A|+|B|−|∩|).
+    * The block keys bound the candidate set; the shingle join shuffles on
+    * the shingle string (high cardinality).
+    */
+  def q26ShingleJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source", shingles($"text").as("sh"))
+      .withColumn("n_sh", size($"sh"))
+      .filter($"n_sh" > 0)
+    val inv = docs
+      .select($"doc_id", $"lang", $"source", $"n_sh", explode($"sh").as("shingle"))
+    val a = inv.select($"lang", $"source", $"shingle",
+      $"doc_id".as("doc_a"), $"n_sh".as("n_a"))
+    val b = inv.select($"lang", $"source", $"shingle",
+      $"doc_id".as("doc_b"), $"n_sh".as("n_b"))
+    a.join(b, Seq("lang", "source", "shingle"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter"), 6))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** MinHash signatures: 8 permutations h_i(s) = (a_i·(g(s) mod P) + b_i)
+    * mod P minimized over the document's shingles. One row per doc, fixed
+    * signature columns — the LSH-ready sketch.
+    */
+  def q27MinhashSig(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = pmod(portableHash($"shingle"), lit(P))
+    val aggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(g * a + b, lit(P))).as(s"h$i")
+    }
+    Tables.documents(spark, dir)
+      .select($"doc_id", shingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"doc_id", explode($"sh").as("shingle"))
+      .groupBy($"doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy($"doc_id")
+  }
+
+  /** MinHash LSH candidate pairs: 4 bands × 2 rows over the 8-long
+    * signature; docs sharing any full band become candidates. Output is
+    * the distinct candidate pair set — the input to a verify pass.
+    */
+  def q28MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = q27MinhashSig(spark, dir)
+    val bands = (0 until 4).map { bnd =>
+      sig.select($"doc_id", lit(bnd).as("band"),
+        col(s"h${2 * bnd}").as("r0"), col(s"h${2 * bnd + 1}").as("r1"))
+    }.reduce(_ unionByName _)
+    val l = bands.select($"band", $"r0", $"r1", $"doc_id".as("doc_a"))
+    val r = bands.select($"band", $"r0", $"r1", $"doc_id".as("doc_b"))
+    l.join(r, Seq("band", "r0", "r1"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** 16-bit SimHash over tokens: bit j of the sketch is the sign of the
+    * sum over tokens of ±1 according to bit j of the token hash.
+    */
+  def q29Simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = portableHash($"token")
+    val sums = (0 until 16).map { j =>
+      sum((shiftright(g, j).bitwiseAND(1) * 2 - 1)).as(s"s$j")
+    }
+    val sketch = (0 until 16).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .groupBy($"doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select($"doc_id", sketch.as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_exact_dedup" -> (q25ExactDedup _),
+    "q26_shingle_jaccard" -> (q26ShingleJaccard _),
+    "q27_minhash_sig" -> (q27MinhashSig _),
+    "q28_minhash_pairs" -> (q28MinhashPairs _),
+    "q29_simhash" -> (q29Simhash _)
+  )
+
+  /** Shared SQL fragment: distinct word 3-gram shingles per doc. */
+  private val shinglesSql =
+    """SELECT doc_id, lang, source,
+      |  list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |    [string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+      |     for i in range(1, len(string_split(text, ' ')) - 1)]
+      |    ELSE [] END) AS sh
+      |FROM documents""".stripMargin
+
+  private val gSql = "CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % 2147483647"
+
+  val oracles: Map[String, String] = Map(
+    "q25_exact_dedup" ->
+      """SELECT min(doc_id) AS survivor_doc_id, count(*) AS cluster_size
+        |FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents)
+        |GROUP BY fp ORDER BY survivor_doc_id""".stripMargin,
+    "q26_shingle_jaccard" ->
+      s"""WITH docs AS ($shinglesSql),
+         |sized AS (SELECT doc_id, lang, source, sh, len(sh) AS n_sh FROM docs WHERE len(sh) > 0),
+         |inv AS (SELECT doc_id, lang, source, n_sh, unnest(sh) AS shingle FROM sized),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+         |  FROM inv a JOIN inv b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
+         |FROM pairs WHERE round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q27_minhash_sig" ->
+      s"""WITH docs AS ($shinglesSql),
+         |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM docs WHERE len(sh) > 0)
+         |SELECT doc_id,
+         |  min((($gSql) * 131 + 7) % 2147483647) AS h0,
+         |  min((($gSql) * 137 + 91) % 2147483647) AS h1,
+         |  min((($gSql) * 139 + 173) % 2147483647) AS h2,
+         |  min((($gSql) * 149 + 255) % 2147483647) AS h3,
+         |  min((($gSql) * 151 + 337) % 2147483647) AS h4,
+         |  min((($gSql) * 157 + 419) % 2147483647) AS h5,
+         |  min((($gSql) * 163 + 501) % 2147483647) AS h6,
+         |  min((($gSql) * 167 + 583) % 2147483647) AS h7
+         |FROM inv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q28_minhash_pairs" ->
+      s"""WITH docs AS ($shinglesSql),
+         |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM docs WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id,
+         |  min((($gSql) * 131 + 7) % 2147483647) AS h0,
+         |  min((($gSql) * 137 + 91) % 2147483647) AS h1,
+         |  min((($gSql) * 139 + 173) % 2147483647) AS h2,
+         |  min((($gSql) * 149 + 255) % 2147483647) AS h3,
+         |  min((($gSql) * 151 + 337) % 2147483647) AS h4,
+         |  min((($gSql) * 157 + 419) % 2147483647) AS h5,
+         |  min((($gSql) * 163 + 501) % 2147483647) AS h6,
+         |  min((($gSql) * 167 + 583) % 2147483647) AS h7
+         |FROM inv GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, h0 AS r0, h1 AS r1 FROM sig UNION ALL
+         |  SELECT doc_id, 1, h2, h3 FROM sig UNION ALL
+         |  SELECT doc_id, 2, h4, h5 FROM sig UNION ALL
+         |  SELECT doc_id, 3, h6, h7 FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q29_simhash" ->
+      ("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |h AS (SELECT doc_id, CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS g FROM tok),
+         |s AS (SELECT doc_id, """ +
+        (0 until 16).map(j => s"sum(((g >> $j) & 1) * 2 - 1) AS s$j").mkString(", ") +
+        " FROM h GROUP BY doc_id)\nSELECT doc_id, CAST(" +
+        (0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") +
+        " AS BIGINT) AS simhash FROM s ORDER BY doc_id").stripMargin
+  )
+}

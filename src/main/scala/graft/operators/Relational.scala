@@ -1,28 +1,41 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
-/** Core relational operators (SURVEY.md §2.2/§2.3/§2.5) expressed over the
-  * driver's synthetic tables.
+/** Core relational operators (SURVEY.md §2.2/§2.3/§2.4/§2.5) expressed over
+  * the driver's synthetic tables.
   *
   * Determinism notes for the DuckDB oracle: floating-point SUM/AVG are
   * order-dependent, and Spark's partial-aggregation order differs from
   * DuckDB's sequential scan. Every money/quantity aggregate therefore runs
   * over `DECIMAL(18,2)` (exact, associative) and casts the final result to
-  * double, which is bit-identical in both engines.
+  * double, which is bit-identical in both engines. Non-associative stats
+  * (avg, stddev) are computed from exact decimal moments with an explicit
+  * double-arithmetic formula evaluated in the same operation order on both
+  * sides. Timestamps are surfaced as epoch BIGINTs (parquet ns vs µs units
+  * would otherwise make the frames dtype-mismatch).
+  *
+  * Scale notes (100 TB): every aggregate here is map-side partial (shuffle
+  * carries |groups|, not |rows|); dimension joins broadcast the small side;
+  * window functions partition by high-cardinality keys (user_id, game-like
+  * ids), never a constant; no driver-side collect anywhere.
   */
 object Relational {
 
   /** Exact decimal sum of a double column, surfaced as double. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
 
+  /** Deterministic avg: exact decimal sum / count, divided in double. */
+  def davg(c: Column): Column =
+    (sum(c.cast(DecimalType(18, 2))).cast("double") / count(c)).as("avg")
+
   /** Pricing-summary aggregate (reference A2/A5-style multi-stat groupBy;
-    * shape of TPC-H Q1). Map-side partial aggregation keeps the shuffle to
-    * |groups| rows per partition — scales to any input size.
+    * shape of TPC-H Q1).
     */
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -36,4 +49,441 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
+
+  /** P1 projection + P19 filter + top-k (pushdown-friendly: only 3 columns
+    * reach the scan, filter reaches parquet).
+    */
+  def q2TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .filter($"o_orderstatus" =!= "F")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+  }
+
+  /** Scalar-transform suite: P2 rename, P3 literal, P4 concat, P6 label map,
+    * P10 regexp extract, P12 cast with sentinel repair.
+    */
+  def q3Scalar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .withColumn("cust_url", concat(lit("https://example.org/c/"), $"c_custkey"))
+      .withColumn("cust_num", regexp_extract($"c_name", "(\\d+)", 1))
+      .withColumn("balance_band",
+        when($"c_acctbal" < 0, lit("debt"))
+          .when($"c_acctbal" < 5000, lit("low"))
+          .otherwise(lit("high")))
+      .withColumn("segment_code",
+        when($"c_mktsegment" === "BUILDING", 1)
+          .when($"c_mktsegment" === "AUTOMOBILE", 2)
+          .otherwise(0))
+      .select(
+        $"c_custkey".as("custkey"), $"cust_url", $"cust_num",
+        $"balance_band", $"segment_code", lit("etl_v1").as("pipeline_tag"))
+      .orderBy($"custkey")
+  }
+
+  /** P13 clock→seconds with the -1 sentinel on malformed input. Clock
+    * strings are minted deterministically from o_orderkey so both engines
+    * see identical inputs (reference `transforms.py:236-243`).
+    */
+  def q4Clock(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withClock = Tables.orders(spark, dir)
+      .withColumn("clock_str",
+        when($"o_orderkey" % 7 === 0, lit("junk"))
+          .otherwise(format_string("%d:%02d:%02d",
+            $"o_orderkey" % 3, $"o_orderkey" % 60, ($"o_orderkey" * 7) % 60)))
+    val parts = split($"clock_str", ":")
+    withClock
+      .withColumn("clock_seconds",
+        coalesce(
+          when(size(parts) === 3,
+            parts.getItem(0).cast("int") * 3600 +
+              parts.getItem(1).cast("int") * 60 +
+              parts.getItem(2).cast("int")),
+          lit(-1)))
+      .select($"o_orderkey", $"clock_str", $"clock_seconds")
+      .orderBy($"o_orderkey")
+  }
+
+  /** P14 drop-last-token canonicalization (FEN-cleaning shape) via
+    * split/slice/join — the array formulation, not a regex.
+    */
+  def q5DropLast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = split($"text", " ")
+    Tables.documents(spark, dir)
+      .withColumn("clean_text",
+        array_join(slice(words, lit(1), greatest(size(words) - 1, lit(0))), " "))
+      .select($"doc_id", $"clean_text")
+      .orderBy($"doc_id")
+  }
+
+  /** Dimension-join rollup (J1/J5 analog; TPC-H Q5 shape). region/nation
+    * are broadcast; customer⋈orders⋈lineitem shuffle on their keys.
+    */
+  def q6JoinDims(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(
+        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(DecimalType(18, 4)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name")
+  }
+
+  /** J3 left join + P16 null fill: every customer with order stats. */
+  def q7LeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orderStats = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_spent"))
+    Tables.customer(spark, dir)
+      .join(orderStats, $"c_custkey" === $"o_custkey", "left")
+      .select(
+        $"c_custkey",
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"total_spent", lit(0.0)).as("total_spent"))
+      .orderBy($"c_custkey")
+  }
+
+  /** J7 anti-join: customers with no orders. */
+  def q8Anti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Semi-join: parts that were actually ordered. */
+  def q9Semi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .join(Tables.lineitem(spark, dir).select($"l_partkey"),
+        $"p_partkey" === $"l_partkey", "left_semi")
+      .select($"p_partkey", $"p_brand")
+      .orderBy($"p_partkey")
+  }
+
+  /** E1/A1: posexplode with explicit ordinal (the half_move pattern —
+    * ordering is explicit, never partition-order-dependent).
+    */
+  def q10ExplodeWords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos0", "word")))
+      .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"word")
+      .orderBy($"doc_id", $"pos")
+  }
+
+  /** E5: aligned multi-array explode via arrays_zip (positional lockstep). */
+  def q11ZipExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = split($"text", " ")
+    Tables.documents(spark, dir)
+      .withColumn("zipped",
+        arrays_zip(words, transform(words, w => length(w))))
+      .select($"doc_id", posexplode($"zipped").as(Seq("pos0", "pair")))
+      .select(
+        $"doc_id", ($"pos0" + 1).cast("long").as("pos"),
+        $"pair".getField("0").as("word"),
+        $"pair".getField("1").cast("long").as("wlen"))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  /** A2: count-distinct aggregation per group. */
+  def q12CountDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        dsum($"value").as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  /** A3/A4: pivot + row normalization with a fixed value list. */
+  def q13Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val statuses = Seq("F", "O", "P")
+    val counts = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", statuses)
+      .agg(count(lit(1)))
+    val filled = statuses.foldLeft(counts) { (df, s) =>
+      df.withColumn(s, coalesce(col(s), lit(0L)))
+    }
+    val total = $"F" + $"O" + $"P"
+    filled
+      .select(
+        $"o_orderpriority",
+        $"F", $"O", $"P",
+        ($"F".cast("double") / total).as("f_share"),
+        ($"O".cast("double") / total).as("o_share"),
+        ($"P".cast("double") / total).as("p_share"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** A5/A6: multi-stat per weekday, reference 0=Sunday encoding. stddev is
+    * computed from exact decimal moments with a fixed double-op order so it
+    * is bit-identical to the oracle's same formula; single-row groups
+    * produce null → filled with 0 (the reference's NaN→0 repair).
+    */
+  def q14WeekdayStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val moments = Tables.orders(spark, dir)
+      .withColumn("weekday", (dayofweek($"o_orderdate") - 1).cast("long"))
+      .groupBy($"weekday")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(DecimalType(28, 2))).cast("double").as("sx"),
+        sum(($"o_totalprice" * $"o_totalprice").cast(DecimalType(28, 4)))
+          .cast("double").as("sxx"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"))
+    moments
+      .select(
+        $"weekday",
+        round($"sx" / $"n", 6).as("mean_price"),
+        coalesce(
+          when($"n" > 1,
+            round(sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 6)),
+          lit(0.0)).as("std_price"),
+        $"min_price", $"max_price")
+      .orderBy($"weekday")
+  }
+
+  /** A7/A8: lead + lag-fill cascade within a (user) stream — the
+    * opponent-clock pattern from reference `models.py:25-30`.
+    */
+  def q15LeadLag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("next_value", lead($"value", 1).over(w))
+      .withColumn("cascade_value",
+        coalesce(lead($"value", 1).over(w), lag($"value", 2).over(w), $"value"))
+      .select($"event_id", $"user_id", $"next_value", $"cascade_value")
+      .orderBy($"event_id")
+  }
+
+  /** A9: first-row-per-group (initial clock pattern, `models.py:37-48`). */
+  def q16FirstPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id".as("first_event_id"), $"value".as("first_value"))
+      .orderBy($"user_id")
+  }
+
+  /** A11-style deterministic dedup: first event per (user, type). Spark's
+    * bare dropDuplicates keeps an arbitrary row, so the window formulation
+    * is the one that survives distribution.
+    */
+  def q17Dedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** unionByName with a missing column (pandas concat parity,
+    * `vendors/stockfish.py:94,109`).
+    */
+  def q18Union(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.orders(spark, dir)
+      .filter($"o_totalprice" >= 200000)
+      .select($"o_orderkey", $"o_totalprice", lit("big").as("bucket"))
+    val smallNoBucket = Tables.orders(spark, dir)
+      .filter($"o_totalprice" < 1000)
+      .select($"o_orderkey", $"o_totalprice")
+    big.unionByName(smallNoBucket.withColumn("bucket", lit(null: String)), allowMissingColumns = true)
+      .orderBy($"o_orderkey")
+  }
+
+  /** Hourly tumbling-window aggregate (batch twin of the Structured
+    * Streaming query in graft.streaming). `events.ts` arrives as epoch-nanos
+    * LongType (see Sessions); the bucket is surfaced as epoch seconds.
+    */
+  def q19TimeWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("bucket_start", expr("(ts div 3600000000000) * 3600"))
+      .groupBy($"bucket_start", $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .orderBy($"bucket_start", $"event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_topk" -> (q2TopK _),
+    "q3_scalar" -> (q3Scalar _),
+    "q4_clock" -> (q4Clock _),
+    "q5_droplast" -> (q5DropLast _),
+    "q6_join_dims" -> (q6JoinDims _),
+    "q7_left_join" -> (q7LeftJoin _),
+    "q8_anti" -> (q8Anti _),
+    "q9_semi" -> (q9Semi _),
+    "q10_explode_words" -> (q10ExplodeWords _),
+    "q11_zip_explode" -> (q11ZipExplode _),
+    "q12_count_distinct" -> (q12CountDistinct _),
+    "q13_pivot" -> (q13Pivot _),
+    "q14_weekday_stats" -> (q14WeekdayStats _),
+    "q15_lead_lag" -> (q15LeadLag _),
+    "q16_first_per_group" -> (q16FirstPerGroup _),
+    "q17_dedup" -> (q17Dedup _),
+    "q18_union" -> (q18Union _),
+    "q19_time_window" -> (q19TimeWindow _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q3_scalar" ->
+      """SELECT c_custkey AS custkey,
+        |  'https://example.org/c/' || c_custkey AS cust_url,
+        |  COALESCE(regexp_extract(c_name, '(\d+)', 1), '') AS cust_num,
+        |  CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS balance_band,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 WHEN c_mktsegment = 'AUTOMOBILE' THEN 2 ELSE 0 END AS segment_code,
+        |  'etl_v1' AS pipeline_tag
+        |FROM customer ORDER BY custkey""".stripMargin,
+    "q4_clock" ->
+      """WITH c AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'junk'
+        |         ELSE printf('%d:%02d:%02d', o_orderkey % 3, o_orderkey % 60, (o_orderkey * 7) % 60)
+        |    END AS clock_str
+        |  FROM orders)
+        |SELECT o_orderkey, clock_str,
+        |  COALESCE(CASE WHEN len(string_split(clock_str, ':')) = 3 THEN
+        |    TRY_CAST(string_split(clock_str, ':')[1] AS INT) * 3600 +
+        |    TRY_CAST(string_split(clock_str, ':')[2] AS INT) * 60 +
+        |    TRY_CAST(string_split(clock_str, ':')[3] AS INT) END, -1) AS clock_seconds
+        |FROM c ORDER BY o_orderkey""".stripMargin,
+    "q5_droplast" ->
+      """SELECT doc_id,
+        |  array_to_string(string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 1, 0)], ' ') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q6_join_dims" ->
+      """SELECT r_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q7_left_join" ->
+      """SELECT c_custkey,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(total_spent, 0.0) AS total_spent
+        |FROM customer
+        |LEFT JOIN (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |  FROM orders GROUP BY o_custkey) s ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q8_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q9_semi" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+    "q10_explode_words" ->
+      """SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |  unnest(string_split(text, ' ')) AS word
+        |FROM documents ORDER BY doc_id, pos""".stripMargin,
+    "q11_zip_explode" ->
+      """SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |  unnest(string_split(text, ' ')) AS word,
+        |  unnest(list_transform(string_split(text, ' '), w -> CAST(len(w) AS BIGINT))) AS wlen
+        |FROM documents ORDER BY doc_id, pos""".stripMargin,
+    "q12_count_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q13_pivot" ->
+      """WITH p AS (
+        |  SELECT o_orderpriority,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, F, O, P,
+        |  CAST(F AS DOUBLE) / (F + O + P) AS f_share,
+        |  CAST(O AS DOUBLE) / (F + O + P) AS o_share,
+        |  CAST(P AS DOUBLE) / (F + O + P) AS p_share
+        |FROM p ORDER BY o_orderpriority""".stripMargin,
+    "q14_weekday_stats" ->
+      """WITH m AS (
+        |  SELECT dayofweek(o_orderdate) AS weekday, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |    MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |  FROM orders GROUP BY weekday)
+        |SELECT weekday, round(sx / n, 6) AS mean_price,
+        |  COALESCE(CASE WHEN n > 1 THEN round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) END, 0.0) AS std_price,
+        |  min_price, max_price
+        |FROM m ORDER BY weekday""".stripMargin,
+    "q15_lead_lag" ->
+      """SELECT event_id, user_id,
+        |  LEAD(value, 1) OVER w AS next_value,
+        |  COALESCE(LEAD(value, 1) OVER w, LAG(value, 2) OVER w, value) AS cascade_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q16_first_per_group" ->
+      """SELECT user_id, event_id AS first_event_id, value AS first_value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q17_dedup" ->
+      """SELECT user_id, event_type, event_id
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q18_union" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice, 'big' AS bucket FROM orders WHERE o_totalprice >= 200000
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, o_totalprice, NULL AS bucket FROM orders WHERE o_totalprice < 1000)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q19_time_window" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin
+  )
 }

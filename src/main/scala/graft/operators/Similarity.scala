@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor / similarity search over the `embeddings`
+  * table (64-dim float vectors).
+  *
+  * FP determinism: element products of two floats are EXACT in double
+  * (24+24-bit mantissas < 53), and each product is then cast to
+  * DECIMAL(28,14) and summed — decimal addition is associative, so the dot
+  * product is independent of aggregation order and identical in DuckDB.
+  * Cosines are rounded to 6dp before ranking; ties break on vec_id.
+  *
+  * Scale notes: the query set is broadcast (top-k probes against a big
+  * corpus never shuffle the corpus); the IVF variant prunes the corpus to
+  * the probed partitions first, which is the 100 TB path — brute force
+  * stays as the small-query-set baseline and the recall oracle.
+  */
+object Similarity {
+
+  /** Exact decimal dot product of two float arrays (order-independent). */
+  private def ddot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(DecimalType(28, 14))),
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 14)),
+      (acc, x) => (acc + x).cast(DecimalType(38, 14))).cast("double")
+
+  private def dnorm2(a: Column): Column =
+    aggregate(
+      transform(a, x => (x.cast("double") * x.cast("double")).cast(DecimalType(28, 14))),
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 14)),
+      (acc, x) => (acc + x).cast(DecimalType(38, 14))).cast("double")
+
+  /** Brute-force cosine top-5 for the 10 query vectors (vec_id < 10):
+    * the exactness baseline every ANN variant is graded against.
+    */
+  def q30CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nn".as("qn"))
+    val sims = emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("vid"),
+        round(ddot($"qe", $"embedding") / (sqrt($"qn") * sqrt($"nn")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"sim".desc, $"vid".asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"qid", $"rnk".cast("long").as("rnk"), $"vid", $"sim")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** Embedding near-dup pairs blocked by label: rounded cosine ≥ 0.3
+    * within the same label partition (block join, no global cross-join).
+    */
+  def q31EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding", dnorm2($"embedding").as("nn"))
+    val a = emb.select($"label", $"vec_id".as("vec_a"), $"embedding".as("ea"), $"nn".as("na"))
+    val b = emb.select($"label", $"vec_id".as("vec_b"), $"embedding".as("eb"), $"nn".as("nb"))
+    a.join(b, Seq("label"))
+      .filter($"vec_a" < $"vec_b")
+      .select($"label", $"vec_a", $"vec_b",
+        round(ddot($"ea", $"eb") / (sqrt($"na") * sqrt($"nb")), 6).as("sim"))
+      .filter($"sim" >= 0.3)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** IVF-style ANN: fixed deterministic centroid set (vec_id % 50 == 0),
+    * every vector assigned to its nearest centroid (coarse quantization),
+    * each query probes its 2 nearest centroids and brute-forces only those
+    * partitions. This is the shape that scales: |corpus|/|cells| work per
+    * query instead of |corpus|.
+    */
+  def q32IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
+    val centroids = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nn".as("cn"))
+    val simToC = round(ddot($"embedding", $"ce") / (sqrt($"nn") * sqrt($"cn")), 6)
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"csim".desc, $"cid".asc)
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"embedding", $"nn", $"cid", simToC.as("csim"))
+      .withColumn("crnk", row_number().over(wAssign))
+    val cells = assigned.filter($"crnk" === 1)
+      .select($"vec_id", $"embedding", $"nn", $"cid")
+    val probes = assigned.filter($"vec_id" < 10 && $"crnk" <= 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nn".as("qn"), $"cid")
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"sim".desc, $"vid".asc)
+    probes.join(cells, Seq("cid"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("vid"),
+        round(ddot($"qe", $"embedding") / (sqrt($"qn") * sqrt($"nn")), 6).as("sim"))
+      .groupBy($"qid", $"vid").agg(max($"sim").as("sim")) // probe overlap dedup
+      .withColumn("rnk", row_number().over(wTop))
+      .filter($"rnk" <= 5)
+      .select($"qid", $"rnk".cast("long").as("rnk"), $"vid", $"sim")
+      .orderBy($"qid", $"rnk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_cosine_topk" -> (q30CosineTopK _),
+    "q31_embed_neardup" -> (q31EmbedNearDup _),
+    "q32_ivf_ann" -> (q32IvfAnn _)
+  )
+
+  /** Shared SQL: exact decimal dot via index-join on unnested elements. */
+  private val normsSql =
+    """SELECT vec_id, CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS nn
+      |FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id""".stripMargin
+
+  private val elemsSql =
+    """SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings"""
+
+  val oracles: Map[String, String] = Map(
+    "q30_cosine_topk" ->
+      s"""WITH norms AS ($normsSql),
+         |e AS ($elemsSql),
+         |dots AS (
+         |  SELECT q.vec_id AS qid, v.vec_id AS vid,
+         |    CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(v.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
+         |  FROM e q JOIN e v ON q.i = v.i WHERE q.vec_id < 10 AND q.vec_id <> v.vec_id
+         |  GROUP BY 1, 2),
+         |sims AS (
+         |  SELECT qid, vid, round(dot / (sqrt(nq.nn) * sqrt(nv.nn)), 6) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(dot / (sqrt(nq.nn) * sqrt(nv.nn)), 6) DESC, vid ASC) AS rnk
+         |  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nv ON vid = nv.vec_id)
+         |SELECT qid, rnk, vid, sim FROM sims WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "q31_embed_neardup" ->
+      s"""WITH norms AS ($normsSql),
+         |e AS (SELECT vec_id, label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |dots AS (
+         |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    CAST(SUM(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
+         |  FROM e a JOIN e b ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT label, vec_a, vec_b, round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS sim
+         |FROM dots JOIN norms na ON vec_a = na.vec_id JOIN norms nb ON vec_b = nb.vec_id
+         |WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q32_ivf_ann" ->
+      s"""WITH norms AS ($normsSql),
+         |e AS ($elemsSql),
+         |cdots AS (
+         |  SELECT v.vec_id, c.vec_id AS cid,
+         |    CAST(SUM(CAST(CAST(v.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
+         |  FROM e v JOIN e c ON v.i = c.i WHERE c.vec_id % 50 = 0
+         |  GROUP BY 1, 2),
+         |assigned AS (
+         |  SELECT cdots.vec_id AS vec_id, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY cdots.vec_id
+         |      ORDER BY round(dot / (sqrt(nv.nn) * sqrt(nc.nn)), 6) DESC, cid ASC) AS crnk
+         |  FROM cdots JOIN norms nv ON cdots.vec_id = nv.vec_id JOIN norms nc ON cid = nc.vec_id),
+         |cells AS (SELECT vec_id, cid FROM assigned WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS qid, cid FROM assigned WHERE vec_id < 10 AND crnk <= 2),
+         |cand AS (SELECT DISTINCT p.qid, m.vec_id AS vid FROM probes p JOIN cells m ON p.cid = m.cid
+         |         WHERE m.vec_id <> p.qid),
+         |dots AS (
+         |  SELECT c.qid, c.vid,
+         |    CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(v.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
+         |  FROM cand c JOIN e q ON q.vec_id = c.qid JOIN e v ON v.vec_id = c.vid AND q.i = v.i
+         |  GROUP BY 1, 2),
+         |sims AS (
+         |  SELECT qid, vid, round(dot / (sqrt(nq.nn) * sqrt(nv.nn)), 6) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(dot / (sqrt(nq.nn) * sqrt(nv.nn)), 6) DESC, vid ASC) AS rnk
+         |  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nv ON vid = nv.vec_id)
+         |SELECT qid, rnk, vid, sim FROM sims WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  )
+}

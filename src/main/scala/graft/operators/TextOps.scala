@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token counting, quality scoring, n-gram-heuristic language ID, and
+  * document fingerprinting. All are single-pass, codegen-friendly column
+  * expressions — no UDFs — so they whole-stage-compile and scale linearly
+  * with input splits (no shuffle except the final fingerprint groupBy).
+  */
+object TextOps {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Stopword vote sets for the n-gram/stopword language-ID heuristic. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est", "pas"))
+
+  /** Token/char statistics per document (token counting + punctuation and
+    * uppercase ratios; whitespace tokenization).
+    */
+  def q21TextStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = words($"text")
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        size(w).cast("long").as("n_tokens"),
+        length($"text").cast("long").as("n_chars_measured"),
+        round(
+          aggregate(transform(w, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+            .cast("double") / size(w), 6).as("avg_token_len"),
+        length(regexp_replace($"text", "[^.!?,;:]", "")).cast("long").as("n_punct"),
+        length(regexp_replace($"text", "[^A-Z]", "")).cast("long").as("n_upper"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring: length band + stopword ratio + mean token length →
+    * a composite score and a keep/drop flag (the heuristics a pretraining
+    * filter applies before expensive stages).
+    */
+  def q22Quality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = words($"text")
+    val enStops = array(langStopwords.head._2.map(lit): _*)
+    val nStop = size(filter(w, t => array_contains(enStops, t)))
+    val stopRatio = nStop.cast("double") / size(w)
+    val meanLen = aggregate(transform(w, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+      .cast("double") / size(w)
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        round(stopRatio, 6).as("stop_ratio"),
+        round(meanLen, 6).as("mean_token_len"),
+        round(
+          when($"n_chars".between(100, 20000), lit(1.0)).otherwise(lit(0.0)) * 0.4 +
+            least(stopRatio * lit(5.0), lit(1.0)) * 0.3 +
+            when(meanLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.0)) * 0.3,
+          6).as("quality_score"))
+      .withColumn("keep", ($"quality_score" >= 0.5).cast("boolean"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language ID by stopword vote: count tokens hitting each language's
+    * stopword set, pick the argmax (ties and zero votes → "und").
+    */
+  def q23LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = words($"text")
+    val votes = langStopwords.map { case (lang, stops) =>
+      lang -> size(filter(w, t => array_contains(array(stops.map(lit): _*), t)))
+    }
+    val maxVote = greatest(votes.map(_._2): _*)
+    // first language (in declaration order) achieving the max vote
+    val predicted = votes.reverse.foldLeft(lit("und")) { case (acc, (lang, v)) =>
+      when(v === maxVote && maxVote > 0, lit(lang)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id", $"lang".as("labeled_lang"),
+        votes.head._2.cast("long").as("votes_en"),
+        votes(1)._2.cast("long").as("votes_de"),
+        votes(2)._2.cast("long").as("votes_es"),
+        votes(3)._2.cast("long").as("votes_fr"),
+        predicted.as("predicted_lang"))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lower-cased text
+    * (portable across engines), plus a coarse prefix fingerprint over the
+    * first 8 tokens that actually clusters near-identical heads.
+    */
+  def q24Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val norm = lower(trim(regexp_replace($"text", "\\s+", " ")))
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        md5(norm).as("fingerprint"),
+        md5(array_join(slice(words(norm), lit(1), lit(8)), " ")).as("prefix_fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_text_stats" -> (q21TextStats _),
+    "q22_quality" -> (q22Quality _),
+    "q23_langid" -> (q23LangId _),
+    "q24_fingerprint" -> (q24Fingerprint _)
+  )
+
+  private def stopList(lang: String): String =
+    langStopwords.toMap.apply(lang).map(s => s"'$s'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q21_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(text) AS BIGINT) AS n_chars_measured,
+        |  round(CAST(list_sum(list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS avg_token_len,
+        |  CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(len(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q22_quality" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${stopList("en")}, t))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS stop_ratio,
+         |    CAST(list_sum(list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS mean_len
+         |  FROM documents)
+         |SELECT doc_id, round(stop_ratio, 6) AS stop_ratio, round(mean_len, 6) AS mean_token_len,
+         |  round(CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END * 0.4 +
+         |        least(stop_ratio * 5.0, 1.0) * 0.3 +
+         |        CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END * 0.3, 6) AS quality_score,
+         |  (round(CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END * 0.4 +
+         |        least(stop_ratio * 5.0, 1.0) * 0.3 +
+         |        CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END * 0.3, 6) >= 0.5) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q23_langid" ->
+      s"""WITH v AS (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${stopList("en")}, t))) AS BIGINT) AS votes_en,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${stopList("de")}, t))) AS BIGINT) AS votes_de,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${stopList("es")}, t))) AS BIGINT) AS votes_es,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${stopList("fr")}, t))) AS BIGINT) AS votes_fr
+         |  FROM documents)
+         |SELECT doc_id, labeled_lang, votes_en, votes_de, votes_es, votes_fr,
+         |  CASE WHEN greatest(votes_en, votes_de, votes_es, votes_fr) = 0 THEN 'und'
+         |       WHEN votes_en = greatest(votes_en, votes_de, votes_es, votes_fr) THEN 'en'
+         |       WHEN votes_de = greatest(votes_en, votes_de, votes_es, votes_fr) THEN 'de'
+         |       WHEN votes_es = greatest(votes_en, votes_de, votes_es, votes_fr) THEN 'es'
+         |       ELSE 'fr' END AS predicted_lang
+         |FROM v ORDER BY doc_id""".stripMargin,
+    "q24_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents)
+        |SELECT doc_id, md5(norm) AS fingerprint,
+        |  md5(array_to_string(string_split(norm, ' ')[1:8], ' ')) AS prefix_fingerprint
+        |FROM n ORDER BY doc_id""".stripMargin
+  )
+}

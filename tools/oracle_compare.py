@@ -1,0 +1,39 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/oracle_compare.py [sfDir] [voutDir]
+Compares each parquet in voutDir against its oracle_sql.json entry,
+column-name-sorted and row-sorted, dtype-strict.
+"""
+import sys, json
+import duckdb, pandas as pd
+
+sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+vout = sys.argv[2] if len(sys.argv) > 2 else 'target/vout'
+con = duckdb.connect()
+for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
+          'lineitem', 'events', 'documents', 'embeddings']:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+fails = []
+for name, sql in sorted(json.load(open(f'{vout}/oracle_sql.json')).items()):
+    try:
+        got = pd.read_parquet(f'{vout}/{name}')
+        exp = con.execute(sql).df()
+        got, exp = got[sorted(got.columns)], exp[sorted(exp.columns)]
+        g = got.sort_values(list(got.columns)).reset_index(drop=True)
+        e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+        ok = list(got.columns) == list(exp.columns) and len(g) == len(e) and g.equals(e)
+        print(name, 'OK' if ok else 'MISMATCH', len(g), len(e))
+        if not ok:
+            fails.append(name)
+            if list(got.columns) != list(exp.columns):
+                print('  cols:', list(got.columns), 'vs', list(exp.columns))
+            else:
+                print('  dtypes got:', g.dtypes.to_dict())
+                print('  dtypes exp:', e.dtypes.to_dict())
+                neq = ((g != e) & ~(g.isna() & e.isna())).any(axis=1)
+                print(g[neq].head(3)); print(e[neq].head(3))
+    except Exception as ex:
+        print(name, 'ERROR', str(ex)[:200]); fails.append(name)
+print('FAILS:', fails if fails else 'none')
+sys.exit(1 if fails else 0)
