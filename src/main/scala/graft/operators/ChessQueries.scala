@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.ChessEtl
+import graft.ml.WpModel
+
+/** The chess ETL surfaced through the driver's correctness gate: a fixed
+  * fixture corpus (FIXTURES.md §A1 shapes) runs the real pipeline
+  * (parse → clean → explode → game_infos → win probabilities) and the
+  * oracle is a VALUES literal of reference-derived expected rows — e.g. the
+  * position FENs are the exact strings asserted in the reference's
+  * `tests/test_visitors.py:150-154`. sfDir is ignored: the corpus is the
+  * input.
+  */
+object ChessQueries {
+
+  val pgnFixture: String =
+    """[Event "Rated Bullet game"]
+      |[Site "https://lichess.org/TTYLmSUX"]
+      |[Date "2021.05.01"]
+      |[Round "-"]
+      |[White "thibault"]
+      |[Black "opponent1"]
+      |[Result "1-0"]
+      |[UTCDate "2021.05.01"]
+      |[UTCTime "12:00:01"]
+      |[WhiteElo "1500"]
+      |[BlackElo "1600"]
+      |[WhiteRatingDiff "+8"]
+      |[BlackRatingDiff "-8"]
+      |[Variant "Standard"]
+      |[TimeControl "60+0"]
+      |[ECO "B20"]
+      |[Opening "Sicilian Defense"]
+      |[Termination "Normal"]
+      |
+      |1. e4 { [%eval 0.05] [%clk 0:01:00] } 1... c5 { [%eval 0.32] [%clk 0:01:00] } 2. f4 { [%eval 0.3] [%clk 0:00:59] } 2... d6 { [%eval 0.1] [%clk 0:00:58] } 1-0
+      |
+      |[Event "Casual Blitz Arena tournament"]
+      |[Site "https://lichess.org/abcd1234"]
+      |[Date "2021.05.02"]
+      |[Round "-"]
+      |[White "someone"]
+      |[Black "thibault"]
+      |[Result "0-1"]
+      |[UTCDate "2021.05.02"]
+      |[UTCTime "18:30:00"]
+      |[WhiteElo "?"]
+      |[BlackElo "1610"]
+      |[Variant "Standard"]
+      |[TimeControl "300+3"]
+      |[ECO "C20"]
+      |[Opening "King's Pawn"]
+      |[Termination "Normal"]
+      |
+      |1. e4 { [%clk 0:05:00] } 1... e5 { [%clk 0:05:00] } 2. Nf3 { [%clk 0:04:58] } 2... Nc6 { [%clk 0:04:57] } 3. Bc4 { [%clk 0:04:55] } 3... Nf6 { [%clk 0:04:55] } 4. O-O { [%clk 0:04:52] } 0-1""".stripMargin
+
+  private def jsonFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("TTYLmSUX", "bullet", "mate", Some(false), None: Option[Boolean]),
+      ("abcd1234", "blitz", "resign", None: Option[Boolean], Some(true))
+    ).toDF("id", "speed", "status",
+      "players_black_provisional", "players_white_provisional")
+  }
+
+  def cleaned(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ChessEtl.clean(
+      ChessEtl.toWide(ChessEtl.parse(spark, Seq(pgnFixture).toDS())),
+      jsonFixture(spark))
+  }
+
+  def qc40Moves(spark: SparkSession, dir: String): DataFrame =
+    ChessEtl.explodeMoves(cleaned(spark)).orderBy(col("game_link"), col("half_move"))
+
+  def qc41Positions(spark: SparkSession, dir: String): DataFrame =
+    ChessEtl.explodePositions(cleaned(spark))
+      .filter(col("game_link") === "https://lichess.org/TTYLmSUX")
+      .select(col("game_link"), col("half_move"), col("fen"))
+      .orderBy(col("half_move"))
+
+  def qc42Clocks(spark: SparkSession, dir: String): DataFrame =
+    ChessEtl.explodeClocks(cleaned(spark)).orderBy(col("game_link"), col("half_move"))
+
+  def qc43GameInfos(spark: SparkSession, dir: String): DataFrame =
+    ChessEtl.gameInfos(cleaned(spark), "thibault")
+      .select(
+        col("game_link"), col("player_color"), col("opponent"),
+        col("player_result"), col("player_elo"), col("opponent_elo"),
+        col("starting_time"), col("increment"), col("in_arena"),
+        col("rated_casual"), col("queen_exchange"),
+        col("player_castling_side"), col("opponent_castling_side"))
+      .orderBy(col("game_link"))
+
+  def qc44WinProb(spark: SparkSession, dir: String): DataFrame = {
+    val c = cleaned(spark)
+    WpModel.winProbabilities(
+      gameInfos = ChessEtl.gameInfos(c, "thibault"),
+      evals = ChessEtl.explodeEvals(c),
+      positions = ChessEtl.explodePositions(c),
+      clocks = ChessEtl.explodeClocks(c))
+      .filter(col("game_link") === "https://lichess.org/TTYLmSUX")
+      .orderBy(col("half_move"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc40_chess_moves" -> (qc40Moves _),
+    "qc41_chess_positions" -> (qc41Positions _),
+    "qc42_chess_clocks" -> (qc42Clocks _),
+    "qc43_chess_game_infos" -> (qc43GameInfos _),
+    "qc44_chess_winprob" -> (qc44WinProb _)
+  )
+
+  private val g1 = "https://lichess.org/TTYLmSUX"
+  private val g2 = "https://lichess.org/abcd1234"
+
+  val oracles: Map[String, String] = Map(
+    "qc40_chess_moves" ->
+      s"""SELECT * FROM (VALUES
+         |  ('$g2', 'e4', CAST(1 AS BIGINT)), ('$g2', 'e5', 2), ('$g2', 'Nf3', 3), ('$g2', 'Nc6', 4),
+         |  ('$g2', 'Bc4', 5), ('$g2', 'Nf6', 6), ('$g2', 'O-O', 7),
+         |  ('$g1', 'e4', 1), ('$g1', 'c5', 2), ('$g1', 'f4', 3), ('$g1', 'd6', 4)
+         |) t(game_link, move, half_move) ORDER BY game_link, half_move""".stripMargin,
+    "qc41_chess_positions" ->
+      s"""SELECT * FROM (VALUES
+         |  ('$g1', CAST(1 AS BIGINT), 'rnbqkbnr/pppppppp/8/8/4P3/8/PPPP1PPP/RNBQKBNR b KQkq - 0'),
+         |  ('$g1', 2, 'rnbqkbnr/pp1ppppp/8/2p5/4P3/8/PPPP1PPP/RNBQKBNR w KQkq - 0'),
+         |  ('$g1', 3, 'rnbqkbnr/pp1ppppp/8/2p5/4PP2/8/PPPP2PP/RNBQKBNR b KQkq - 0'),
+         |  ('$g1', 4, 'rnbqkbnr/pp2pppp/3p4/2p5/4PP2/8/PPPP2PP/RNBQKBNR w KQkq - 0')
+         |) t(game_link, half_move, fen) ORDER BY half_move""".stripMargin,
+    "qc42_chess_clocks" ->
+      s"""SELECT * FROM (VALUES
+         |  ('$g2', 300, CAST(1 AS BIGINT)), ('$g2', 300, 2), ('$g2', 298, 3), ('$g2', 297, 4),
+         |  ('$g2', 295, 5), ('$g2', 295, 6), ('$g2', 292, 7),
+         |  ('$g1', 60, 1), ('$g1', 60, 2), ('$g1', 59, 3), ('$g1', 58, 4)
+         |) t(game_link, clock, half_move) ORDER BY game_link, half_move""".stripMargin,
+    "qc43_chess_game_infos" ->
+      s"""SELECT * FROM (VALUES
+         |  ('$g2', 'black', 'someone', 'Win', CAST(1610.0 AS DOUBLE), CAST(1500.0 AS DOUBLE), 300, 3,
+         |   'In arena', 'Casual', 'No queen exchange', 'No castling', 'kingside'),
+         |  ('$g1', 'white', 'opponent1', 'Win', 1500.0, 1600.0, 60, 0,
+         |   'Not in arena', 'Rated', 'No queen exchange', 'No castling', 'No castling')
+         |) t(game_link, player_color, opponent, player_result, player_elo,
+         |    opponent_elo, starting_time, increment, in_arena, rated_casual,
+         |    queen_exchange, player_castling_side, opponent_castling_side)
+         |ORDER BY game_link""".stripMargin,
+    "qc44_chess_winprob" ->
+      s"""SELECT * FROM (VALUES
+         |  ('$g1', CAST(1 AS BIGINT), CAST(0.386704 AS DOUBLE), CAST(0.024775 AS DOUBLE), CAST(0.588521 AS DOUBLE), '794ab1c'),
+         |  ('$g1', 2, 0.390137, 0.036785, 0.573078, '794ab1c'),
+         |  ('$g1', 3, 0.377652, 0.05686, 0.565488, '794ab1c'),
+         |  ('$g1', 4, 0.370119, 0.05707, 0.572811, '794ab1c')
+         |) t(game_link, half_move, win_probability_white, draw_probability,
+         |    win_probability_black, win_prob_model_version)
+         |ORDER BY half_move""".stripMargin
+  )
+}
