@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ Dedup.queries ++
-      Similarity.queries ++ WinProb.queries ++ ChessQueries.queries
+      Similarity.queries ++ WinProb.queries ++ ChessQueries.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ WinProb.oracles ++ ChessQueries.oracles
+      Similarity.oracles ++ WinProb.oracles ++ ChessQueries.oracles ++
+      Multimodal.oracles
 }

@@ -1,0 +1,118 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** JDBC upsert sink with the reference's exact semantics
+  * (`src/pipeline_import/postgres_templates.py:160-214`): bulk-load the
+  * batch into a staging table, then in ONE driver-side transaction delete
+  * target rows whose id-tuple appears in staging and insert everything from
+  * staging. Spark has no built-in JDBC upsert; the staging write is the
+  * distributed part (executors stream partitions into the table), the
+  * delete+insert is metadata-scale work on the driver.
+  *
+  * The SQL is deliberately portable (no Postgres `USING`, no `ON CONFLICT`)
+  * so it runs against Postgres, Derby, etc.; the transactional
+  * delete+insert keeps the reference's atomicity guarantee
+  * (SURVEY.md §7.4 item 6).
+  */
+object JdbcUpsert {
+
+  /** Row-count guard (S8, `postgres_templates.py:175-178`): skip the load
+    * entirely for an empty batch.
+    */
+  def upsert(
+      df: DataFrame,
+      url: String,
+      table: String,
+      idCols: Seq[String],
+      props: Properties = new Properties()): Unit = {
+    if (df.isEmpty) return
+    val staging = s"${table}_staging"
+    // Spark's generic dialects map StringType to CLOB/TEXT, which some
+    // databases (Derby) refuse to compare against VARCHAR keys — pin
+    // string columns to VARCHAR in the staging DDL.
+    val stringCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(f => s"${f.name} VARCHAR(4096)")
+    val writer = df.write.mode("overwrite")
+    val withTypes =
+      if (stringCols.nonEmpty)
+        writer.option("createTableColumnTypes", stringCols.mkString(", "))
+      else writer
+    withTypes.jdbc(url, staging, props)
+
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      // column reconciliation against the live table, like the reference
+      // reads information_schema (`postgres_templates.py:187-203`).
+      // Identifiers are quoted with each table's catalog-exact case (Spark
+      // writes the staging table with quoted lower-case names; a hand-made
+      // target table may be upper-cased by the database).
+      val targetCols = tableColumns(conn, table)
+      val stagingCols = tableColumns(conn, staging)
+      def q(c: String) = "\"" + c + "\""
+      val shared = targetCols.flatMap { tc =>
+        stagingCols.find(_.equalsIgnoreCase(tc)).map(sc => (tc, sc))
+      }.filter { case (tc, _) => df.columns.exists(_.equalsIgnoreCase(tc)) }
+      val keyMatch = idCols.map { k =>
+        val (tc, sc) = shared.find(_._1.equalsIgnoreCase(k)).getOrElse(
+          throw new IllegalArgumentException(s"id column $k missing from $table/$staging"))
+        s"$table.${q(tc)} = $staging.${q(sc)}"
+      }.mkString(" AND ")
+      val st = conn.createStatement()
+      st.executeUpdate(
+        s"DELETE FROM $table WHERE EXISTS (SELECT 1 FROM $staging WHERE $keyMatch)")
+      st.executeUpdate(
+        s"INSERT INTO $table (${shared.map(c => q(c._1)).mkString(", ")}) " +
+          s"SELECT ${shared.map(c => q(c._2)).mkString(", ")} FROM $staging")
+      conn.commit()
+    } catch {
+      case e: Throwable => conn.rollback(); throw e
+    } finally conn.close()
+  }
+
+  private def tableColumns(conn: Connection, table: String): Seq[String] = {
+    val md = conn.getMetaData
+    val rs = md.getColumns(null, null, table.toUpperCase, null)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (rs.next()) buf += rs.getString("COLUMN_NAME")
+    if (buf.nonEmpty) buf.toSeq
+    else { // lower-case catalogs (Postgres)
+      val rs2 = md.getColumns(null, null, table.toLowerCase, null)
+      while (rs2.next()) buf += rs2.getString("COLUMN_NAME")
+      buf.toSeq
+    }
+  }
+
+  /** S5-style pushdown read: the predicate travels to the database as a
+    * dbtable subquery, so only matching rows cross the wire
+    * (`src/vendors/stockfish.py:44-50`).
+    */
+  def readWhere(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      predicate: String,
+      props: Properties = new Properties()): DataFrame =
+    spark.read.jdbc(url, s"(SELECT * FROM $table WHERE $predicate) pushed", props)
+
+  /** Typed wrappers mirroring `postgres_templates.py:13-157`'s seven
+    * loaders: each table with its upsert key.
+    */
+  val tableKeys: Map[String, Seq[String]] = Map(
+    "chess_games" -> Seq("player", "game_link"),
+    "game_moves" -> Seq("game_link", "half_move"),
+    "game_clocks" -> Seq("game_link", "half_move"),
+    "game_positions" -> Seq("game_link", "half_move"),
+    "game_materials" -> Seq("game_link", "half_move"),
+    "position_evals" -> Seq("fen"),
+    "win_probabilities" -> Seq("game_link", "half_move"))
+
+  def upsertNamed(df: DataFrame, url: String, table: String,
+      props: Properties = new Properties()): Unit =
+    upsert(df, url, table, tableKeys(table), props)
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming extension (SURVEY.md §1.3 notes the reference is
+  * batch-only; this is the streaming path a large-scale pipeline needs):
+  * the `events` table replayed as a stream with watermarked windowed
+  * aggregation, plus stateful sessionization via flatMapGroupsWithState.
+  *
+  * `events.ts` arrives as epoch-nanos LongType (see graft.Sessions); it is
+  * converted to a proper timestamp for event-time semantics.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+
+  final case class Session(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Int, total_value: Double)
+
+  /** Hourly windowed counts with a 2-hour watermark — the streaming twin of
+    * the batch q19_time_window query (results must agree when the stream is
+    * fully replayed).
+    */
+  /** `eventsDir` must be a DIRECTORY of parquet files (the file-stream
+    * source tails directories, not single files).
+    */
+  def hourlyCounts(spark: SparkSession, eventsDir: String): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(eventsDir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Session gap in nanoseconds (30 minutes). */
+  val SessionGapNs: Long = 30L * 60 * 1000000000L
+
+  /** Stateful sessionization: per-user event stream folded into sessions
+    * closed after a 30-minute gap. KeyValueGroupedDataset +
+    * flatMapGroupsWithState is THE custom-state primitive
+    * (mapPartitions-style logic without giving up incremental execution).
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event]): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sessionFold)
+  }
+
+  private[streaming] def sessionFold(
+      userId: Long,
+      events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts, e.event_id))
+    var cur = state.getOption
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+    sorted.foreach { e =>
+      cur match {
+        case Some(s) if e.ts - s.last <= SessionGapNs =>
+          cur = Some(SessionState(s.start, e.ts, s.n + 1, s.total + e.value))
+        case Some(s) =>
+          closed += Session(userId, s.start, s.last, s.n, s.total)
+          cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+        case None =>
+          cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+      }
+    }
+    cur match {
+      case Some(s) => state.update(s)
+      case None    => ()
+    }
+    closed.iterator
+  }
+
+  /** Batch-mode sessionization with identical semantics (window-based),
+    * used to cross-check the stateful operator and as the at-rest variant.
+    */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > SessionGapNs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).cast("int").as("n_events"),
+        sum(col("value")).as("total_value"))
+      .drop("session_id")
+  }
+}

@@ -19,6 +19,8 @@ class EtlSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
   val pgnFixture: String =
     """[Event "Rated Bullet game"]
       |[Site "https://lichess.org/TTYLmSUX"]

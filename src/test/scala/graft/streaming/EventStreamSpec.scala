@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** Streaming semantics: the windowed streaming aggregate must agree with
+  * its batch twin on full replay, and stateful sessionization must agree
+  * with the batch window formulation.
+  */
+class EventStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming hourly counts equal the batch q19 on full replay") {
+    // the file-stream source needs a directory: stage the single parquet
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target/stream_events"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val q = EventStream.hourlyCounts(spark, dir.toString)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("hourly")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT bucket_start, event_type, n, total_value FROM hourly")
+        .orderBy("bucket_start", "event_type").collect()
+      val batch = Relational.q19TimeWindow(spark, sfDir).collect()
+      assert(streamed.length == batch.length)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.getLong(0) == b.getLong(0))
+        assert(s.getString(1) == b.getString(1))
+        assert(s.getLong(2) == b.getLong(2))
+        assert(math.abs(s.getDouble(3) - b.getDouble(3)) < 1e-9)
+      }
+    } finally q.stop()
+  }
+
+  test("stateful sessionization (flatMapGroupsWithState) agrees with the batch window formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[EventStream.Event].collect().toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(spark, source.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    try {
+      source.addData(events)
+      q.processAllAvailable()
+      // push one far-future event per user so every open session closes
+      val maxTs = events.map(_.ts).max
+      val users = events.map(_.user_id).distinct
+      source.addData(users.map(u =>
+        EventStream.Event(-1L, maxTs + 10 * EventStream.SessionGapNs, u, "flush", 0.0, "")))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM sess")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      val batch = EventStream.sessionizeBatch(events.toDF())
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+}
