@@ -23,9 +23,14 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Portable 60-bit string hash: first 15 hex chars of md5 as a long. */
+  /** Portable 60-bit string hash: first 15 hex chars of md5 as a long.
+    * Backed by the native codegen'd [[graft.functions.PortableHash60]]
+    * expression — bit-identical to the built-in formulation
+    * `conv(substring(md5(c), 1, 15), 16, 10)` that the DuckDB oracle
+    * replays, without the hex-string round-trip.
+    */
   def portableHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    graft.functions.PortableHash60.portableHash60(c)
 
   private val P = 2147483647L // 2^31-1, modulus for minhash permutations
 

@@ -31,13 +31,23 @@ object JdbcUpsert {
       props: Properties = new Properties()): Unit = {
     if (df.isEmpty) return
     val staging = s"${table}_staging"
+    // column reconciliation against the live table BEFORE the staging
+    // write, like the reference reads information_schema and ingests only
+    // matching columns (`postgres_templates.py:187-203`) — the source frame
+    // may carry array/map columns the serving table doesn't store.
+    val preCols = {
+      val c = DriverManager.getConnection(url, props)
+      try tableColumns(c, table) finally c.close()
+    }
+    val projected = df.select(
+      df.columns.filter(dc => preCols.exists(_.equalsIgnoreCase(dc))).map(df.col): _*)
     // Spark's generic dialects map StringType to CLOB/TEXT, which some
     // databases (Derby) refuse to compare against VARCHAR keys — pin
     // string columns to VARCHAR in the staging DDL.
-    val stringCols = df.schema.fields
+    val stringCols = projected.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType)
       .map(f => s"${f.name} VARCHAR(4096)")
-    val writer = df.write.mode("overwrite")
+    val writer = projected.write.mode("overwrite")
     val withTypes =
       if (stringCols.nonEmpty)
         writer.option("createTableColumnTypes", stringCols.mkString(", "))
@@ -47,11 +57,9 @@ object JdbcUpsert {
     val conn = DriverManager.getConnection(url, props)
     try {
       conn.setAutoCommit(false)
-      // column reconciliation against the live table, like the reference
-      // reads information_schema (`postgres_templates.py:187-203`).
-      // Identifiers are quoted with each table's catalog-exact case (Spark
+      // identifiers quoted with each table's catalog-exact case (Spark
       // writes the staging table with quoted lower-case names; a hand-made
-      // target table may be upper-cased by the database).
+      // target table may be upper-cased by the database)
       val targetCols = tableColumns(conn, table)
       val stagingCols = tableColumns(conn, staging)
       def q(c: String) = "\"" + c + "\""

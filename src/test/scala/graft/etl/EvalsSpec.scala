@@ -81,4 +81,52 @@ class EvalsSpec extends AnyFunSuite {
     // the reference's pandas merge produces (`inference.py:41`)
     assert(out.winProbabilities.count() == 13)
   }
+
+  test("loadAll upserts all seven serving tables end-to-end (Derby)") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:loadall;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    // representative column subsets of db/tables/*.sql — the upsert
+    // reconciles the wide frames down to what each table stores
+    Seq(
+      "CREATE TABLE chess_games (player VARCHAR(64), game_link VARCHAR(128), player_color VARCHAR(8), player_result VARCHAR(8), player_elo DOUBLE)",
+      "CREATE TABLE game_moves (game_link VARCHAR(128), half_move BIGINT, move VARCHAR(16))",
+      "CREATE TABLE game_clocks (game_link VARCHAR(128), half_move BIGINT, clock INT)",
+      "CREATE TABLE game_positions (game_link VARCHAR(128), half_move BIGINT, fen VARCHAR(128))",
+      "CREATE TABLE game_materials (game_link VARCHAR(128), half_move BIGINT, pawns_white INT, queens_black INT)",
+      "CREATE TABLE position_evals (fen VARCHAR(128), evaluation DOUBLE, eval_depth INT)",
+      "CREATE TABLE win_probabilities (game_link VARCHAR(128), half_move BIGINT, win_probability_white DOUBLE, win_prob_model_version VARCHAR(16))"
+    ).foreach(conn.createStatement().executeUpdate)
+    conn.close()
+
+    val empty = Seq.empty[(String, Double, Int)].toDF("fen", "evaluation", "eval_depth")
+    val out = Pipeline.runDay(
+      spark,
+      Seq(ChessQueries.pgnFixture).toDS(),
+      Seq(("TTYLmSUX", "bullet", "mate"), ("abcd1234", "blitz", "resign"))
+        .toDF("id", "speed", "status"),
+      player = "thibault",
+      cachedEvals = empty,
+      evalProvider = Some(new FakeEvalProvider))
+
+    def counts(): Map[String, Int] = {
+      val c = java.sql.DriverManager.getConnection(url)
+      val m = Seq("chess_games", "game_moves", "game_clocks", "game_positions",
+        "game_materials", "position_evals", "win_probabilities").map { t =>
+        val rs = c.createStatement().executeQuery(s"SELECT COUNT(*) FROM $t")
+        rs.next(); t -> rs.getInt(1)
+      }.toMap
+      c.close(); m
+    }
+
+    Pipeline.loadAll(out, url)
+    val first = counts()
+    assert(first == Map(
+      "chess_games" -> 2, "game_moves" -> 11, "game_clocks" -> 11,
+      "game_positions" -> 11, "game_materials" -> 13,
+      "position_evals" -> 11, "win_probabilities" -> 13))
+    // replaying the same day must not duplicate anything (keyed upsert)
+    Pipeline.loadAll(out, url)
+    assert(counts() == first)
+  }
 }
