@@ -31,6 +31,12 @@ object ChessProps extends Properties("chess") {
 
   private val seeds = Gen.chooseNum(0L, 5000L)
 
+  // guard against vacuous properties: the generator must actually play
+  property("random games are non-trivial (anti-vacuousness)") =
+    Prop.forAll(seeds) { seed =>
+      Board.initial.legalMoves.length == 20 && playGame(seed, 80).length > 10
+    }
+
   property("fen round-trips at every position of a random game") =
     Prop.forAll(seeds) { seed =>
       playGame(seed, 80).forall { b =>

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression tests: the physical plans the optimizer picks
+  * must keep the properties that make these queries scale — filters and
+  * projections reaching the parquet scan, small dimensions broadcast,
+  * window/agg stages whole-stage-codegen'd, no cartesian products.
+  * If a refactor silently degrades a plan (e.g. a filter stops pushing
+  * down), these assertions catch it before a benchmark does.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q2: filter and projection reach the parquet scan") {
+    val p = plan(Relational.q2TopK(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), Not(EqualTo(o_orderstatus,F))]"),
+      s"filter not pushed:\n$p")
+    // only the 4 needed columns are read, not the 6-column table
+    assert(p.contains("ReadSchema") &&
+      !p.contains("o_orderdate") && !p.contains("o_custkey"), s"columns not pruned:\n$p")
+  }
+
+  test("q6: dimension tables join via broadcast, no cartesian product") {
+    val p = plan(Relational.q6JoinDims(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
+  }
+
+  test("q1: aggregation is map-side partial and codegen'd") {
+    val df = Relational.q1Agg(spark, dir)
+    df.collect() // execute THIS plan so AQE finalizes and codegen ids materialize
+    val p = plan(df)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("codegen id"), s"no codegen span:\n$p")
+  }
+
+  test("q8: anti join stays a join, not a filter-after-collect") {
+    val p = plan(Relational.q8Anti(spark, dir))
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q27: native hash expression participates in codegen") {
+    val df = Dedup.q27MinhashSig(spark, dir)
+    df.collect() // execute THIS plan so AQE finalizes and codegen ids materialize
+    val p = plan(df)
+    assert(p.contains("portable_hash60"), s"native expression absent:\n$p")
+    assert(p.contains("codegen id"), s"no codegen span:\n$p")
+  }
+
+  test("q30: corpus side is not shuffled — the query set broadcasts") {
+    val p = plan(Similarity.q30CosineTopK(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$p")
+  }
+
+  test("chess explodes carry explicit ordinals (posexplode, not row order)") {
+    val p = plan(ChessQueries.qc40Moves(spark, dir))
+    assert(p.toLowerCase.contains("generate"), p)
+    assert(p.contains("pos"), p)
+  }
+}
