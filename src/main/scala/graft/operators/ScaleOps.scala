@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.streaming.EventStream
+
+/** Scale-technique operators beyond the reference's surface: sketch
+  * aggregation, skew-salted joins, rollup hierarchies, sessionization.
+  * Each demonstrates the 100 TB-relevant plan shape while remaining
+  * oracle-checkable.
+  */
+object ScaleOps {
+
+  /** HLL sketch count-distinct next to the exact value. The sketches
+    * differ between engines, so the surfaced oracle-checked fact is the
+    * accuracy CONTRACT: each engine's own approximation lands within tolerance of
+    * the exact count (deterministic per engine, same verdict in both).
+    */
+  def q36ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("n_exact"),
+        approx_count_distinct($"user_id").as("n_approx"))
+      .select(
+        $"event_type", $"n_exact",
+        (abs($"n_approx" - $"n_exact").cast("double") / $"n_exact" <= 0.15)
+          .as("approx_within_tol"))
+      .orderBy($"event_type")
+  }
+
+  /** Skew-salted join: replicate the (small) dimension side per salt
+    * bucket so one hot key spreads over N reducers, then aggregate away
+    * the salt. Result equals the plain join — the salt only reshapes the
+    * shuffle. At 100 TB this is the manual fallback when AQE's skew-join
+    * splitting can't apply (e.g. aggregations after the join).
+    */
+  def q37SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val salts = 8
+    val events = Tables.events(spark, dir)
+      .withColumn("salt", pmod($"event_id", lit(salts)).cast("int"))
+    val userDim = Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("user_total"))
+    val saltedDim = userDim
+      .crossJoin(spark.range(salts).select($"id".cast("int").as("salt")))
+    events
+      .join(saltedDim, Seq("user_id", "salt"))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        first($"user_total").as("user_total"),
+        sum($"value".cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .orderBy($"user_id")
+  }
+
+  /** Rollup hierarchy (beyond the reference: it has no grouping sets).
+    * Grouping columns are surfaced with explicit null markers so both
+    * engines agree on the subtotal rows.
+    */
+  def q38Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .rollup($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double").as("total"))
+      .select(
+        coalesce($"o_orderpriority", lit("<all>")).as("priority"),
+        coalesce($"o_orderstatus", lit("<all>")).as("status"),
+        $"n", $"total")
+      .orderBy($"priority", $"status")
+  }
+
+  /** Batch sessionization surfaced through the gate (the stateful
+    * streaming twin lives in graft.streaming.EventStream and is checked
+    * for agreement in EventStreamSpec).
+    */
+  def q39Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // bounds surfaced as epoch-MICROS: DuckDB timestamps are µs-precision
+    // internally, so its epoch_ns() zero-pads past 6 digits while Spark's
+    // raw long keeps full nanos
+    EventStream.sessionizeBatch(Tables.events(spark, dir))
+      .select($"user_id",
+        expr("session_start div 1000").as("session_start"),
+        expr("session_end div 1000").as("session_end"),
+        $"n_events", round($"total_value", 6).as("total_value"))
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_approx_distinct" -> (q36ApproxDistinct _),
+    "q37_salted_join" -> (q37SaltedJoin _),
+    "q38_rollup" -> (q38Rollup _),
+    "q39_sessionize" -> (q39Sessionize _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q36_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+        |  (CAST(abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id)) AS DOUBLE)
+        |     / COUNT(DISTINCT user_id) <= 0.15) AS approx_within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q37_salted_join" ->
+      """SELECT e.user_id, COUNT(*) AS n_events,
+        |  ANY_VALUE(d.user_total) AS user_total,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e
+        |JOIN (SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY user_id) d
+        |  ON e.user_id = d.user_id
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+    "q38_rollup" ->
+      """SELECT COALESCE(o_orderpriority, '<all>') AS priority,
+        |  COALESCE(o_orderstatus, '<all>') AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin,
+    "q39_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, value,
+        |    epoch_ns(ts) AS tsn, event_id,
+        |    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts), 1)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000000
+        |         OR LAG(epoch_ns(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |numbered AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, MIN(tsn) // 1000 AS session_start, MAX(tsn) // 1000 AS session_end,
+        |  CAST(COUNT(*) AS INT) AS n_events, round(SUM(value), 6) AS total_value
+        |FROM numbered GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}
