@@ -102,31 +102,105 @@ object Similarity {
       .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nn".as("cn"))
     // assignment: double prefilter keeps the top 4 centroid candidates per
     // vector, exact decimal similarity re-ranks those (margin ≫ the 1e-14
-    // double error, so the exact top-2 always survives the cut)
+    // double error, so the exact top-2 always survives the cut). Arrays are
+    // dropped in the SAME projection that computes the prefilter, so the
+    // per-vector ranking window shuffles narrow (vec_id, cid, fcsim) rows —
+    // carrying the 64-float arrays through that |corpus|×|centroids| window
+    // is the memory-pressure cliff at scale.
     val wAssignF = org.apache.spark.sql.expressions.Window
       .partitionBy($"vec_id").orderBy($"fcsim".desc, $"cid".asc)
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy($"vec_id").orderBy($"csim".desc, $"cid".asc)
-    val assigned = emb.crossJoin(broadcast(centroids))
-      .withColumn("fcsim", fdot($"embedding", $"ce") / (sqrt($"nn") * sqrt($"cn")))
+    val top4 = emb.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"cid",
+        (fdot($"embedding", $"ce") / (sqrt($"nn") * sqrt($"cn"))).as("fcsim"))
       .withColumn("frnk", row_number().over(wAssignF))
       .filter($"frnk" <= 4)
+      .select($"vec_id", $"cid")
+    val assigned = top4 // exact rerank re-attaches arrays for 4 rows/vector
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(centroids), Seq("cid"))
       .withColumn("csim", round(ddot($"embedding", $"ce") / (sqrt($"nn") * sqrt($"cn")), 6))
       .withColumn("crnk", row_number().over(wAssign))
-    val cells = assigned.filter($"crnk" === 1)
-      .select($"vec_id", $"embedding", $"nn", $"cid")
+      .select($"vec_id", $"cid", $"crnk")
+    val cells = assigned.filter($"crnk" === 1).select($"vec_id".as("vid"), $"cid")
     val probes = assigned.filter($"vec_id" < 10 && $"crnk" <= 2)
-      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nn".as("qn"), $"cid")
+      .select($"vec_id".as("qid"), $"cid")
+    // candidate pairs stay narrow through dedup; arrays join in per stage
+    val cand = probes.join(cells, Seq("cid"))
+      .filter($"vid" =!= $"qid")
+      .select($"qid", $"vid").distinct()
+    val qemb = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nn".as("qn"))
+    val corpus = emb.select($"vec_id".as("vid"), $"embedding", $"nn")
     val wTopF = org.apache.spark.sql.expressions.Window
       .partitionBy($"qid").orderBy($"fsim".desc, $"vid".asc)
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy($"qid").orderBy($"sim".desc, $"vid".asc)
-    probes.join(cells, Seq("cid"))
-      .filter($"vec_id" =!= $"qid")
-      .select($"qid", $"qe", $"qn", $"vec_id".as("vid"), $"embedding", $"nn")
-      .groupBy($"qid", $"vid") // probe-overlap dedup before any dot products
-      .agg(first($"qe").as("qe"), first($"qn").as("qn"),
-        first($"embedding").as("embedding"), first($"nn").as("nn"))
+    val top15 = cand
+      .join(broadcast(qemb), Seq("qid"))
+      .join(corpus, Seq("vid"))
+      .select($"qid", $"vid",
+        (fdot($"qe", $"embedding") / (sqrt($"qn") * sqrt($"nn"))).as("fsim"))
+      .withColumn("frnk", row_number().over(wTopF))
+      .filter($"frnk" <= 15) // margin over the needed top-5
+      .select($"qid", $"vid")
+    top15
+      .join(broadcast(qemb), Seq("qid"))
+      .join(corpus, Seq("vid"))
+      .withColumn("sim", round(ddot($"qe", $"embedding") / (sqrt($"qn") * sqrt($"nn")), 6))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter($"rnk" <= 5)
+      .select($"qid", $"rnk".cast("long").as("rnk"), $"vid", $"sim")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** Random-hyperplane LSH ANN (sign random projection): 2 bands of 6-bit
+    * signatures; candidates share a bucket in at least one band, then the
+    * same prefilter+exact-rerank as q32. Hyperplane components are
+    * INTEGERS in [-1000,1000] derived from the portable md5 hash, so each
+    * product h*x is exact in double (10+24 bits < 53) and the decimal-sum
+    * argument from [[ddot]] makes every signature bit engine-independent.
+    *
+    * Scale notes: signatures cost |corpus|*bands*bits dot products built
+    * from ONE broadcast-join pass over exploded elements — no cross-join
+    * anywhere; the candidate join is an equi-join on (band, bucket), so at
+    * 100 TB the corpus shuffles once by bucket instead of pairing
+    * quadratically. Recall is tuned by adding bands (union of buckets),
+    * which scales linearly.
+    */
+  def q40LshAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = 2; val bits = 6; val dim = 64
+    val emb = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+      .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
+    val hp = spark.range(bands * bits).select($"id".cast("int").as("kk"))
+      .crossJoin(spark.range(1, dim + 1).select($"id".cast("int").as("i")))
+      .select(
+        ($"kk" / lit(bits)).cast("int").as("band"), pmod($"kk", lit(bits)).as("k"), $"i",
+        (pmod(graft.operators.Dedup.portableHash(
+          concat(lit("hp"), $"kk".cast("string"), lit("_"), $"i".cast("string"))),
+          lit(2001)) - 1000).as("h"))
+    val elems = emb.select($"vec_id", posexplode($"embedding"))
+      .select($"vec_id", ($"pos" + 1).as("i"), $"col".as("x"))
+    val sums = elems.join(broadcast(hp), Seq("i"))
+      .groupBy($"vec_id", $"band", $"k")
+      .agg(sum(($"h".cast("double") * $"x".cast("double")).cast(DecimalType(28, 14))).as("s"))
+    val sigs = sums.groupBy($"vec_id", $"band")
+      .agg(sum(when($"s" > 0, pow(lit(2.0), $"k").cast("long")).otherwise(0L)).as("bucket"))
+    val cand = sigs.filter($"vec_id" < 10).select($"band", $"bucket", $"vec_id".as("qid"))
+      .join(sigs.select($"band", $"bucket", $"vec_id".as("vid")), Seq("band", "bucket"))
+      .filter($"vid" =!= $"qid")
+      .select($"qid", $"vid").distinct()
+    val wTopF = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"fsim".desc, $"vid".asc)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"sim".desc, $"vid".asc)
+    cand
+      .join(broadcast(emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nn".as("qn"))), Seq("qid"))
+      .join(emb.select($"vec_id".as("vid"), $"embedding", $"nn"), Seq("vid"))
       .withColumn("fsim", fdot($"qe", $"embedding") / (sqrt($"qn") * sqrt($"nn")))
       .withColumn("frnk", row_number().over(wTopF))
       .filter($"frnk" <= 15) // margin over the needed top-5
@@ -140,7 +214,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_cosine_topk" -> (q30CosineTopK _),
     "q31_embed_neardup" -> (q31EmbedNearDup _),
-    "q32_ivf_ann" -> (q32IvfAnn _)
+    "q32_ivf_ann" -> (q32IvfAnn _),
+    "q40_lsh_ann" -> (q40LshAnn _)
   )
 
   /** Shared SQL: exact decimal dot via index-join on unnested elements. */
@@ -194,6 +269,35 @@ object Similarity {
          |probes AS (SELECT vec_id AS qid, cid FROM assigned WHERE vec_id < 10 AND crnk <= 2),
          |cand AS (SELECT DISTINCT p.qid, m.vec_id AS vid FROM probes p JOIN cells m ON p.cid = m.cid
          |         WHERE m.vec_id <> p.qid),
+         |dots AS (
+         |  SELECT c.qid, c.vid,
+         |    CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(v.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
+         |  FROM cand c JOIN e q ON q.vec_id = c.qid JOIN e v ON v.vec_id = c.vid AND q.i = v.i
+         |  GROUP BY 1, 2),
+         |sims AS (
+         |  SELECT qid, vid, round(dot / (sqrt(nq.nn) * sqrt(nv.nn)), 6) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(dot / (sqrt(nq.nn) * sqrt(nv.nn)), 6) DESC, vid ASC) AS rnk
+         |  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nv ON vid = nv.vec_id)
+         |SELECT qid, rnk, vid, sim FROM sims WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "q40_lsh_ann" ->
+      s"""WITH norms AS ($normsSql),
+         |e AS ($elemsSql),
+         |hp AS (
+         |  SELECT CAST(kk // 6 AS INT) AS band, CAST(kk % 6 AS INT) AS k, i,
+         |    (CAST('0x'||substring(md5('hp'||CAST(kk AS VARCHAR)||'_'||CAST(i AS VARCHAR)),1,15) AS BIGINT) % 2001 - 1000) AS h
+         |  FROM range(12) t(kk), range(1, 65) s(i)),
+         |sums AS (
+         |  SELECT e.vec_id, hp.band, hp.k,
+         |    SUM(CAST(CAST(hp.h AS DOUBLE) * CAST(e.x AS DOUBLE) AS DECIMAL(28,14))) AS s
+         |  FROM e JOIN hp ON e.i = hp.i GROUP BY 1, 2, 3),
+         |sigs AS (
+         |  SELECT vec_id, band,
+         |    SUM(CASE WHEN s > 0 THEN CAST(power(2, k) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bucket
+         |  FROM sums GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vid
+         |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id),
          |dots AS (
          |  SELECT c.qid, c.vid,
          |    CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(v.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
