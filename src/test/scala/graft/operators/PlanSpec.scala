@@ -75,4 +75,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("generate"), p)
     assert(p.contains("pos"), p)
   }
+
+  test("q37: salt replication broadcasts and the fact join keys on the salt") {
+    val p = plan(ScaleOps.q37SaltedJoin(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
+    assert(p.contains("salt"), s"salt column absent from plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"salt replication not broadcast:\n$p")
+  }
+
+  test("q32: centroids broadcast; the assignment window ranks narrow rows") {
+    val p = plan(Similarity.q32IvfAnn(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroid set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
+    // the prefilter window must rank (vec_id, cid, fcsim) rows, not rows
+    // still carrying the 64-float embedding arrays: find the ranking
+    // operator's detail block and check its Input row list is narrow
+    val lines = p.linesIterator.toVector
+    val wIdx = lines.indexWhere(l => l.contains("row_number") && l.contains("fcsim"))
+    assert(wIdx > 0, s"no fcsim ranking window found:\n$p")
+    val inputLine = lines.take(wIdx).reverse.find(_.trim.startsWith("Input"))
+    assert(inputLine.exists(!_.contains("embedding")),
+      s"assignment window still carries embedding arrays ($inputLine):\n$p")
+  }
+
+  test("q40: hyperplane table broadcasts into the signature pass") {
+    val p = plan(Similarity.q40LshAnn(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"hyperplane join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
+  }
 }
