@@ -1,9 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.JdbcUpsert
 
 /** Structured Streaming extension (SURVEY.md §1.3 notes the reference is
   * batch-only; this is the streaming path a large-scale pipeline needs):
@@ -85,6 +87,29 @@ object EventStream {
     }
     closed.iterator
   }
+
+  /** Streaming serve path: land a streaming aggregate in the JDBC serving
+    * layer through the SAME transactional upsert the batch pipeline uses
+    * (`writeStream.foreachBatch` → [[JdbcUpsert.upsert]]). In `update`
+    * output mode each micro-batch carries only the groups that changed;
+    * because the upsert is keyed delete+insert, a replayed micro-batch
+    * (restart/retry) overwrites itself — end-to-end idempotent per key,
+    * which is the reference pipeline's CopyGames-style load guarantee
+    * carried over to streaming.
+    */
+  def toJdbc(
+      aggregated: DataFrame,
+      url: String,
+      table: String,
+      idCols: Seq[String],
+      checkpoint: String): StreamingQuery =
+    aggregated.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        JdbcUpsert.upsert(batch, url, table, idCols)
+      }
+      .start()
 
   /** Batch-mode sessionization with identical semantics (window-based),
     * used to cross-check the stateful operator and as the at-rest variant.

@@ -54,6 +54,52 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming aggregate lands in the JDBC serving layer via the upsert sink") {
+    import java.sql.DriverManager
+    val url = "jdbc:derby:memory:streamserve;create=true"
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      """CREATE TABLE hourly_serve (
+        |  bucket_start BIGINT NOT NULL,
+        |  event_type VARCHAR(64) NOT NULL,
+        |  n BIGINT,
+        |  total_value DOUBLE)""".stripMargin)
+    conn.close()
+
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target/stream_events"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val checkpoint = java.nio.file.Files.createTempDirectory("serve_ckpt").toString
+    val q = EventStream.toJdbc(
+      EventStream.hourlyCounts(spark, dir.toString),
+      url, "hourly_serve", Seq("bucket_start", "event_type"), checkpoint)
+    try q.processAllAvailable() finally q.stop()
+
+    val served = {
+      val c = DriverManager.getConnection(url)
+      val rs = c.createStatement().executeQuery(
+        "SELECT bucket_start, event_type, n, total_value FROM hourly_serve")
+      val buf = scala.collection.mutable.Map.empty[(Long, String), (Long, Double)]
+      while (rs.next())
+        buf((rs.getLong(1), rs.getString(2))) = (rs.getLong(3), rs.getDouble(4))
+      c.close()
+      buf.toMap
+    }
+    val batch = Relational.q19TimeWindow(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(served.keySet == batch.keySet)
+    batch.foreach { case (k, (n, tv)) =>
+      val (sn, stv) = served(k)
+      assert(sn == n, s"count mismatch at $k")
+      assert(math.abs(stv - tv) < 1e-9, s"total mismatch at $k")
+    }
+    assert(served.nonEmpty)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) agrees with the batch window formulation") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
