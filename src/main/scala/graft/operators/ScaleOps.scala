@@ -92,11 +92,32 @@ object ScaleOps {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Quantile sketch next to the exact quantile — same shape as q36: the
+    * sketches differ between engines, so the oracle-checked fact is the
+    * exact median plus the CONTRACT that each engine's own approximation
+    * lands within 5% of it. Exact interpolated medians agree bit-for-bit
+    * after round(6) (same linear-interpolation definition in both engines).
+    */
+  def q41Quantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("med_exact"),
+        expr("approx_percentile(value, 0.5)").as("med_approx"))
+      .select(
+        $"event_type", round($"med_exact", 6).as("median"),
+        (abs($"med_approx" - $"med_exact") / $"med_exact" <= 0.05)
+          .as("approx_within_tol"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_approx_distinct" -> (q36ApproxDistinct _),
     "q37_salted_join" -> (q37SaltedJoin _),
     "q38_rollup" -> (q38Rollup _),
-    "q39_sessionize" -> (q39Sessionize _)
+    "q39_sessionize" -> (q39Sessionize _),
+    "q41_quantiles" -> (q41Quantiles _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,6 +157,12 @@ object ScaleOps {
         |SELECT user_id, MIN(tsn) // 1000 AS session_start, MAX(tsn) // 1000 AS session_end,
         |  CAST(COUNT(*) AS INT) AS n_events, round(SUM(value), 6) AS total_value
         |FROM numbered GROUP BY user_id, session_id
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q41_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS median,
+        |  (abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+        |     / quantile_cont(value, 0.5) <= 0.05) AS approx_within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
