@@ -112,12 +112,45 @@ object ScaleOps {
       .orderBy($"event_type")
   }
 
+  /** As-of join — an operator Spark has no built-in for, composed from
+    * existing ops (union + ordered window scan) rather than a custom
+    * physical operator: every event picks up the most recent purchase at
+    * or before its timestamp for the same user. Right rows sort before
+    * left rows at equal (user_id, ts) so a purchase matches itself, the
+    * same tie rule as DuckDB's native ASOF JOIN that oracles this.
+    *
+    * Scale shape: ONE shuffle on user_id + a sort by ts — identical to
+    * sessionization; cost is |left|+|right| regardless of how far back the
+    * nearest match is (a range join would rescan). The right side is
+    * pre-deduped per (user_id, ts) so ties are engine-independent.
+    */
+  def q42AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val right = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(min($"value").as("pval"))
+    val tagged = ev
+      .select($"user_id", $"ts", lit(1).as("side"), $"event_id",
+        lit(null).cast("double").as("pval"))
+      .unionByName(right.select($"user_id", $"ts", lit(0).as("side"),
+        lit(null).cast("long").as("event_id"), $"pval"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".asc, $"side".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("last_purchase_value", last($"pval", ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select($"event_id", $"user_id", $"last_purchase_value")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_approx_distinct" -> (q36ApproxDistinct _),
     "q37_salted_join" -> (q37SaltedJoin _),
     "q38_rollup" -> (q38Rollup _),
     "q39_sessionize" -> (q39Sessionize _),
-    "q41_quantiles" -> (q41Quantiles _)
+    "q41_quantiles" -> (q41Quantiles _),
+    "q42_asof_join" -> (q42AsofJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -163,6 +196,14 @@ object ScaleOps {
         |  round(quantile_cont(value, 0.5), 6) AS median,
         |  (abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
         |     / quantile_cont(value, 0.5) <= 0.05) AS approx_within_tol
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q42_asof_join" ->
+      """SELECT e.event_id, e.user_id, p.pval AS last_purchase_value
+        |FROM events e
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, MIN(value) AS pval FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |) p ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin
   )
 }
