@@ -153,11 +153,19 @@ object Dedup {
       sig.select($"doc_id", lit(bnd).as("band"),
         col(s"h${2 * bnd}").as("r0"), col(s"h${2 * bnd + 1}").as("r1"))
     }.reduce(_ unionByName _)
-    val l = bands.select($"band", $"r0", $"r1", $"doc_id".as("doc_a"))
-    val r = bands.select($"band", $"r0", $"r1", $"doc_id".as("doc_b"))
-    l.join(r, Seq("band", "r0", "r1"))
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b").distinct()
+    // bucket docs by full band value and expand pairs WITHIN each bucket:
+    // the signature pipeline (the expensive md5 shingle pass) runs ONCE —
+    // the round-1 band self-join evaluated it twice, once per join side.
+    // LSH buckets are small by construction, so the in-row pair expansion
+    // is O(bucket²) on tiny arrays, and the sorted list guarantees
+    // doc_a < doc_b without a filter.
+    bands
+      .groupBy($"band", $"r0", $"r1")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") >= 2)
+      .select($"ids", posexplode($"ids").as(Seq("i", "doc_a")))
+      .select($"doc_a", explode(slice($"ids", $"i" + lit(2), size($"ids"))).as("doc_b"))
+      .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -22,18 +22,16 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Exact decimal dot product of two float arrays (order-independent). */
+  /** Exact decimal dot product of two float arrays (order-independent) —
+    * the native codegen'd [[graft.functions.DotProduct]], bit-identical to
+    * the `zip_with`+`aggregate` DECIMAL(28,14) fold it replaced (the
+    * interpreted lambda chain was the round-1 bench bottleneck).
+    */
   private def ddot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(DecimalType(28, 14))),
-      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 14)),
-      (acc, x) => (acc + x).cast(DecimalType(38, 14))).cast("double")
+    graft.functions.DotProduct.ddot(a, b)
 
   private def dnorm2(a: Column): Column =
-    aggregate(
-      transform(a, x => (x.cast("double") * x.cast("double")).cast(DecimalType(28, 14))),
-      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 14)),
-      (acc, x) => (acc + x).cast(DecimalType(38, 14))).cast("double")
+    graft.functions.DotProduct.ddot(a, a)
 
   /** Fast approximate dot (plain double fold) — PRUNING ONLY, never
     * surfaced: |fdot − ddot| ≲ 1e-14 relative, so a margin below the real
@@ -41,12 +39,16 @@ object Similarity {
     * decimal arithmetic for the overwhelming majority of pairs.
     */
   private def fdot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.fdot(a, b)
 
   /** Brute-force cosine top-5 for the 10 query vectors (vec_id < 10):
     * the exactness baseline every ANN variant is graded against.
+    *
+    * "Brute force" refers to candidate generation (every corpus vector is
+    * scored for every query — no index); the exact-decimal arithmetic is
+    * still reserved for the top-15 survivors of a double prefilter, the
+    * same margin argument as q32/q40: the 6dp-rounded decimal top-5 cannot
+    * live outside the double top-15 when |fdot − ddot| ≲ 1e-14.
     */
   def q30CosineTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -55,13 +57,24 @@ object Similarity {
       .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nn".as("qn"))
-    val sims = emb.crossJoin(broadcast(queries))
+    // score every pair with the cheap double dot; drop the arrays in the
+    // same projection so the ranking window shuffles narrow rows
+    val wTopF = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"fsim".desc, $"vid".asc)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"sim".desc, $"vid".asc)
+    val top15 = emb.crossJoin(broadcast(queries))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("vid"),
-        round(ddot($"qe", $"embedding") / (sqrt($"qn") * sqrt($"nn")), 6).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"qid").orderBy($"sim".desc, $"vid".asc)
-    sims.withColumn("rnk", row_number().over(w))
+        (fdot($"qe", $"embedding") / (sqrt($"qn") * sqrt($"nn"))).as("fsim"))
+      .withColumn("frnk", row_number().over(wTopF))
+      .filter($"frnk" <= 15) // margin over the needed top-5
+      .select($"qid", $"vid")
+    top15 // exact decimal rerank re-attaches arrays for 15 rows/query
+      .join(broadcast(queries), Seq("qid"))
+      .join(emb.select($"vec_id".as("vid"), $"embedding", $"nn"), Seq("vid"))
+      .withColumn("sim", round(ddot($"qe", $"embedding") / (sqrt($"qn") * sqrt($"nn")), 6))
+      .withColumn("rnk", row_number().over(wTop))
       .filter($"rnk" <= 5)
       .select($"qid", $"rnk".cast("long").as("rnk"), $"vid", $"sim")
       .orderBy($"qid", $"rnk")
