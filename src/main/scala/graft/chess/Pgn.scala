@@ -111,6 +111,13 @@ object Pgn {
           if (tok.nonEmpty) {
             moves += tok
             comments += Vector.empty
+            // DOCUMENTED DIVERGENCE: a comment appearing BEFORE the first
+            // move is discarded here, where python-chess fires
+            // visit_comment for it. Lichess exports never emit pre-move
+            // comments (clk/eval annotations always follow a move), so no
+            // reference-pipeline input hits this; a replay of arbitrary
+            // PGN with game-start commentary would shift clocks[0] wrt
+            // the reference. See COVERAGE.md.
             pending = ArrayBuffer.empty[String]
           }
         }

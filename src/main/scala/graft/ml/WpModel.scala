@@ -82,6 +82,11 @@ object WpModel {
     val mapped = when(col("player_color") === "black", 1.0).otherwise(0.0)
 
     withOppInit
+      // single-parity games (e.g. 1-ply) have no opponent first clock;
+      // the reference's inner merge on the flipped initial_times drops
+      // those rows entirely (`inference.py:47-52`) — match it rather than
+      // emit NULL-probability rows into the serving table
+      .filter(col("opponent_initial_clock").isNotNull)
       .withColumn("clock_pct", clockPct)
       .withColumn("sig_clock_pct", sig(col("clock_pct")))
       .withColumn("opponent_clock_pct", oppClockPct)

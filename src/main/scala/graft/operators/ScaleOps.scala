@@ -107,7 +107,10 @@ object ScaleOps {
         expr("approx_percentile(value, 0.5)").as("med_approx"))
       .select(
         $"event_type", round($"med_exact", 6).as("median"),
-        (abs($"med_approx" - $"med_exact") / $"med_exact" <= 0.05)
+        // relative error against |median| with an epsilon floor: a
+        // zero/near-zero or negative exact median must not turn the
+        // contract column into NULL or a sign-flipped comparison
+        (abs($"med_approx" - $"med_exact") / greatest(abs($"med_exact"), lit(1e-9)) <= 0.05)
           .as("approx_within_tol"))
       .orderBy($"event_type")
   }
@@ -195,7 +198,7 @@ object ScaleOps {
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS median,
         |  (abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
-        |     / quantile_cont(value, 0.5) <= 0.05) AS approx_within_tol
+        |     / greatest(abs(quantile_cont(value, 0.5)), 1e-9) <= 0.05) AS approx_within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q42_asof_join" ->
       """SELECT e.event_id, e.user_id, p.pval AS last_purchase_value

@@ -30,7 +30,16 @@ object JdbcUpsert {
       idCols: Seq[String],
       props: Properties = new Properties()): Unit = {
     if (df.isEmpty) return
-    val staging = s"${table}_staging"
+    // per-run unique staging name: a fixed shared name would let two
+    // concurrent loads into the same target (e.g. the streaming
+    // foreachBatch sink racing a batch loadAll) overwrite each other's
+    // staging rows between the overwrite-write and the delete/insert
+    // transaction. The reference gets this isolation from a
+    // connection-scoped TEMPORARY table (postgres_templates.py); plain
+    // JDBC across Spark's writer and the txn connection needs a unique
+    // permanent name instead, dropped in the finally below.
+    val staging =
+      s"${table}_stg_${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     // column reconciliation against the live table BEFORE the staging
     // write, like the reference reads information_schema and ingests only
     // matching columns (`postgres_templates.py:187-203`) — the source frame
@@ -80,7 +89,13 @@ object JdbcUpsert {
       conn.commit()
     } catch {
       case e: Throwable => conn.rollback(); throw e
-    } finally conn.close()
+    } finally {
+      try {
+        conn.setAutoCommit(true)
+        conn.createStatement().executeUpdate(s"DROP TABLE $staging")
+      } catch { case _: Throwable => () } // best-effort cleanup
+      conn.close()
+    }
   }
 
   private def tableColumns(conn: Connection, table: String): Seq[String] = {

@@ -61,6 +61,15 @@ class JdbcUpsertSpec extends AnyFunSuite {
     // empty batch short-circuits (S8 row-count guard)
     JdbcUpsert.upsertNamed(batch2.limit(0), url, "position_evals")
     assert(readAll().size == 3)
+
+    // no staging table survives a load (per-run unique names, dropped in
+    // the finally — two concurrent loads can no longer clobber each other)
+    val c2 = DriverManager.getConnection(url)
+    val rs = c2.getMetaData.getTables(null, null, "%", Array("TABLE"))
+    val tables = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (rs.next()) tables += rs.getString("TABLE_NAME")
+    c2.close()
+    assert(!tables.exists(_.toLowerCase.contains("_stg")), tables)
   }
 
   test("pushdown read returns only matching rows") {
