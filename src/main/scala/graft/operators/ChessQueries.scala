@@ -106,12 +106,84 @@ object ChessQueries {
       .orderBy(col("half_move"))
   }
 
+  /** E4: the map→10-column materials contract
+    * (`feature_engineering.py:145-182`): plies+1 rows per game, fixed piece
+    * columns — game 1 has no captures, so full material at every row.
+    */
+  def qc45Materials(spark: SparkSession, dir: String): DataFrame =
+    ChessEtl.explodeMaterials(cleaned(spark))
+      .filter(col("game_link") === "https://lichess.org/TTYLmSUX")
+      .orderBy(col("half_move"))
+
+  /** Separate fixture for V2 berserk and V6 promotion outputs — kept out
+    * of [[pgnFixture]] so qc40–qc45's expected rows stay untouched.
+    * Game `berserk1`: 60+0 arena where white's first clock is half the
+    * time control (the berserk signature — ClocksVisitor compares the
+    * first two clocks on the third comment, `visitors.py:59-76`).
+    * Game `promote1`: white promotes with 5. axb8=Q.
+    */
+  val pgnFixtureFlags: String =
+    """[Event "Rated Bullet Arena tournament"]
+      |[Site "https://lichess.org/berserk1"]
+      |[Date "2021.05.03"]
+      |[Round "-"]
+      |[White "thibault"]
+      |[Black "opponent2"]
+      |[Result "1-0"]
+      |[UTCDate "2021.05.03"]
+      |[UTCTime "09:00:00"]
+      |[WhiteElo "1520"]
+      |[BlackElo "1530"]
+      |[Variant "Standard"]
+      |[TimeControl "60+0"]
+      |[ECO "C40"]
+      |[Opening "King's Knight Opening"]
+      |[Termination "Normal"]
+      |
+      |1. e4 { [%clk 0:00:30] } 1... e5 { [%clk 0:01:00] } 2. Nf3 { [%clk 0:00:29] } 1-0
+      |
+      |[Event "Rated Bullet game"]
+      |[Site "https://lichess.org/promote1"]
+      |[Date "2021.05.03"]
+      |[Round "-"]
+      |[White "thibault"]
+      |[Black "opponent3"]
+      |[Result "1-0"]
+      |[UTCDate "2021.05.03"]
+      |[UTCTime "09:05:00"]
+      |[WhiteElo "1520"]
+      |[BlackElo "1510"]
+      |[Variant "Standard"]
+      |[TimeControl "60+0"]
+      |[ECO "A00"]
+      |[Opening "Ware Opening"]
+      |[Termination "Normal"]
+      |
+      |1. a4 b5 2. axb5 a6 3. bxa6 c5 4. a7 c4 5. axb8=Q 1-0""".stripMargin
+
+  /** V2/V6: berserk flags + promotion outputs surfaced per game. */
+  def qc46Flags(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val json = Seq(
+      ("berserk1", "bullet", "resign"), ("promote1", "bullet", "resign")
+    ).toDF("id", "speed", "status")
+    ChessEtl.clean(
+      ChessEtl.toWide(ChessEtl.parse(spark, Seq(pgnFixtureFlags).toDS())), json)
+      .select(col("game_link"), col("white_berserked"), col("black_berserked"),
+        col("has_promotion"),
+        col("promotion_count_white"), col("promotion_count_black"),
+        col("promotions_white"), col("promotions_black"))
+      .orderBy(col("game_link"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc40_chess_moves" -> (qc40Moves _),
     "qc41_chess_positions" -> (qc41Positions _),
     "qc42_chess_clocks" -> (qc42Clocks _),
     "qc43_chess_game_infos" -> (qc43GameInfos _),
-    "qc44_chess_winprob" -> (qc44WinProb _)
+    "qc44_chess_winprob" -> (qc44WinProb _),
+    "qc45_chess_materials" -> (qc45Materials _),
+    "qc46_chess_flags" -> (qc46Flags _)
   )
 
   private val g1 = "https://lichess.org/TTYLmSUX"
@@ -155,6 +227,26 @@ object ChessQueries {
          |  ('$g1', 4, 0.370119, 0.05707, 0.572811, '794ab1c')
          |) t(game_link, half_move, win_probability_white, draw_probability,
          |    win_probability_black, win_prob_model_version)
-         |ORDER BY half_move""".stripMargin
+         |ORDER BY half_move""".stripMargin,
+    "qc45_chess_materials" ->
+      s"""SELECT * FROM (VALUES
+         |  ('$g1', CAST(1 AS BIGINT), CAST(8 AS INT), CAST(2 AS INT), CAST(2 AS INT), CAST(2 AS INT), CAST(1 AS INT),
+         |          CAST(8 AS INT), CAST(2 AS INT), CAST(2 AS INT), CAST(2 AS INT), CAST(1 AS INT)),
+         |  ('$g1', 2, 8, 2, 2, 2, 1, 8, 2, 2, 2, 1),
+         |  ('$g1', 3, 8, 2, 2, 2, 1, 8, 2, 2, 2, 1),
+         |  ('$g1', 4, 8, 2, 2, 2, 1, 8, 2, 2, 2, 1),
+         |  ('$g1', 5, 8, 2, 2, 2, 1, 8, 2, 2, 2, 1)
+         |) t(game_link, half_move, pawns_black, bishops_black, knights_black,
+         |    rooks_black, queens_black, pawns_white, bishops_white,
+         |    knights_white, rooks_white, queens_white)
+         |ORDER BY half_move""".stripMargin,
+    "qc46_chess_flags" ->
+      """SELECT * FROM (VALUES
+        |  ('https://lichess.org/berserk1', TRUE, FALSE, FALSE, CAST(0 AS INT), CAST(0 AS INT), '', ''),
+        |  ('https://lichess.org/promote1', FALSE, FALSE, TRUE, 1, 0, 'q', '')
+        |) t(game_link, white_berserked, black_berserked, has_promotion,
+        |    promotion_count_white, promotion_count_black,
+        |    promotions_white, promotions_black)
+        |ORDER BY game_link""".stripMargin
   )
 }
