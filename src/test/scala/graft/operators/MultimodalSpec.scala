@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The real image-decode path: JPEG bytes synthesized per doc id decode
+  * back (via javax.imageio, in executors) to the exact geometry and to a
+  * mean luma within JPEG quantization error of the encoded solid color.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("decode recovers geometry exactly and solid-color luma within JPEG error") {
+    import spark.implicits._
+    val decoded = Multimodal.decodeImages(spark, Multimodal.jpegTable(spark, dir))
+      .as[(Long, Int, Int, Double)].collect().toSeq
+    assert(decoded.nonEmpty)
+    decoded.foreach { case (id, w, h, luma) =>
+      assert(w == 16 + (id % 8).toInt, s"width for $id")
+      assert(h == 16 + (id % 5).toInt, s"height for $id")
+      val expected = 0.299 * ((id * 37) % 256) + 0.587 * ((id * 57) % 256) +
+        0.114 * ((id * 77) % 256)
+      // JPEG is lossy but a solid color survives quantization almost
+      // exactly; 3 luma steps is far beyond observed error
+      assert(math.abs(luma - expected) <= 3.0, s"luma for $id: $luma vs $expected")
+    }
+  }
+
+  test("a corrupt payload degrades to a sentinel row, not a task failure") {
+    import spark.implicits._
+    val bad = Seq((1L, Array[Byte](1, 2, 3)), (2L, Multimodal.syntheticJpeg(2L)))
+      .toDF("doc_id", "content")
+    val out = Multimodal.decodeImages(spark, bad)
+      .as[(Long, Int, Int, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, -1, -1, -1.0)))
+    assert(out(1)._2 == 18 && out(1)._3 == 18) // 16 + 2%8, 16 + 2%5
+  }
+}
