@@ -104,13 +104,21 @@ object Dedup {
       .distinct()
     val inv = hashed.withColumn("n_sh",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
-    val a = inv.select($"lang", $"source", $"sh_h",
-      $"doc_id".as("doc_a"), $"n_sh".as("n_a"))
-    val b = inv.select($"lang", $"source", $"sh_h",
-      $"doc_id".as("doc_b"), $"n_sh".as("n_b"))
-    a.join(b, Seq("lang", "source", "sh_h"))
-      .filter($"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
+    // one pass: bucket the inverted index by (block, shingle hash) and
+    // expand co-occurrence pairs IN-ROW from the sorted posting list — the
+    // round-1 self-join evaluated the whole shingle pipeline once per join
+    // side. Posting lists here are "docs sharing one exact 3-gram within a
+    // (lang, source) block", small by construction; a 100 TB corpus with
+    // hot shingles would cap/salt the posting list first (SCALE.md).
+    val pairs = inv
+      .groupBy($"lang", $"source", $"sh_h")
+      .agg(sort_array(collect_list(struct($"doc_id", $"n_sh"))).as("ds"))
+      .filter(size($"ds") >= 2)
+      .select($"ds", posexplode($"ds").as(Seq("i", "a")))
+      .select($"a", explode(slice($"ds", $"i" + lit(2), size($"ds"))).as("b"))
+    pairs
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.n_sh".as("n_a"), $"b.n_sh".as("n_b"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         round($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter"), 6))

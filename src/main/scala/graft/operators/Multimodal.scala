@@ -80,6 +80,7 @@ object Multimodal {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id")
+      .repartition(spark.sparkContext.defaultParallelism) // single-file input
       .as[Long]
       .mapPartitions(_.map { id =>
         (id, Multimodal.syntheticJpeg(id))
@@ -87,8 +88,16 @@ object Multimodal {
       .toDF("doc_id", "content")
   }
 
+  /** ImageIO defaults to a file-backed stream cache — a temp file per
+    * encode/decode, which serializes 32 concurrent tasks on tmpdir I/O.
+    * In-memory streams only; executed once per executor JVM.
+    */
+  private lazy val imageIoNoCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic JPEG payload for a doc id (encoder is the JVM's own). */
   def syntheticJpeg(id: Long): Array[Byte] = {
+    imageIoNoCache
     val w = 16 + (id % 8).toInt
     val h = 16 + (id % 5).toInt
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -111,6 +120,7 @@ object Multimodal {
     media.select(col("doc_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
+        imageIoNoCache
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           catch { case _: Throwable => null }
