@@ -30,6 +30,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * whole-stage codegen — the round-1 bench showed the chain 6–100× slower
   * than DuckDB on the ANN queries, all of it this constant factor.
   *
+  * Exactness note: the old lambda fold was also subtly WEAKER than this —
+  * Catalyst types `Add(DECIMAL(38,14), DECIMAL(28,14))` at precision 39,
+  * so the precision-loss rule rounded every intermediate sum to scale 13
+  * (order-dependent; agreed with DuckDB's exact `SUM(DECIMAL)` only after
+  * `round(_, 6)`). This expression computes the true scale-14 decimal sum,
+  * i.e. exactly DuckDB's aggregate semantics (`GraftFunctionsSpec` pins
+  * both facts).
+  *
   * Pass the same array twice for a squared norm (`dot(a, a)`).
   */
 case class DotProduct(left: Expression, right: Expression, exact: Boolean)

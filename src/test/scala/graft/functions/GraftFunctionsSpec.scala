@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface registration of the native expressions, and the DotProduct
+  * parity contract: `exact=true` must be bit-identical to the
+  * zip_with+aggregate DECIMAL(28,14) fold it replaced (the formulation the
+  * DuckDB oracle replays), `exact=false` to the plain double fold.
+  */
+class GraftFunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  test("register() makes portable_hash60 / ddot / fdot SQL-callable") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  portable_hash60('abc') AS h,
+        |  ddot(array(cast(0.5 as float), cast(-1.25 as float)),
+        |       array(cast(2.0 as float), cast(4.0 as float))) AS d,
+        |  fdot(array(cast(0.5 as float), cast(-1.25 as float)),
+        |       array(cast(2.0 as float), cast(4.0 as float))) AS f
+        |""".stripMargin).collect().head
+    assert(row.getLong(0) == PortableHash60.hash("abc".getBytes("UTF-8")))
+    assert(row.getDouble(1) == 1.0 - 5.0)
+    assert(row.getDouble(2) == 1.0 - 5.0)
+  }
+
+  test("native exact dot == the true decimal sum (DuckDB's SUM semantics); lambda fold agrees at 6dp") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      val a = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+      val b = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+      (i.toLong, a, b)
+    }
+    // driver-side reference: quantize each exact float product to 14dp
+    // through the shortest decimal representation, sum exactly — this is
+    // what DuckDB's SUM over DECIMAL(28,14) computes, and what the
+    // oracle-hashed ANN results are built from
+    def refDot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        new java.math.BigDecimal(java.lang.Double.toString(x.toDouble * y.toDouble))
+          .setScale(14, java.math.RoundingMode.HALF_UP)
+      }.foldLeft(java.math.BigDecimal.ZERO)(_ add _).doubleValue()
+    val expected = rows.map { case (id, a, b) => id -> refDot(a, b) }.toMap
+
+    // the zip_with+aggregate fold this expression replaced is NOT exact:
+    // Catalyst's Add(DECIMAL(38,14), DECIMAL(28,14)) needs precision 39,
+    // so the precision-loss rule rounds every intermediate sum to scale
+    // 13 — it only agreed with DuckDB after round(6). The native version
+    // is the true order-independent decimal sum.
+    val lambdaDdot = aggregate(
+      zip_with($"a", $"b", (x, y) => (x.cast("double") * y.cast("double")).cast(DecimalType(28, 14))),
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 14)),
+      (acc, x) => (acc + x).cast(DecimalType(38, 14))).cast("double")
+    val lambdaFdot = aggregate(
+      zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val out = rows.toDF("id", "a", "b").select(
+      $"id",
+      DotProduct.ddot($"a", $"b").as("nd"), lambdaDdot.as("ld"),
+      DotProduct.fdot($"a", $"b").as("nf"), lambdaFdot.as("lf"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getDouble(1) == expected(r.getLong(0)), s"native != reference for ${r.getLong(0)}")
+      assert(math.rint(r.getDouble(1) * 1e6) == math.rint(r.getDouble(2) * 1e6),
+        s"lambda fold disagrees beyond 6dp for ${r.getLong(0)}")
+      assert(r.getDouble(3) == r.getDouble(4), s"fast fold differs for ${r.getLong(0)}")
+    }
+  }
+
+  test("null array propagates; squared norm via ddot(a, a)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Array(3.0f, 4.0f))), (2L, None)
+    ).toDF("id", "a")
+    val out = df.select($"id", DotProduct.ddot($"a", $"a").as("nn"))
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getDouble(1) == 25.0)
+    assert(out(1).isNullAt(1))
+  }
+}
