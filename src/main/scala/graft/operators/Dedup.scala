@@ -157,10 +157,15 @@ object Dedup {
   def q28MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sig = q27MinhashSig(spark, dir)
-    val bands = (0 until 4).map { bnd =>
-      sig.select($"doc_id", lit(bnd).as("band"),
-        col(s"h${2 * bnd}").as("r0"), col(s"h${2 * bnd + 1}").as("r1"))
-    }.reduce(_ unionByName _)
+    // band rows via ONE posexplode over an in-row struct array — a 4-way
+    // union of selects from `sig` re-instantiates the whole signature
+    // pipeline once per branch (PlanSpec counts the instances)
+    val bandStructs = (0 until 4).map { bnd =>
+      struct(col(s"h${2 * bnd}").as("r0"), col(s"h${2 * bnd + 1}").as("r1"))
+    }
+    val bands = sig
+      .select($"doc_id", posexplode(array(bandStructs: _*)).as(Seq("band", "b")))
+      .select($"doc_id", $"band", $"b.r0".as("r0"), $"b.r1".as("r1"))
     // bucket docs by full band value and expand pairs WITHIN each bucket:
     // the signature pipeline (the expensive md5 shingle pass) runs ONCE —
     // the round-1 band self-join evaluated it twice, once per join side.

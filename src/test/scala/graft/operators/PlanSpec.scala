@@ -68,6 +68,38 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Similarity.q30CosineTopK(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query set not broadcast:\n$p")
+    // the prefilter ranking window must rank narrow (qid, vid, fsim) rows,
+    // not rows still carrying the 64-float arrays (same pressure-cliff
+    // argument as q32)
+    val lines = p.linesIterator.toVector
+    val wIdx = lines.indexWhere(l => l.contains("row_number") && l.contains("fsim"))
+    assert(wIdx > 0, s"no fsim ranking window found:\n$p")
+    val inputLine = lines.take(wIdx).reverse.find(_.trim.startsWith("Input"))
+    assert(inputLine.exists(!_.contains("embedding")),
+      s"prefilter window still carries embedding arrays ($inputLine):\n$p")
+  }
+
+  test("q26/q28: the shingle/signature pipeline runs ONCE (no self-join double evaluation)") {
+    // the hot stage starts at the shingle explode (Generate posexplode);
+    // the round-1 self-join shape instantiated the whole pipeline once per
+    // join side. The posting-list expansion must leave exactly one
+    // shingle-explode instance (q28's pair expansion adds its own
+    // posexplode over the tiny posting lists — count only word explodes).
+    def shingleStages(df: org.apache.spark.sql.DataFrame): Int = {
+      val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+      p.linesIterator.count(l => l.contains("Generate posexplode") && l.contains("split"))
+    }
+    val n26 = shingleStages(Dedup.q26ShingleJaccard(spark, dir))
+    val n28 = shingleStages(Dedup.q28MinhashPairs(spark, dir))
+    assert(n26 == 1, s"q26 instantiates the shingle pipeline $n26×")
+    assert(n28 == 1, s"q28 instantiates the shingle pipeline $n28×")
+  }
+
+  test("q43: image encode/decode fans out — no single-partition mapPartitions") {
+    // (the final orderBy may AQE-coalesce to 1; the decode stage itself
+    // must run parallel)
+    assert(Multimodal.jpegTable(spark, dir).rdd.getNumPartitions > 1,
+      "decode stage runs on a single partition")
   }
 
   test("chess explodes carry explicit ordinals (posexplode, not row order)") {
