@@ -42,10 +42,18 @@ object Bench {
       try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
+    // measured per-query harness constant: a trivial one-row plan through
+    // the same noop sink — scheduling + planning + sink overhead that every
+    // query pays regardless of its actual work
+    val overhead = {
+      val t0 = System.nanoTime()
+      (0 until 5).foreach(_ => force(spark.range(1).toDF("x")))
+      (System.nanoTime() - t0) / 5e9
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"overhead_per_query":$overhead,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

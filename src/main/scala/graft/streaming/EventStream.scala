@@ -111,6 +111,29 @@ object EventStream {
       }
       .start()
 
+  /** Streaming exact-dedup twin of the batch q25 fingerprint dedup: the
+    * documents corpus replayed as a stream, deduplicated on the normalized
+    * content fingerprint. First arrival per fingerprint survives — which
+    * doc_id that is depends on arrival order, so the engine-independent
+    * facts (spec-asserted against the batch) are the surviving fingerprint
+    * SET and its size.
+    *
+    * Scale notes: dedup state is one entry per distinct fingerprint; an
+    * unbounded stream bounds it with a watermark on an ingest-time column
+    * (`dropDuplicatesWithinWatermark`) — exact forever-dedup at 100 TB
+    * instead keeps the fingerprint set in the serving store (the
+    * `position_evals` anti-join pattern, J7).
+    */
+  def dedupStream(spark: SparkSession, docsDir: String): DataFrame = {
+    val schema = spark.read.parquet(docsDir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(docsDir)
+      .select(col("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      .dropDuplicates("fp")
+  }
+
   /** Batch-mode sessionization with identical semantics (window-based),
     * used to cross-check the stateful operator and as the at-rest variant.
     */

@@ -54,6 +54,35 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup agrees with the batch fingerprint dedup on full replay") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target/stream_docs"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val q = EventStream.dedupStream(spark, dir.toString)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamedFps = spark.sql("SELECT fp FROM dedup")
+        .collect().map(_.getString(0)).toSet
+      // batch q25: one survivor per distinct fingerprint
+      val batch = Dedup.q25ExactDedup(spark, sfDir).collect()
+      val batchFps = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(org.apache.spark.sql.functions.md5(
+          lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+        .distinct().collect().map(_.getString(0)).toSet
+      assert(streamedFps.size == batch.length)
+      assert(streamedFps == batchFps)
+    } finally q.stop()
+  }
+
   test("streaming aggregate lands in the JDBC serving layer via the upsert sink") {
     import java.sql.DriverManager
     val url = "jdbc:derby:memory:streamserve;create=true"
