@@ -30,6 +30,16 @@ class BucketingSpec extends AnyFunSuite {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a previous JVM's in-memory catalog is gone but its warehouse files
+    // survive; CREATE refuses an existing managed-table location
+    val warehouse = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val d = new java.io.File(warehouse, t)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
     spark.read.parquet(s"$dir/orders.parquet")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")
