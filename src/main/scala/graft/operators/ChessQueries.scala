@@ -66,11 +66,19 @@ object ChessQueries {
       "players_black_provisional", "players_white_provisional")
   }
 
-  def cleaned(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    ChessEtl.clean(
-      ChessEtl.toWide(ChessEtl.parse(spark, Seq(pgnFixture).toDS())),
-      jsonFixture(spark))
+  // the fixture corpus is identical for every qc4x query in a session:
+  // cache the cleaned frame once so the seven gate queries don't each
+  // re-run parse→clean (pure staging reuse; results are unchanged)
+  @volatile private var cleanedMemo: (SparkSession, DataFrame) = null
+
+  def cleaned(spark: SparkSession): DataFrame = synchronized {
+    if (cleanedMemo == null || (cleanedMemo._1 ne spark)) {
+      import spark.implicits._
+      cleanedMemo = (spark, ChessEtl.clean(
+        ChessEtl.toWide(ChessEtl.parse(spark, Seq(pgnFixture).toDS())),
+        jsonFixture(spark)).cache())
+    }
+    cleanedMemo._2
   }
 
   def qc40Moves(spark: SparkSession, dir: String): DataFrame =
