@@ -23,21 +23,83 @@ final class UciProcessEngine(location: String, timeoutMs: Long = 60000L)
     val in = new BufferedReader(new InputStreamReader(proc.getInputStream))
     try {
       out.println("uci")
-      out.println(s"position fen $fen")
-      out.println(s"go depth $depth")
-      val deadline = System.currentTimeMillis() + timeoutMs
-      var lastInfo: String = ""
-      var line: String = null
-      while ({ line = in.readLine(); line != null } &&
-          !line.startsWith("bestmove")) {
-        if (line.contains(" score ") || line.startsWith("info")) lastInfo = line
-        if (System.currentTimeMillis() > deadline)
-          throw new RuntimeException(s"UCI engine timed out after ${timeoutMs}ms: $location")
-      }
-      out.println("quit")
-      lastInfo
+      UciProcessEngine.score(out, in, fen, depth, timeoutMs, location)
     } finally {
       proc.destroy()
+    }
+  }
+}
+
+object UciProcessEngine {
+
+  /** Shared go/read loop: sends the position, collects the last
+    * score-carrying info line until `bestmove`.
+    */
+  private[etl] def score(
+      out: PrintWriter,
+      in: BufferedReader,
+      fen: String,
+      depth: Int,
+      timeoutMs: Long,
+      location: String): String = {
+    out.println(s"position fen $fen")
+    out.println(s"go depth $depth")
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var lastInfo: String = ""
+    var line: String = null
+    while ({ line = in.readLine(); line != null } &&
+        !line.startsWith("bestmove")) {
+      if (line.contains(" score ") || line.startsWith("info")) lastInfo = line
+      if (System.currentTimeMillis() > deadline)
+        throw new RuntimeException(s"UCI engine timed out after ${timeoutMs}ms: $location")
+    }
+    if (line == null)
+      throw new RuntimeException(s"UCI engine exited before bestmove: $location")
+    lastInfo
+  }
+}
+
+/** Pooled variant — the SCALE.md "obvious next constant-factor win": ONE
+  * long-lived engine process per deserialized instance (i.e. per executor
+  * task chain), reused across evals instead of a spawn per FEN. The
+  * process is respawned transparently if it dies; `close()` (or process
+  * teardown at executor exit) ends it.
+  *
+  * Same [[LocalEngine]] contract as [[UciProcessEngine]], so the two are
+  * interchangeable in [[ChainedEvalProvider]].
+  */
+final class PooledUciEngine(location: String, timeoutMs: Long = 60000L)
+    extends LocalEngine with AutoCloseable {
+
+  @transient private var proc: Process = _
+  @transient private var out: PrintWriter = _
+  @transient private var in: BufferedReader = _
+
+  private def ensureProcess(): Unit =
+    if (proc == null || !proc.isAlive) {
+      val pb = new ProcessBuilder(location)
+      pb.redirectErrorStream(true)
+      proc = pb.start()
+      out = new PrintWriter(proc.getOutputStream, true)
+      in = new BufferedReader(new InputStreamReader(proc.getInputStream))
+      out.println("uci")
+    }
+
+  def eval(fen: String, depth: Int): String = synchronized {
+    ensureProcess()
+    try UciProcessEngine.score(out, in, fen, depth, timeoutMs, location)
+    catch {
+      case e: Throwable =>
+        close() // a wedged engine must not poison subsequent evals
+        throw e
+    }
+  }
+
+  override def close(): Unit = synchronized {
+    if (proc != null) {
+      try out.println("quit") catch { case _: Throwable => () }
+      proc.destroy()
+      proc = null
     }
   }
 }

@@ -106,20 +106,26 @@ object Similarity {
     * partitions. This is the shape that scales: |corpus|/|cells| work per
     * query instead of |corpus|.
     */
-  def q32IvfAnn(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-file input
-      .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
-    val centroids = emb.filter($"vec_id" % 50 === 0)
-      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nn".as("cn"))
-    // assignment: double prefilter keeps the top 4 centroid candidates per
-    // vector, exact decimal similarity re-ranks those (margin ≫ the 1e-14
-    // double error, so the exact top-2 always survives the cut). Arrays are
-    // dropped in the SAME projection that computes the prefilter, so the
-    // per-vector ranking window shuffles narrow (vec_id, cid, fcsim) rows —
-    // carrying the 64-float arrays through that |corpus|×|centroids| window
-    // is the memory-pressure cliff at scale.
+  /** IVF index build — the BUILD-ONCE artifact a 100 TB deployment
+    * persists and probes many times: the exact top-2 nearest centroids
+    * per vector as compact (vec_id, cid, crnk) rows (crnk 1 = the
+    * vector's cell; crnk ≤ 2 = the cells a query probes).
+    *
+    * Assignment: the double prefilter keeps the top 4 centroid candidates
+    * per vector, exact decimal similarity re-ranks those (margin ≫ the
+    * 1e-14 double error, so the exact top-2 always survives the cut).
+    * Arrays are dropped in the SAME projection that computes the
+    * prefilter, so the per-vector ranking window shuffles narrow
+    * (vec_id, cid, fcsim) rows — carrying the 64-float arrays through
+    * that |corpus|×|centroids| window is the memory-pressure cliff at
+    * scale.
+    *
+    * `emb` must carry (vec_id, embedding, nn); `centroids`
+    * (cid, ce, cn). Output survives a parquet round trip unchanged
+    * (SimilaritySpec).
+    */
+  def buildIvfIndex(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
     val wAssignF = org.apache.spark.sql.expressions.Window
       .partitionBy($"vec_id").orderBy($"fcsim".desc, $"cid".asc)
     val wAssign = org.apache.spark.sql.expressions.Window
@@ -130,40 +136,66 @@ object Similarity {
       .withColumn("frnk", row_number().over(wAssignF))
       .filter($"frnk" <= 4)
       .select($"vec_id", $"cid")
-    val assigned = top4 // exact rerank re-attaches arrays for 4 rows/vector
+    top4 // exact rerank re-attaches arrays for 4 rows/vector
       .join(emb, Seq("vec_id"))
       .join(broadcast(centroids), Seq("cid"))
       .withColumn("csim", round(ddot($"embedding", $"ce") / (sqrt($"nn") * sqrt($"cn")), 6))
       .withColumn("crnk", row_number().over(wAssign))
+      .filter($"crnk" <= 2)
       .select($"vec_id", $"cid", $"crnk")
+  }
+
+  def q32IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+      .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
+    val centroids = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nn".as("cn"))
+    val assigned = buildIvfIndex(emb, centroids)
+    probeIvf(assigned, emb, $"vec_id" < 10, k = 5)
+  }
+
+  /** PROBE-MANY: top-k search against a prebuilt IVF index (any DataFrame
+    * with the [[buildIvfIndex]] schema — freshly built or read back from
+    * parquet). Queries are the `emb` rows matching `queryPred`; each
+    * probes its 2 nearest cells and brute-forces only those partitions —
+    * |corpus|/|cells| work per query instead of |corpus|.
+    */
+  def probeIvf(
+      assigned: DataFrame,
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
     val cells = assigned.filter($"crnk" === 1).select($"vec_id".as("vid"), $"cid")
-    val probes = assigned.filter($"vec_id" < 10 && $"crnk" <= 2)
+    val probes = assigned.filter(queryPred && $"crnk" <= 2)
       .select($"vec_id".as("qid"), $"cid")
     // candidate pairs stay narrow through dedup; arrays join in per stage
     val cand = probes.join(cells, Seq("cid"))
       .filter($"vid" =!= $"qid")
       .select($"qid", $"vid").distinct()
-    val qemb = emb.filter($"vec_id" < 10)
+    val qemb = emb.filter(queryPred)
       .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nn".as("qn"))
     val corpus = emb.select($"vec_id".as("vid"), $"embedding", $"nn")
     val wTopF = org.apache.spark.sql.expressions.Window
       .partitionBy($"qid").orderBy($"fsim".desc, $"vid".asc)
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy($"qid").orderBy($"sim".desc, $"vid".asc)
-    val top15 = cand
+    val topPre = cand
       .join(broadcast(qemb), Seq("qid"))
       .join(corpus, Seq("vid"))
       .select($"qid", $"vid",
         (fdot($"qe", $"embedding") / (sqrt($"qn") * sqrt($"nn"))).as("fsim"))
       .withColumn("frnk", row_number().over(wTopF))
-      .filter($"frnk" <= 15) // margin over the needed top-5
+      .filter($"frnk" <= 3 * k) // margin over the needed top-k
       .select($"qid", $"vid")
-    top15
+    topPre
       .join(broadcast(qemb), Seq("qid"))
       .join(corpus, Seq("vid"))
       .withColumn("sim", round(ddot($"qe", $"embedding") / (sqrt($"qn") * sqrt($"nn")), 6))
       .withColumn("rnk", row_number().over(wTop))
-      .filter($"rnk" <= 5)
+      .filter($"rnk" <= k)
       .select($"qid", $"rnk".cast("long").as("rnk"), $"vid", $"sim")
       .orderBy($"qid", $"rnk")
   }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The build-once/probe-many IVF contract: an index persisted to parquet
+  * and read back must probe to exactly the same top-k as the end-to-end
+  * q32 pipeline (which builds the index inline).
+  */
+class SimilaritySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("persisted IVF index probes identically to the inline q32 pipeline") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"vec_id", $"embedding",
+        graft.functions.DotProduct.ddot($"embedding", $"embedding").as("nn"))
+    val centroids = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nn".as("cn"))
+
+    val indexPath = java.nio.file.Files.createTempDirectory("ivf").toString + "/index"
+    Similarity.buildIvfIndex(emb, centroids).write.parquet(indexPath)
+    val reloaded = spark.read.parquet(indexPath)
+
+    val probed = Similarity.probeIvf(reloaded, emb, $"vec_id" < 10, k = 5)
+      .collect().map(_.toSeq).toSeq
+    val direct = Similarity.q32IvfAnn(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(probed == direct)
+    assert(probed.nonEmpty)
+
+    // the index is compact: ≤ 2 rows per vector, no arrays
+    assert(reloaded.columns.toSeq == Seq("vec_id", "cid", "crnk"))
+    val perVec = reloaded.groupBy($"vec_id").count()
+      .agg(max($"count")).collect().head.getLong(0)
+    assert(perVec <= 2)
+  }
+}
