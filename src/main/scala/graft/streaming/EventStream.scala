@@ -134,6 +134,19 @@ object EventStream {
       .dropDuplicates("fp")
   }
 
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark` keeps
+    * per-fingerprint state only until the watermark passes it, so an
+    * unbounded stream runs with bounded memory — the trade being that a
+    * duplicate arriving after its original's state expired is emitted
+    * again (the spec pins exactly that re-emission). Forever-exact dedup
+    * at 100 TB instead anti-joins against the at-rest fingerprint store
+    * (the J7 pattern) — see [[dedupStream]]'s scale note.
+    */
+  def dedupStreamBounded(docs: DataFrame, watermark: String): DataFrame =
+    docs
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Batch-mode sessionization with identical semantics (window-based),
     * used to cross-check the stateful operator and as the at-rest variant.
     */

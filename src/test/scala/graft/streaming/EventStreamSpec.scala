@@ -83,6 +83,32 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bounded-state dedup: within-watermark duplicates drop, expired state re-emits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(hour: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $hour%02d:00:00")
+    val q = EventStream.dedupStreamBounded(
+      input.toDF().toDF("fp", "event_time"), "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("bdedup").start()
+    try {
+      input.addData(("A", ts(0)), ("A", ts(0)), ("B", ts(0)))
+      q.processAllAvailable()
+      // duplicate within the watermark window dropped
+      assert(spark.sql("SELECT fp FROM bdedup").collect().map(_.getString(0)).sorted
+        === Array("A", "B"))
+      // advance event time far past the watermark, then repeat A: its
+      // state expired, so it is emitted again — the bounded-state trade
+      input.addData(("C", ts(10)))
+      q.processAllAvailable()
+      input.addData(("A", ts(10)))
+      q.processAllAvailable()
+      val fps = spark.sql("SELECT fp FROM bdedup").collect().map(_.getString(0)).sorted
+      assert(fps === Array("A", "A", "B", "C"))
+    } finally q.stop()
+  }
+
   test("streaming aggregate lands in the JDBC serving layer via the upsert sink") {
     import java.sql.DriverManager
     val url = "jdbc:derby:memory:streamserve;create=true"
