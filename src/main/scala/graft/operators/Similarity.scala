@@ -175,6 +175,16 @@ object Similarity {
     val cand = probes.join(cells, Seq("cid"))
       .filter($"vid" =!= $"qid")
       .select($"qid", $"vid").distinct()
+    rerankTopK(cand, emb, queryPred, k)
+  }
+
+  /** Shared exact-rerank over a (qid, vid) candidate set: double-prefilter
+    * to a 3k margin on narrow rows, exact-decimal rerank for the
+    * survivors, top-k per query. Both index probes (IVF, LSH) end here.
+    */
+  private def rerankTopK(
+      cand: DataFrame, emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
     val qemb = emb.filter(queryPred)
       .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nn".as("qn"))
     val corpus = emb.select($"vec_id".as("vid"), $"embedding", $"nn")
@@ -214,14 +224,17 @@ object Similarity {
     * quadratically. Recall is tuned by adding bands (union of buckets),
     * which scales linearly.
     */
-  def q40LshAnn(spark: SparkSession, dir: String): DataFrame = {
+  /** LSH signature build — the second BUILD-ONCE artifact: compact
+    * (vec_id, band, bucket) rows from one broadcast-join pass over
+    * exploded elements (no cross-join). Persistable like the IVF index;
+    * recall tunes by adding bands, linearly.
+    */
+  def buildLshSignatures(
+      emb: DataFrame, bands: Int, bits: Int, dim: Int): DataFrame = {
+    val spark = emb.sparkSession
     import spark.implicits._
-    val bands = 2; val bits = 6; val dim = 64
-    val emb = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-file input
-      .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
-    val hp = spark.range(bands * bits).select($"id".cast("int").as("kk"))
-      .crossJoin(spark.range(1, dim + 1).select($"id".cast("int").as("i")))
+    val hp = spark.range(bands.toLong * bits).select($"id".cast("int").as("kk"))
+      .crossJoin(spark.range(1, dim.toLong + 1).select($"id".cast("int").as("i")))
       .select(
         ($"kk" / lit(bits)).cast("int").as("band"), pmod($"kk", lit(bits)).as("k"), $"i",
         (pmod(graft.operators.Dedup.portableHash(
@@ -229,31 +242,41 @@ object Similarity {
           lit(2001)) - 1000).as("h"))
     val elems = emb.select($"vec_id", posexplode($"embedding"))
       .select($"vec_id", ($"pos" + 1).as("i"), $"col".as("x"))
-    val sums = elems.join(broadcast(hp), Seq("i"))
+    elems.join(broadcast(hp), Seq("i"))
       .groupBy($"vec_id", $"band", $"k")
       .agg(sum(($"h".cast("double") * $"x".cast("double")).cast(DecimalType(28, 14))).as("s"))
-    val sigs = sums.groupBy($"vec_id", $"band")
+      .groupBy($"vec_id", $"band")
       .agg(sum(when($"s" > 0, pow(lit(2.0), $"k").cast("long")).otherwise(0L)).as("bucket"))
-    val cand = sigs.filter($"vec_id" < 10).select($"band", $"bucket", $"vec_id".as("qid"))
-      .join(sigs.select($"band", $"bucket", $"vec_id".as("vid")), Seq("band", "bucket"))
+  }
+
+  /** PROBE-MANY against prebuilt LSH signatures: candidates expand IN-ROW
+    * from sorted bucket posting lists (the signature pipeline runs once —
+    * a bucket self-join would instantiate it per side, the q26/q28
+    * lesson), then the shared exact rerank.
+    */
+  def probeLsh(
+      sigs: DataFrame,
+      emb: DataFrame,
+      isQuery: Column => Column,
+      k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val cand = sigs
+      .groupBy($"band", $"bucket")
+      .agg(sort_array(collect_list($"vec_id")).as("ids"))
+      .select(explode(filter($"ids", x => isQuery(x))).as("qid"), $"ids")
+      .select($"qid", explode($"ids").as("vid"))
       .filter($"vid" =!= $"qid")
-      .select($"qid", $"vid").distinct()
-    val wTopF = org.apache.spark.sql.expressions.Window
-      .partitionBy($"qid").orderBy($"fsim".desc, $"vid".asc)
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy($"qid").orderBy($"sim".desc, $"vid".asc)
-    cand
-      .join(broadcast(emb.filter($"vec_id" < 10)
-        .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nn".as("qn"))), Seq("qid"))
-      .join(emb.select($"vec_id".as("vid"), $"embedding", $"nn"), Seq("vid"))
-      .withColumn("fsim", fdot($"qe", $"embedding") / (sqrt($"qn") * sqrt($"nn")))
-      .withColumn("frnk", row_number().over(wTopF))
-      .filter($"frnk" <= 15) // margin over the needed top-5
-      .withColumn("sim", round(ddot($"qe", $"embedding") / (sqrt($"qn") * sqrt($"nn")), 6))
-      .withColumn("rnk", row_number().over(wTop))
-      .filter($"rnk" <= 5)
-      .select($"qid", $"rnk".cast("long").as("rnk"), $"vid", $"sim")
-      .orderBy($"qid", $"rnk")
+      .distinct()
+    rerankTopK(cand, emb, isQuery($"vec_id"), k)
+  }
+
+  def q40LshAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+      .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
+    val sigs = buildLshSignatures(emb, bands = 2, bits = 6, dim = 64)
+    probeLsh(sigs, emb, _ < 10, k = 5)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -48,4 +48,25 @@ class SimilaritySpec extends AnyFunSuite {
       .agg(max($"count")).collect().head.getLong(0)
     assert(perVec <= 2)
   }
+
+  test("persisted LSH signatures probe identically to the inline q40 pipeline") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"vec_id", $"embedding",
+        graft.functions.DotProduct.ddot($"embedding", $"embedding").as("nn"))
+
+    val sigPath = java.nio.file.Files.createTempDirectory("lsh").toString + "/sigs"
+    Similarity.buildLshSignatures(emb, bands = 2, bits = 6, dim = 64)
+      .write.parquet(sigPath)
+    val reloaded = spark.read.parquet(sigPath)
+    assert(reloaded.columns.toSeq == Seq("vec_id", "band", "bucket"))
+
+    val probed = Similarity.probeLsh(reloaded, emb, _ < 10, k = 5)
+      .collect().map(_.toSeq).toSeq
+    val direct = Similarity.q40LshAnn(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(probed == direct)
+    assert(probed.nonEmpty)
+  }
 }
