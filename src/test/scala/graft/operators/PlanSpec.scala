@@ -93,6 +93,13 @@ class PlanSpec extends AnyFunSuite {
     val n28 = shingleStages(Dedup.q28MinhashPairs(spark, dir))
     assert(n26 == 1, s"q26 instantiates the shingle pipeline $n26×")
     assert(n28 == 1, s"q28 instantiates the shingle pipeline $n28×")
+    // q40's signature build (the embedding posexplode) must likewise
+    // appear once: candidates expand from posting lists, not a sig
+    // self-join
+    val p40 = Similarity.q40LshAnn(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    val n40 = p40.linesIterator.count(_.contains("Generate posexplode"))
+    assert(n40 == 1, s"q40 instantiates the signature pipeline $n40×")
   }
 
   test("q43: image encode/decode fans out — no single-partition mapPartitions") {
