@@ -202,12 +202,45 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** SimHash near-dup pairs: Hamming distance ≤ 3 on the 16-bit sketches.
+    * Candidate generation blocks on the four 4-bit nibbles of the sketch —
+    * by pigeonhole, ≤3 differing bits leave at least one nibble intact, so
+    * band blocking has FULL recall at this radius. Pairs expand in-row
+    * from sorted per-(band, nibble) posting lists carrying both sketches
+    * (one sketch pass, no self-join — the q26/q28 shape), then the exact
+    * `bit_count(xor)` verify.
+    *
+    * The 16-bit sketch (from q29, kept oracle-checkable) is deliberately
+    * coarse, so pair density is high at this corpus size; a production
+    * 64-bit sketch with 8-bit bands shrinks the candidate set by orders
+    * of magnitude with the identical plan shape.
+    */
+  def q44SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sk = q29Simhash(spark, dir)
+    val nibbles = (0 until 4).map { b =>
+      struct(lit(b).as("band"), shiftright($"simhash", 4 * b).bitwiseAND(15).as("key"))
+    }
+    sk.select($"doc_id", $"simhash", explode(array(nibbles: _*)).as("bk"))
+      .groupBy($"bk.band", $"bk.key")
+      .agg(sort_array(collect_list(struct($"doc_id", $"simhash"))).as("ds"))
+      .filter(size($"ds") >= 2)
+      .select($"ds", posexplode($"ds").as(Seq("i", "a")))
+      .select($"a", explode(slice($"ds", $"i" + lit(2), size($"ds"))).as("b"))
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
+      .filter($"hamming" <= 3)
+      .distinct()
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_exact_dedup" -> (q25ExactDedup _),
     "q26_shingle_jaccard" -> (q26ShingleJaccard _),
     "q27_minhash_sig" -> (q27MinhashSig _),
     "q28_minhash_pairs" -> (q28MinhashPairs _),
-    "q29_simhash" -> (q29Simhash _)
+    "q29_simhash" -> (q29Simhash _),
+    "q44_simhash_pairs" -> (q44SimhashPairs _)
   )
 
   /** Shared SQL fragment: distinct word 3-gram shingles per doc. */
@@ -275,13 +308,29 @@ object Dedup {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "q29_simhash" ->
-      ("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-         |h AS (SELECT doc_id, CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS g FROM tok),
-         |s AS (SELECT doc_id, """ +
-        (0 until 16).map(j => s"sum(((g >> $j) & 1) * 2 - 1) AS s$j").mkString(", ") +
-        " FROM h GROUP BY doc_id)\nSELECT doc_id, CAST(" +
-        (0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") +
-        " AS BIGINT) AS simhash FROM s ORDER BY doc_id").stripMargin
+    "q29_simhash" -> (simhashSql + " ORDER BY doc_id"),
+    "q44_simhash_pairs" ->
+      s"""WITH sk AS ($simhashSql),
+         |bands AS (
+         |  SELECT doc_id, simhash, CAST(b AS INT) AS band,
+         |    (simhash >> (4 * CAST(b AS INT))) & 15 AS key
+         |  FROM sk, range(4) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
+
+  /** The q29 sketch as a reusable subquery (no ORDER BY). */
+  private lazy val simhashSql: String =
+    ("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |h AS (SELECT doc_id, CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS g FROM tok),
+       |s AS (SELECT doc_id, """ +
+      (0 until 16).map(j => s"sum(((g >> $j) & 1) * 2 - 1) AS s$j").mkString(", ") +
+      " FROM h GROUP BY doc_id)\nSELECT doc_id, CAST(" +
+      (0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") +
+      " AS BIGINT) AS simhash FROM s").stripMargin
 }
