@@ -182,16 +182,16 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** 16-bit SimHash over tokens: bit j of the sketch is the sign of the
-    * sum over tokens of ±1 according to bit j of the token hash.
+  /** SimHash over tokens at any width: bit j of the sketch is the sign of
+    * the sum over tokens of ±1 according to bit j of the token hash.
     */
-  def q29Simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhashSketch(spark: SparkSession, dir: String, bits: Int): DataFrame = {
     import spark.implicits._
     val g = portableHash($"token")
-    val sums = (0 until 16).map { j =>
+    val sums = (0 until bits).map { j =>
       sum((shiftright(g, j).bitwiseAND(1) * 2 - 1)).as(s"s$j")
     }
-    val sketch = (0 until 16).map { j =>
+    val sketch = (0 until bits).map { j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     Tables.documents(spark, dir)
@@ -199,27 +199,32 @@ object Dedup {
       .groupBy($"doc_id")
       .agg(sums.head, sums.tail: _*)
       .select($"doc_id", sketch.as("simhash"))
-      .orderBy($"doc_id")
   }
 
-  /** SimHash near-dup pairs: Hamming distance ≤ 3 on the 16-bit sketches.
-    * Candidate generation blocks on the four 4-bit nibbles of the sketch —
-    * by pigeonhole, ≤3 differing bits leave at least one nibble intact, so
+  /** 16-bit SimHash (the compact sketch the reference-era q29 contract
+    * pins; [[q44SimhashPairs]] uses a wider one for pairing).
+    */
+  def q29Simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSketch(spark, dir, 16).orderBy(col("doc_id"))
+
+  /** SimHash near-dup pairs: Hamming distance ≤ 3 on 32-bit sketches.
+    * Candidate generation blocks on the four bytes of the sketch — by
+    * pigeonhole, ≤3 differing bits leave at least one byte intact, so
     * band blocking has FULL recall at this radius. Pairs expand in-row
-    * from sorted per-(band, nibble) posting lists carrying both sketches
+    * from sorted per-(band, byte) posting lists carrying both sketches
     * (one sketch pass, no self-join — the q26/q28 shape), then the exact
     * `bit_count(xor)` verify.
     *
-    * The 16-bit sketch (from q29, kept oracle-checkable) is deliberately
-    * coarse, so pair density is high at this corpus size; a production
-    * 64-bit sketch with 8-bit bands shrinks the candidate set by orders
-    * of magnitude with the identical plan shape.
+    * 32 bits rather than q29's 16: a 16-bit sketch at 5k docs floods the
+    * nibble buckets (measured 7s at sf0.1); byte bands over 32 bits cut
+    * candidates by orders of magnitude with the identical plan shape — a
+    * 100 TB deployment widens to 64 bits the same way.
     */
   def q44SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sk = q29Simhash(spark, dir)
+    val sk = simhashSketch(spark, dir, 32)
     val nibbles = (0 until 4).map { b =>
-      struct(lit(b).as("band"), shiftright($"simhash", 4 * b).bitwiseAND(15).as("key"))
+      struct(lit(b).as("band"), shiftright($"simhash", 8 * b).bitwiseAND(255).as("key"))
     }
     sk.select($"doc_id", $"simhash", explode(array(nibbles: _*)).as("bk"))
       .groupBy($"bk.band", $"bk.key")
@@ -308,12 +313,12 @@ object Dedup {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "q29_simhash" -> (simhashSql + " ORDER BY doc_id"),
+    "q29_simhash" -> (simhashSqlFor(16) + " ORDER BY doc_id"),
     "q44_simhash_pairs" ->
-      s"""WITH sk AS ($simhashSql),
+      s"""WITH sk AS (${simhashSqlFor(32)}),
          |bands AS (
          |  SELECT doc_id, simhash, CAST(b AS INT) AS band,
-         |    (simhash >> (4 * CAST(b AS INT))) & 15 AS key
+         |    (simhash >> (8 * CAST(b AS INT))) & 255 AS key
          |  FROM sk, range(4) t(b)),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -324,13 +329,13 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin
   )
 
-  /** The q29 sketch as a reusable subquery (no ORDER BY). */
-  private lazy val simhashSql: String =
+  /** The token simhash sketch as a reusable subquery (no ORDER BY). */
+  private def simhashSqlFor(bits: Int): String =
     ("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
        |h AS (SELECT doc_id, CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS g FROM tok),
        |s AS (SELECT doc_id, """ +
-      (0 until 16).map(j => s"sum(((g >> $j) & 1) * 2 - 1) AS s$j").mkString(", ") +
+      (0 until bits).map(j => s"sum(((g >> $j) & 1) * 2 - 1) AS s$j").mkString(", ") +
       " FROM h GROUP BY doc_id)\nSELECT doc_id, CAST(" +
-      (0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") +
+      (0 until bits).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") +
       " AS BIGINT) AS simhash FROM s").stripMargin
 }
