@@ -279,11 +279,44 @@ object Similarity {
     probeLsh(sigs, emb, _ < 10, k = 5)
   }
 
+  /** Embedding near-dup with LSH blocking — the 100 TB replacement for
+    * q31's label block: candidates are bucket-mates in at least one
+    * signature band (content-derived, no metadata needed), verified by the
+    * same double-prefilter → exact-decimal cosine ≥ 0.3. Pairs expand
+    * in-row from sorted bucket posting lists (one signature pass).
+    * Near-dup here is BY DEFINITION over the candidate set — like minhash
+    * LSH (q28), recall tunes with the band count.
+    */
+  def q45LshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+      .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
+    val sigs = buildLshSignatures(emb, bands = 2, bits = 6, dim = 64)
+    val cand = sigs
+      .groupBy($"band", $"bucket")
+      .agg(sort_array(collect_list($"vec_id")).as("ids"))
+      .filter(size($"ids") >= 2)
+      .select($"ids", posexplode($"ids").as(Seq("i", "vec_a")))
+      .select($"vec_a", explode(slice($"ids", $"i" + lit(2), size($"ids"))).as("vec_b"))
+      .distinct()
+    cand
+      .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"), $"nn".as("na")), Seq("vec_a"))
+      .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"), $"nn".as("nb")), Seq("vec_b"))
+      // cheap double prefilter at 0.29; exact decimal sim only for survivors
+      .filter(fdot($"ea", $"eb") / (sqrt($"na") * sqrt($"nb")) >= 0.29)
+      .select($"vec_a", $"vec_b",
+        round(ddot($"ea", $"eb") / (sqrt($"na") * sqrt($"nb")), 6).as("sim"))
+      .filter($"sim" >= 0.3)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_cosine_topk" -> (q30CosineTopK _),
     "q31_embed_neardup" -> (q31EmbedNearDup _),
     "q32_ivf_ann" -> (q32IvfAnn _),
-    "q40_lsh_ann" -> (q40LshAnn _)
+    "q40_lsh_ann" -> (q40LshAnn _),
+    "q45_lsh_neardup" -> (q45LshNearDup _)
   )
 
   /** Shared SQL: exact decimal dot via index-join on unnested elements. */
@@ -293,6 +326,21 @@ object Similarity {
 
   private val elemsSql =
     """SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings"""
+
+  /** Shared LSH signature CTEs (hyperplanes → banded bucket per vector). */
+  private val lshSigsSql =
+    """hp AS (
+      |  SELECT CAST(kk // 6 AS INT) AS band, CAST(kk % 6 AS INT) AS k, i,
+      |    (CAST('0x'||substring(md5('hp'||CAST(kk AS VARCHAR)||'_'||CAST(i AS VARCHAR)),1,15) AS BIGINT) % 2001 - 1000) AS h
+      |  FROM range(12) t(kk), range(1, 65) s(i)),
+      |sums AS (
+      |  SELECT e.vec_id, hp.band, hp.k,
+      |    SUM(CAST(CAST(hp.h AS DOUBLE) * CAST(e.x AS DOUBLE) AS DECIMAL(28,14))) AS s
+      |  FROM e JOIN hp ON e.i = hp.i GROUP BY 1, 2, 3),
+      |sigs AS (
+      |  SELECT vec_id, band,
+      |    SUM(CASE WHEN s > 0 THEN CAST(power(2, k) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bucket
+      |  FROM sums GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q30_cosine_topk" ->
@@ -350,18 +398,7 @@ object Similarity {
     "q40_lsh_ann" ->
       s"""WITH norms AS ($normsSql),
          |e AS ($elemsSql),
-         |hp AS (
-         |  SELECT CAST(kk // 6 AS INT) AS band, CAST(kk % 6 AS INT) AS k, i,
-         |    (CAST('0x'||substring(md5('hp'||CAST(kk AS VARCHAR)||'_'||CAST(i AS VARCHAR)),1,15) AS BIGINT) % 2001 - 1000) AS h
-         |  FROM range(12) t(kk), range(1, 65) s(i)),
-         |sums AS (
-         |  SELECT e.vec_id, hp.band, hp.k,
-         |    SUM(CAST(CAST(hp.h AS DOUBLE) * CAST(e.x AS DOUBLE) AS DECIMAL(28,14))) AS s
-         |  FROM e JOIN hp ON e.i = hp.i GROUP BY 1, 2, 3),
-         |sigs AS (
-         |  SELECT vec_id, band,
-         |    SUM(CASE WHEN s > 0 THEN CAST(power(2, k) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bucket
-         |  FROM sums GROUP BY 1, 2),
+         |$lshSigsSql,
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vid
          |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
@@ -375,6 +412,23 @@ object Similarity {
          |  SELECT qid, vid, round(dot / (sqrt(nq.nn) * sqrt(nv.nn)), 6) AS sim,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(dot / (sqrt(nq.nn) * sqrt(nv.nn)), 6) DESC, vid ASC) AS rnk
          |  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nv ON vid = nv.vec_id)
-         |SELECT qid, rnk, vid, sim FROM sims WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+         |SELECT qid, rnk, vid, sim FROM sims WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "q45_lsh_neardup" ->
+      s"""WITH norms AS ($normsSql),
+         |e AS ($elemsSql),
+         |$lshSigsSql,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM sigs a JOIN sigs b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |dots AS (
+         |  SELECT c.vec_a, c.vec_b,
+         |    CAST(SUM(CAST(CAST(p.x AS DOUBLE) * CAST(q.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
+         |  FROM cand c JOIN e p ON p.vec_id = c.vec_a JOIN e q ON q.vec_id = c.vec_b AND p.i = q.i
+         |  GROUP BY 1, 2)
+         |SELECT vec_a, vec_b, round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS sim
+         |FROM dots JOIN norms na ON vec_a = na.vec_id JOIN norms nb ON vec_b = nb.vec_id
+         |WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin
   )
 }
