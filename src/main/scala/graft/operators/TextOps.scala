@@ -107,17 +107,47 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** BPE-style pretokenizer regex (the GPT-2 pattern family minus its
+    * `(?!\S)` lookahead, which RE2 — the oracle's engine — rejects):
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * symbol runs, whitespace runs. Both engines use leftmost-first
+    * alternation, so counts are identical (the oracle hash proves it).
+    */
+  val bpePattern: String =
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** Token counting, both ways a training pipeline needs: whitespace
+    * tokens and BPE-style pretokens (the unit LLM token budgets are
+    * estimated from before a real tokenizer runs).
+    */
+  def q46BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        size(split($"text", " ")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all($"text", lit(bpePattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats" -> (q21TextStats _),
     "q22_quality" -> (q22Quality _),
     "q23_langid" -> (q23LangId _),
-    "q24_fingerprint" -> (q24Fingerprint _)
+    "q24_fingerprint" -> (q24Fingerprint _),
+    "q46_bpe_tokens" -> (q46BpeTokens _)
   )
 
   private def stopList(lang: String): String =
     langStopwords.toMap.apply(lang).map(s => s"'$s'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q46_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${bpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q21_text_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
