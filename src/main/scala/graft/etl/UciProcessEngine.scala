@@ -23,7 +23,8 @@ final class UciProcessEngine(location: String, timeoutMs: Long = 60000L)
     val in = new BufferedReader(new InputStreamReader(proc.getInputStream))
     try {
       out.println("uci")
-      UciProcessEngine.score(out, in, fen, depth, timeoutMs, location)
+      UciProcessEngine.score(out, in, fen, depth, timeoutMs, location,
+        () => proc.isAlive)
     } finally {
       proc.destroy()
     }
@@ -34,6 +35,12 @@ object UciProcessEngine {
 
   /** Shared go/read loop: sends the position, collects the last
     * score-carrying info line until `bestmove`.
+    *
+    * Reads are BOUNDED: `readLine` only runs once `in.ready()` reports
+    * buffered input, so an engine that wedges without emitting anything
+    * trips the deadline instead of blocking the thread (and, in
+    * [[PooledUciEngine]], its lock) forever. A dead-and-drained process
+    * surfaces as the EOF error, not a timeout.
     */
   private[etl] def score(
       out: PrintWriter,
@@ -41,13 +48,26 @@ object UciProcessEngine {
       fen: String,
       depth: Int,
       timeoutMs: Long,
-      location: String): String = {
+      location: String,
+      alive: () => Boolean = () => true): String = {
     out.println(s"position fen $fen")
     out.println(s"go depth $depth")
     val deadline = System.currentTimeMillis() + timeoutMs
+    def nextLine(): String = {
+      while (!in.ready()) {
+        if (System.currentTimeMillis() > deadline)
+          throw new RuntimeException(
+            s"UCI engine timed out after ${timeoutMs}ms: $location")
+        // exited with nothing buffered: drain EOF now (readLine → null)
+        // rather than spinning out the whole deadline
+        if (!alive()) return in.readLine()
+        Thread.sleep(2)
+      }
+      in.readLine()
+    }
     var lastInfo: String = ""
     var line: String = null
-    while ({ line = in.readLine(); line != null } &&
+    while ({ line = nextLine(); line != null } &&
         !line.startsWith("bestmove")) {
       if (line.contains(" score ") || line.startsWith("info")) lastInfo = line
       if (System.currentTimeMillis() > deadline)
@@ -87,7 +107,8 @@ final class PooledUciEngine(location: String, timeoutMs: Long = 60000L)
 
   def eval(fen: String, depth: Int): String = synchronized {
     ensureProcess()
-    try UciProcessEngine.score(out, in, fen, depth, timeoutMs, location)
+    try UciProcessEngine.score(out, in, fen, depth, timeoutMs, location,
+      () => proc.isAlive)
     catch {
       case e: Throwable =>
         close() // a wedged engine must not poison subsequent evals

@@ -41,6 +41,30 @@ object Similarity {
   private def fdot(a: Column, b: Column): Column =
     graft.functions.DotProduct.fdot(a, b)
 
+  /** Double-prefilter cut that cannot drop a 6dp tie: keeps the top-`n`
+    * rows per group by the double score PLUS every row within 1.5e-6 of
+    * the rank-`n` score. |fdot − ddot| ≲ 1e-14 relative while the 6dp
+    * rounding buckets are 1e-6 wide, so a candidate whose ROUNDED exact
+    * sim could equal the final boundary row's sits within 1.5e-6 of the
+    * cut in double — retaining that margin means the oracle's global
+    * vid tie-break can never choose a row the prefilter dropped, even on
+    * pathological data where >n candidates round to the same sim (the
+    * latent divergence flagged in round-2 ADVICE). The margin rows cost
+    * one more unordered window over the SAME partitioning — no extra
+    * shuffle, a handful of extra exact-decimal reranks.
+    */
+  private def topNKeepingTies(
+      df: DataFrame, group: Column, score: Column, n: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(score.desc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(group)
+    df.withColumn("_rnk", row_number().over(wOrd))
+      .withColumn("_cut", max(when($"_rnk" === n, score)).over(wAll))
+      .filter($"_rnk" <= n || score >= $"_cut" - lit(1.5e-6))
+      .drop("_rnk", "_cut")
+  }
+
   /** Brute-force cosine top-5 for the 10 query vectors (vec_id < 10):
     * the exactness baseline every ANN variant is graded against.
     *
@@ -59,16 +83,14 @@ object Similarity {
       .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nn".as("qn"))
     // score every pair with the cheap double dot; drop the arrays in the
     // same projection so the ranking window shuffles narrow rows
-    val wTopF = org.apache.spark.sql.expressions.Window
-      .partitionBy($"qid").orderBy($"fsim".desc, $"vid".asc)
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy($"qid").orderBy($"sim".desc, $"vid".asc)
-    val top15 = emb.crossJoin(broadcast(queries))
-      .filter($"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id".as("vid"),
-        (fdot($"qe", $"embedding") / (sqrt($"qn") * sqrt($"nn"))).as("fsim"))
-      .withColumn("frnk", row_number().over(wTopF))
-      .filter($"frnk" <= 15) // margin over the needed top-5
+    val top15 = topNKeepingTies(
+      emb.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("vid"),
+          (fdot($"qe", $"embedding") / (sqrt($"qn") * sqrt($"nn"))).as("fsim")),
+      $"qid", $"fsim", 15) // margin over the needed top-5, ties retained
       .select($"qid", $"vid")
     top15 // exact decimal rerank re-attaches arrays for 15 rows/query
       .join(broadcast(queries), Seq("qid"))
@@ -126,15 +148,13 @@ object Similarity {
     */
   def buildIvfIndex(emb: DataFrame, centroids: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
-    val wAssignF = org.apache.spark.sql.expressions.Window
-      .partitionBy($"vec_id").orderBy($"fcsim".desc, $"cid".asc)
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy($"vec_id").orderBy($"csim".desc, $"cid".asc)
-    val top4 = emb.crossJoin(broadcast(centroids))
-      .select($"vec_id", $"cid",
-        (fdot($"embedding", $"ce") / (sqrt($"nn") * sqrt($"cn"))).as("fcsim"))
-      .withColumn("frnk", row_number().over(wAssignF))
-      .filter($"frnk" <= 4)
+    val top4 = topNKeepingTies(
+      emb.crossJoin(broadcast(centroids))
+        .select($"vec_id", $"cid",
+          (fdot($"embedding", $"ce") / (sqrt($"nn") * sqrt($"cn"))).as("fcsim")),
+      $"vec_id", $"fcsim", 4)
       .select($"vec_id", $"cid")
     top4 // exact rerank re-attaches arrays for 4 rows/vector
       .join(emb, Seq("vec_id"))
@@ -188,17 +208,15 @@ object Similarity {
     val qemb = emb.filter(queryPred)
       .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nn".as("qn"))
     val corpus = emb.select($"vec_id".as("vid"), $"embedding", $"nn")
-    val wTopF = org.apache.spark.sql.expressions.Window
-      .partitionBy($"qid").orderBy($"fsim".desc, $"vid".asc)
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy($"qid").orderBy($"sim".desc, $"vid".asc)
-    val topPre = cand
-      .join(broadcast(qemb), Seq("qid"))
-      .join(corpus, Seq("vid"))
-      .select($"qid", $"vid",
-        (fdot($"qe", $"embedding") / (sqrt($"qn") * sqrt($"nn"))).as("fsim"))
-      .withColumn("frnk", row_number().over(wTopF))
-      .filter($"frnk" <= 3 * k) // margin over the needed top-k
+    val topPre = topNKeepingTies(
+      cand
+        .join(broadcast(qemb), Seq("qid"))
+        .join(corpus, Seq("vid"))
+        .select($"qid", $"vid",
+          (fdot($"qe", $"embedding") / (sqrt($"qn") * sqrt($"nn"))).as("fsim")),
+      $"qid", $"fsim", 3 * k) // margin over the needed top-k, ties retained
       .select($"qid", $"vid")
     topPre
       .join(broadcast(qemb), Seq("qid"))

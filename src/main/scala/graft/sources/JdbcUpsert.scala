@@ -61,40 +61,51 @@ object JdbcUpsert {
       if (stringCols.nonEmpty)
         writer.option("createTableColumnTypes", stringCols.mkString(", "))
       else writer
-    withTypes.jdbc(url, staging, props)
-
-    val conn = DriverManager.getConnection(url, props)
+    // ONE try/finally spans the staging write AND the delete/insert
+    // transaction: a failure in the Spark write itself (mid-write executor
+    // death, constraint violation) must not leak the uniquely-named staging
+    // table — unlike the old fixed name, leaked unique tables would
+    // accumulate across runs.
     try {
-      conn.setAutoCommit(false)
-      // identifiers quoted with each table's catalog-exact case (Spark
-      // writes the staging table with quoted lower-case names; a hand-made
-      // target table may be upper-cased by the database)
-      val targetCols = tableColumns(conn, table)
-      val stagingCols = tableColumns(conn, staging)
-      def q(c: String) = "\"" + c + "\""
-      val shared = targetCols.flatMap { tc =>
-        stagingCols.find(_.equalsIgnoreCase(tc)).map(sc => (tc, sc))
-      }.filter { case (tc, _) => df.columns.exists(_.equalsIgnoreCase(tc)) }
-      val keyMatch = idCols.map { k =>
-        val (tc, sc) = shared.find(_._1.equalsIgnoreCase(k)).getOrElse(
-          throw new IllegalArgumentException(s"id column $k missing from $table/$staging"))
-        s"$table.${q(tc)} = $staging.${q(sc)}"
-      }.mkString(" AND ")
-      val st = conn.createStatement()
-      st.executeUpdate(
-        s"DELETE FROM $table WHERE EXISTS (SELECT 1 FROM $staging WHERE $keyMatch)")
-      st.executeUpdate(
-        s"INSERT INTO $table (${shared.map(c => q(c._1)).mkString(", ")}) " +
-          s"SELECT ${shared.map(c => q(c._2)).mkString(", ")} FROM $staging")
-      conn.commit()
-    } catch {
-      case e: Throwable => conn.rollback(); throw e
-    } finally {
+      withTypes.jdbc(url, staging, props)
+
+      val conn = DriverManager.getConnection(url, props)
       try {
-        conn.setAutoCommit(true)
-        conn.createStatement().executeUpdate(s"DROP TABLE $staging")
-      } catch { case _: Throwable => () } // best-effort cleanup
-      conn.close()
+        conn.setAutoCommit(false)
+        // identifiers quoted with each table's catalog-exact case (Spark
+        // writes the staging table with quoted lower-case names; a hand-made
+        // target table may be upper-cased by the database)
+        val targetCols = tableColumns(conn, table)
+        val stagingCols = tableColumns(conn, staging)
+        def q(c: String) = "\"" + c + "\""
+        val shared = targetCols.flatMap { tc =>
+          stagingCols.find(_.equalsIgnoreCase(tc)).map(sc => (tc, sc))
+        }.filter { case (tc, _) => df.columns.exists(_.equalsIgnoreCase(tc)) }
+        val keyMatch = idCols.map { k =>
+          val (tc, sc) = shared.find(_._1.equalsIgnoreCase(k)).getOrElse(
+            throw new IllegalArgumentException(s"id column $k missing from $table/$staging"))
+          s"$table.${q(tc)} = $staging.${q(sc)}"
+        }.mkString(" AND ")
+        val st = conn.createStatement()
+        st.executeUpdate(
+          s"DELETE FROM $table WHERE EXISTS (SELECT 1 FROM $staging WHERE $keyMatch)")
+        st.executeUpdate(
+          s"INSERT INTO $table (${shared.map(c => q(c._1)).mkString(", ")}) " +
+            s"SELECT ${shared.map(c => q(c._2)).mkString(", ")} FROM $staging")
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally {
+        conn.close()
+      }
+    } finally {
+      // best-effort drop on a fresh connection so it runs no matter where
+      // the write or the transaction failed
+      try {
+        val c = DriverManager.getConnection(url, props)
+        try c.createStatement().executeUpdate(s"DROP TABLE $staging")
+        finally c.close()
+      } catch { case _: Throwable => () }
     }
   }
 

@@ -62,13 +62,19 @@ object NewsletterCli {
 
   private def weekData(a: Args): String = s"${a.ioDir}/week-data-${a.player}.parquet"
 
+  /** SQL string literal for the pushed-down predicate: single quotes
+    * doubled so a player value can never break out of the literal (the
+    * value arrives from the CLI).
+    */
+  private[tools] def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** STEPS parity (`newsletter_entrypoint.py:98-103`). */
   val steps: Map[String, (SparkSession, Args) => Unit] = Map(
     // N1 weekly extract (`transforms.py:443-457`): last 7 days of
     // chess_games for the player, predicate pushed into the database
     "get_data" -> ((s, a) => {
       val cutoff = a.since.getOrElse(LocalDate.now().minusDays(7))
-      val pred = s"player = '${a.player}' AND " +
+      val pred = s"player = ${sqlLit(a.player)} AND " +
         s"datetime_played >= {ts '$cutoff 00:00:00'}" // JDBC escape: portable
       JdbcUpsert.readWhere(s, a.jdbcUrl.getOrElse(sys.error("get_data requires --jdbc_url")),
         "chess_games", pred)

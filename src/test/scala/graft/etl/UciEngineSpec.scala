@@ -50,6 +50,42 @@ class UciEngineSpec extends AnyFunSuite {
     assert(spawns(dir) == 2)
   }
 
+  /** An engine that answers `uci` then wedges silently on `go` — it never
+    * emits another byte, so only a bounded-wait read loop can time out.
+    */
+  private def silentEngine(dir: String, onGo: String): String = {
+    val path = Paths.get(s"$dir/wedgefish")
+    Files.write(path,
+      s"""#!/bin/sh
+         |while read line; do
+         |  case "$$line" in
+         |    uci) echo "uciok";;
+         |    go*) $onGo;;
+         |  esac
+         |done
+         |""".stripMargin.getBytes("UTF-8"))
+    path.toFile.setExecutable(true)
+    path.toString
+  }
+
+  test("a silent engine trips the timeout instead of blocking forever") {
+    val dir = Files.createTempDirectory("uci").toString
+    val engine = new UciProcessEngine(silentEngine(dir, "sleep 60"), timeoutMs = 400)
+    val t0 = System.currentTimeMillis()
+    val e = intercept[RuntimeException](engine.eval(whiteFen, 20))
+    assert(e.getMessage.contains("timed out"))
+    assert(System.currentTimeMillis() - t0 < 5000) // not the 60s sleep
+  }
+
+  test("an engine that dies before bestmove errors promptly, not at the deadline") {
+    val dir = Files.createTempDirectory("uci").toString
+    val engine = new UciProcessEngine(silentEngine(dir, "exit 1"), timeoutMs = 60000)
+    val t0 = System.currentTimeMillis()
+    val e = intercept[RuntimeException](engine.eval(whiteFen, 20))
+    assert(e.getMessage.contains("exited before bestmove"))
+    assert(System.currentTimeMillis() - t0 < 5000) // EOF, not the 60s timeout
+  }
+
   test("pooled engine reuses one process across evals and respawns after a kill") {
     val dir = Files.createTempDirectory("uci").toString
     val engine = new PooledUciEngine(scriptedEngine(dir))
