@@ -259,6 +259,28 @@ object Dedup {
 
   private val gSql = "CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % 2147483647"
 
+  /** The full shingle→signature→band CTE chain, shared by the q28 oracle
+    * and downstream oracles building on the LSH pair graph (q48).
+    */
+  private[operators] val minhashBandsCtes: String =
+    s"""docs AS ($shinglesSql),
+       |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM docs WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id,
+       |  min((($gSql) * 131 + 7) % 2147483647) AS h0,
+       |  min((($gSql) * 137 + 91) % 2147483647) AS h1,
+       |  min((($gSql) * 139 + 173) % 2147483647) AS h2,
+       |  min((($gSql) * 149 + 255) % 2147483647) AS h3,
+       |  min((($gSql) * 151 + 337) % 2147483647) AS h4,
+       |  min((($gSql) * 157 + 419) % 2147483647) AS h5,
+       |  min((($gSql) * 163 + 501) % 2147483647) AS h6,
+       |  min((($gSql) * 167 + 583) % 2147483647) AS h7
+       |FROM inv GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, h0 AS r0, h1 AS r1 FROM sig UNION ALL
+       |  SELECT doc_id, 1, h2, h3 FROM sig UNION ALL
+       |  SELECT doc_id, 2, h4, h5 FROM sig UNION ALL
+       |  SELECT doc_id, 3, h6, h7 FROM sig)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q25_exact_dedup" ->
       """SELECT min(doc_id) AS survivor_doc_id, count(*) AS cluster_size
@@ -292,23 +314,7 @@ object Dedup {
          |  min((($gSql) * 167 + 583) % 2147483647) AS h7
          |FROM inv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q28_minhash_pairs" ->
-      s"""WITH docs AS ($shinglesSql),
-         |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM docs WHERE len(sh) > 0),
-         |sig AS (SELECT doc_id,
-         |  min((($gSql) * 131 + 7) % 2147483647) AS h0,
-         |  min((($gSql) * 137 + 91) % 2147483647) AS h1,
-         |  min((($gSql) * 139 + 173) % 2147483647) AS h2,
-         |  min((($gSql) * 149 + 255) % 2147483647) AS h3,
-         |  min((($gSql) * 151 + 337) % 2147483647) AS h4,
-         |  min((($gSql) * 157 + 419) % 2147483647) AS h5,
-         |  min((($gSql) * 163 + 501) % 2147483647) AS h6,
-         |  min((($gSql) * 167 + 583) % 2147483647) AS h7
-         |FROM inv GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, h0 AS r0, h1 AS r1 FROM sig UNION ALL
-         |  SELECT doc_id, 1, h2, h3 FROM sig UNION ALL
-         |  SELECT doc_id, 2, h4, h5 FROM sig UNION ALL
-         |  SELECT doc_id, 3, h6, h7 FROM sig)
+      s"""WITH $minhashBandsCtes
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.doc_id < b.doc_id
