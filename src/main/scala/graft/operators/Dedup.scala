@@ -70,6 +70,95 @@ object Dedup {
       .drop("pos", "word", "w1", "w2", "text")
   }
 
+  /** Per-row bound (elements) on posting-list arrays in the pair-expansion
+    * operators below. Buckets larger than this are transparently chunked by
+    * [[boundedPairs]] — output is identical, only the row shape changes —
+    * so a pathologically hot shingle / LSH bucket can no longer materialize
+    * one giant array row in an aggregation buffer (the round-3 scale risk
+    * documented in SCALE.md, now implemented).
+    */
+  val hotBucketCap = 256
+
+  /** All unordered value pairs within each key group, with every
+    * materialized array bounded by `cap` elements (cross-chunk rows carry
+    * two arrays ≤ cap).
+    *
+    * Shape: values are chunked by a per-group `row_number` (sort-based, so
+    * a hot group spills instead of buffering), each chunk's sorted list is
+    * collected ONCE, and every chunk row then fans out in-row to the pair
+    * groups it participates in: the (c, c) "self" group expands the
+    * triangular within-chunk pairs, and each (i, j) i<j cross group gets
+    * exactly two rows — chunk i as the left list, chunk j as the right —
+    * whose in-row cross product is the cross-chunk pairs. Every pair is
+    * emitted exactly once, and because chunks are value-ordered, `a < b`
+    * holds without a filter. The whole expansion reads the upstream
+    * pipeline ONCE (no self-join — the q26/q28 round-2 lesson); total work
+    * stays Σ|bucket|² like the self-join shape, but spread across
+    * O(|bucket|²/cap²) bounded rows, with the role fan-out duplicating each
+    * chunk row only |bucket|/cap times.
+    *
+    * `rows` must carry `keys` plus a `valueCol` whose values are DISTINCT
+    * within each key group (every caller's posting lists are per-doc
+    * distinct); with cnt ≤ cap per group, the plan degenerates to exactly
+    * the single-collect round-3 shape plus the counting window.
+    *
+    * Output: `keys` + (`a`, `b`) value pairs.
+    */
+  def boundedPairs(
+      rows: DataFrame, keys: Seq[String], valueCol: String,
+      cap: Int = hotBucketCap): DataFrame = {
+    import rows.sparkSession.implicits._
+    val kcols = keys.map(col)
+    val lists = chunkedPostingLists(rows, keys, valueCol, cap)
+    val emptyRoles = array().cast("array<struct<lo:int,hi:int,isL:boolean>>")
+    val selfRole =
+      array(struct($"_chunk".as("lo"), $"_chunk".as("hi"), lit(true).as("isL")))
+    val leftRoles = when($"_chunk" < $"_nch" - 1,
+      transform(sequence(($"_chunk" + 1).cast("int"), ($"_nch" - 1).cast("int")),
+        j => struct($"_chunk".as("lo"), j.cast("int").as("hi"), lit(true).as("isL"))))
+      .otherwise(emptyRoles)
+    val rightRoles = when($"_chunk" > 0,
+      transform(sequence(lit(0), ($"_chunk" - 1).cast("int")),
+        i => struct(i.cast("int").as("lo"), $"_chunk".as("hi"), lit(false).as("isL"))))
+      .otherwise(emptyRoles)
+    val roles = lists.select(
+      (kcols :+ $"_vs" :+ explode(concat(selfRole, leftRoles, rightRoles)).as("_r")): _*)
+    val grouped = roles
+      .groupBy((kcols :+ $"_r.lo".as("_lo") :+ $"_r.hi".as("_hi")): _*)
+      .agg(max(when($"_r.isL", $"_vs")).as("_lvs"),
+        max(when(!$"_r.isL", $"_vs")).as("_rvs"))
+    grouped
+      .select((kcols :+ $"_lo" :+ $"_hi" :+ $"_lvs" :+ $"_rvs" :+
+        posexplode($"_lvs").as(Seq("_i", "a"))): _*)
+      .select((kcols :+ $"a" :+ explode(
+        when($"_lo" === $"_hi", slice($"_lvs", $"_i" + lit(2), size($"_lvs")))
+          .otherwise($"_rvs")).as("b")): _*)
+  }
+
+  /** The chunk stage of [[boundedPairs]], exposed for the bound assertion
+    * in its spec: per (keys, `_chunk`) one sorted value list `_vs` of AT
+    * MOST `cap` elements (row_number chunking is sort-based, so a hot
+    * group spills to disk instead of buffering one giant aggregation row),
+    * plus `_nch` = the group's total chunk count. Groups with fewer than 2
+    * values are dropped (no pairs to emit).
+    */
+  private[operators] def chunkedPostingLists(
+      rows: DataFrame, keys: Seq[String], valueCol: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import rows.sparkSession.implicits._
+    val kcols = keys.map(col)
+    val wAll = Window.partitionBy(kcols: _*)
+    val wOrd = Window.partitionBy(kcols: _*).orderBy(col(valueCol))
+    rows
+      .withColumn("_cnt", count(lit(1)).over(wAll))
+      .filter($"_cnt" >= 2)
+      .withColumn("_chunk", ((row_number().over(wOrd) - 1) / cap).cast("int"))
+      .withColumn("_nch", ceil($"_cnt" / lit(cap.toDouble)).cast("int"))
+      .groupBy((kcols :+ $"_chunk"): _*)
+      .agg(sort_array(collect_list(col(valueCol))).as("_vs"),
+        first($"_nch").as("_nch"))
+  }
+
   /** Exact dedup via content fingerprint: survivor = min doc_id per
     * fingerprint, plus the cluster size (hash-groupBy dedup — the shuffle
     * carries one row per distinct fingerprint after map-side combine).
@@ -89,7 +178,22 @@ object Dedup {
     * The block keys bound the candidate set; the shingle join shuffles on
     * the shingle string (high cardinality).
     */
-  def q26ShingleJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def q26ShingleJaccard(spark: SparkSession, dir: String): DataFrame =
+    shingleJaccardPairs(spark, dir, minJaccard = 0.5, maxDf = None)
+
+  /** q26's engine with the scale knobs explicit.
+    *
+    * @param maxDf optional stop-shingle cap: shingles appearing in more
+    *   than this many documents of a (lang, source) block are dropped from
+    *   BOTH the inverted index and each document's shingle count before
+    *   pairing — the standard stop-word move for a 100 TB corpus where one
+    *   boilerplate 3-gram ("all rights reserved") would otherwise pair
+    *   every page with every other. Changes semantics (Jaccard is then over
+    *   the sub-cap shingle sets), so the oracled q26 leaves it None.
+    */
+  def shingleJaccardPairs(
+      spark: SparkSession, dir: String, minJaccard: Double,
+      maxDf: Option[Int]): DataFrame = {
     import spark.implicits._
     // join on the 60-bit portable hash, not the shingle string: the shuffle
     // sorts fixed-width longs instead of ~30-char strings, and the oracle
@@ -102,27 +206,28 @@ object Dedup {
     val hashed = rows
       .select($"doc_id", $"lang", $"source", portableHash($"shingle").as("sh_h"))
       .distinct()
-    val inv = hashed.withColumn("n_sh",
+    val capped = maxDf match {
+      case Some(cap) => hashed.withColumn("_df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"lang", $"source", $"sh_h")))
+        .filter($"_df" <= cap).drop("_df")
+      case None => hashed
+    }
+    val inv = capped.withColumn("n_sh",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
     // one pass: bucket the inverted index by (block, shingle hash) and
-    // expand co-occurrence pairs IN-ROW from the sorted posting list — the
-    // round-1 self-join evaluated the whole shingle pipeline once per join
-    // side. Posting lists here are "docs sharing one exact 3-gram within a
-    // (lang, source) block", small by construction; a 100 TB corpus with
-    // hot shingles would cap/salt the posting list first (SCALE.md).
-    val pairs = inv
-      .groupBy($"lang", $"source", $"sh_h")
-      .agg(sort_array(collect_list(struct($"doc_id", $"n_sh"))).as("ds"))
-      .filter(size($"ds") >= 2)
-      .select($"ds", posexplode($"ds").as(Seq("i", "a")))
-      .select($"a", explode(slice($"ds", $"i" + lit(2), size($"ds"))).as("b"))
-    pairs
+    // expand co-occurrence pairs in-row from sorted posting lists, chunked
+    // to hotBucketCap elements per row — the round-1 self-join evaluated
+    // the whole shingle pipeline once per join side, and the round-3
+    // unchunked collect_list made a hot shingle one giant array row.
+    boundedPairs(
+      inv.select($"lang", $"source", $"sh_h", struct($"doc_id", $"n_sh").as("v")),
+      Seq("lang", "source", "sh_h"), "v")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         $"a.n_sh".as("n_a"), $"b.n_sh".as("n_b"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         round($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter"), 6))
-      .filter($"jaccard" >= 0.5)
+      .filter($"jaccard" >= minJaccard)
       .select($"doc_a", $"doc_b", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
@@ -169,36 +274,30 @@ object Dedup {
     // bucket docs by full band value and expand pairs WITHIN each bucket:
     // the signature pipeline (the expensive md5 shingle pass) runs ONCE —
     // the round-1 band self-join evaluated it twice, once per join side.
-    // LSH buckets are small by construction, so the in-row pair expansion
-    // is O(bucket²) on tiny arrays, and the sorted list guarantees
-    // doc_a < doc_b without a filter.
-    bands
-      .groupBy($"band", $"r0", $"r1")
-      .agg(sort_array(collect_list($"doc_id")).as("ids"))
-      .filter(size($"ids") >= 2)
-      .select($"ids", posexplode($"ids").as(Seq("i", "doc_a")))
-      .select($"doc_a", explode(slice($"ids", $"i" + lit(2), size($"ids"))).as("doc_b"))
+    // LSH buckets are small by construction (and a pathologically hot one
+    // is chunked to bounded rows by boundedPairs); the value-ordered
+    // chunks guarantee doc_a < doc_b without a filter.
+    boundedPairs(bands.select($"band", $"r0", $"r1", $"doc_id"),
+      Seq("band", "r0", "r1"), "doc_id")
+      .select($"a".as("doc_a"), $"b".as("doc_b"))
       .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
 
   /** SimHash over tokens at any width: bit j of the sketch is the sign of
     * the sum over tokens of ±1 according to bit j of the token hash.
+    *
+    * One in-row pass via the native [[graft.functions.SimHash]] expression —
+    * |docs| rows in, |docs| rows out, zero shuffles (the round-3 shape
+    * exploded every token through a wide groupBy; integer counters make the
+    * two formulations exactly equal, so the oracle SQL is untouched).
     */
   def simhashSketch(spark: SparkSession, dir: String, bits: Int): DataFrame = {
     import spark.implicits._
-    val g = portableHash($"token")
-    val sums = (0 until bits).map { j =>
-      sum((shiftright(g, j).bitwiseAND(1) * 2 - 1)).as(s"s$j")
-    }
-    val sketch = (0 until bits).map { j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
     Tables.documents(spark, dir)
-      .select($"doc_id", explode(split($"text", " ")).as("token"))
-      .groupBy($"doc_id")
-      .agg(sums.head, sums.tail: _*)
-      .select($"doc_id", sketch.as("simhash"))
+      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+      .select($"doc_id",
+        graft.functions.SimHash.simhash(split($"text", " "), bits).as("simhash"))
   }
 
   /** 16-bit SimHash (the compact sketch the reference-era q29 contract
@@ -226,12 +325,11 @@ object Dedup {
     val nibbles = (0 until 4).map { b =>
       struct(lit(b).as("band"), shiftright($"simhash", 8 * b).bitwiseAND(255).as("key"))
     }
-    sk.select($"doc_id", $"simhash", explode(array(nibbles: _*)).as("bk"))
-      .groupBy($"bk.band", $"bk.key")
-      .agg(sort_array(collect_list(struct($"doc_id", $"simhash"))).as("ds"))
-      .filter(size($"ds") >= 2)
-      .select($"ds", posexplode($"ds").as(Seq("i", "a")))
-      .select($"a", explode(slice($"ds", $"i" + lit(2), size($"ds"))).as("b"))
+    boundedPairs(
+      sk.select($"doc_id", $"simhash", explode(array(nibbles: _*)).as("bk"))
+        .select($"bk.band".as("band"), $"bk.key".as("key"),
+          struct($"doc_id", $"simhash").as("v")),
+      Seq("band", "key"), "v")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
       .filter($"hamming" <= 3)

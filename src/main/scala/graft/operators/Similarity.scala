@@ -2,8 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
 import graft.Tables
 
 /** Approximate-nearest-neighbor / similarity search over the `embeddings`
@@ -235,36 +233,47 @@ object Similarity {
     * product h*x is exact in double (10+24 bits < 53) and the decimal-sum
     * argument from [[ddot]] makes every signature bit engine-independent.
     *
-    * Scale notes: signatures cost |corpus|*bands*bits dot products built
-    * from ONE broadcast-join pass over exploded elements — no cross-join
-    * anywhere; the candidate join is an equi-join on (band, bucket), so at
-    * 100 TB the corpus shuffles once by bucket instead of pairing
-    * quadratically. Recall is tuned by adding bands (union of buckets),
-    * which scales linearly.
+    * Scale notes: every signature bit is an in-row [[ddot]] against a
+    * hyperplane literal — |corpus|·bands·bits·dim multiply-adds with NO
+    * shuffle and no join at all; the only wide operation downstream is the
+    * candidate equi-join on (band, bucket), so at 100 TB the corpus
+    * shuffles once by bucket instead of pairing quadratically. Recall is
+    * tuned by adding bands (union of buckets), which scales linearly.
     */
   /** LSH signature build — the second BUILD-ONCE artifact: compact
-    * (vec_id, band, bucket) rows from one broadcast-join pass over
-    * exploded elements (no cross-join). Persistable like the IVF index;
-    * recall tunes by adding bands, linearly.
+    * (vec_id, band, bucket) rows. The hyperplane matrix is tiny
+    * (bands·bits·dim integers), so it is materialized ONCE on the driver
+    * and baked into the plan as float-array literals; each signature bit is
+    * then a single codegen'd [[ddot]] per vector — zero shuffles, where the
+    * round-3 formulation routed |corpus|×dim exploded elements through a
+    * broadcast join plus TWO wide groupBys (measured 6× DuckDB; this is the
+    * same decimal-sum arithmetic with the shuffles deleted, so signatures
+    * are bit-identical). Persistable like the IVF index.
     */
   def buildLshSignatures(
       emb: DataFrame, bands: Int, bits: Int, dim: Int): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val hp = spark.range(bands.toLong * bits).select($"id".cast("int").as("kk"))
-      .crossJoin(spark.range(1, dim.toLong + 1).select($"id".cast("int").as("i")))
-      .select(
-        ($"kk" / lit(bits)).cast("int").as("band"), pmod($"kk", lit(bits)).as("k"), $"i",
-        (pmod(graft.operators.Dedup.portableHash(
-          concat(lit("hp"), $"kk".cast("string"), lit("_"), $"i".cast("string"))),
-          lit(2001)) - 1000).as("h"))
-    val elems = emb.select($"vec_id", posexplode($"embedding"))
-      .select($"vec_id", ($"pos" + 1).as("i"), $"col".as("x"))
-    elems.join(broadcast(hp), Seq("i"))
-      .groupBy($"vec_id", $"band", $"k")
-      .agg(sum(($"h".cast("double") * $"x".cast("double")).cast(DecimalType(28, 14))).as("s"))
-      .groupBy($"vec_id", $"band")
-      .agg(sum(when($"s" > 0, pow(lit(2.0), $"k").cast("long")).otherwise(0L)).as("bucket"))
+    import emb.sparkSession.implicits._
+    // h(kk, i) = pmod(md5_60("hp{kk}_{i}"), 2001) - 1000 — the identical
+    // formulation the oracle replays in SQL; |h| ≤ 1000 is exact in float
+    val hp: IndexedSeq[IndexedSeq[Array[Float]]] =
+      (0 until bands).map { b =>
+        (0 until bits).map { k =>
+          val kk = b * bits + k
+          (1 to dim).map { i =>
+            (graft.functions.PortableHash60.hash(
+              s"hp${kk}_$i".getBytes("UTF-8")) % 2001 - 1000).toFloat
+          }.toArray
+        }
+      }
+    val bandStructs = (0 until bands).map { b =>
+      val bucket = (0 until bits).map { k =>
+        when(ddot(typedLit(hp(b)(k).toSeq), $"embedding") > 0, lit(1L << k))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    emb.select($"vec_id", explode(array(bandStructs: _*)).as("bb"))
+      .select($"vec_id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
   }
 
   /** PROBE-MANY against prebuilt LSH signatures: candidates expand IN-ROW
@@ -278,12 +287,16 @@ object Similarity {
       isQuery: Column => Column,
       k: Int): DataFrame = {
     import emb.sparkSession.implicits._
-    val cand = sigs
-      .groupBy($"band", $"bucket")
-      .agg(sort_array(collect_list($"vec_id")).as("ids"))
-      .select(explode(filter($"ids", x => isQuery(x))).as("qid"), $"ids")
-      .select($"qid", explode($"ids").as("vid"))
-      .filter($"vid" =!= $"qid")
+    // all bucket-mate pairs with bounded rows, then orient each unordered
+    // pair both ways IN-ROW (a union of two selects would instantiate the
+    // pair pipeline twice) and keep the query-anchored directions
+    val cand = graft.operators.Dedup.boundedPairs(
+      sigs.select($"band", $"bucket", $"vec_id"), Seq("band", "bucket"), "vec_id")
+      .select(explode(array(
+        struct($"a".as("qid"), $"b".as("vid")),
+        struct($"b".as("qid"), $"a".as("vid")))).as("pq"))
+      .select($"pq.qid".as("qid"), $"pq.vid".as("vid"))
+      .filter(isQuery($"qid"))
       .distinct()
     rerankTopK(cand, emb, isQuery($"vec_id"), k)
   }
@@ -311,12 +324,9 @@ object Similarity {
       .repartition(spark.sparkContext.defaultParallelism) // single-file input
       .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
     val sigs = buildLshSignatures(emb, bands = 2, bits = 6, dim = 64)
-    val cand = sigs
-      .groupBy($"band", $"bucket")
-      .agg(sort_array(collect_list($"vec_id")).as("ids"))
-      .filter(size($"ids") >= 2)
-      .select($"ids", posexplode($"ids").as(Seq("i", "vec_a")))
-      .select($"vec_a", explode(slice($"ids", $"i" + lit(2), size($"ids"))).as("vec_b"))
+    val cand = graft.operators.Dedup.boundedPairs(
+      sigs.select($"band", $"bucket", $"vec_id"), Seq("band", "bucket"), "vec_id")
+      .select($"a".as("vec_a"), $"b".as("vec_b"))
       .distinct()
     cand
       .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"), $"nn".as("na")), Seq("vec_a"))

@@ -93,13 +93,14 @@ class PlanSpec extends AnyFunSuite {
     val n28 = shingleStages(Dedup.q28MinhashPairs(spark, dir))
     assert(n26 == 1, s"q26 instantiates the shingle pipeline $n26×")
     assert(n28 == 1, s"q28 instantiates the shingle pipeline $n28×")
-    // q40's signature build (the embedding posexplode) must likewise
-    // appear once: candidates expand from posting lists, not a sig
-    // self-join
+    // q40's signature build is in-row since round 4 (ddot against
+    // hyperplane literals): the plan must contain NO embedding posexplode
+    // at all — candidates expand from posting lists, not a sig self-join
     val p40 = Similarity.q40LshAnn(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
-    val n40 = p40.linesIterator.count(_.contains("Generate posexplode"))
-    assert(n40 == 1, s"q40 instantiates the signature pipeline $n40×")
+    val n40 = p40.linesIterator.count(l =>
+      l.contains("Generate posexplode") && l.contains("embedding"))
+    assert(n40 == 0, s"q40 explodes embedding elements $n40× (sig build regressed to the join formulation)")
   }
 
   test("q43: image encode/decode fans out — no single-partition mapPartitions") {
@@ -139,9 +140,13 @@ class PlanSpec extends AnyFunSuite {
       s"assignment window still carries embedding arrays ($inputLine):\n$p")
   }
 
-  test("q40: hyperplane table broadcasts into the signature pass") {
+  test("q40: signature pass is shuffle-free (hyperplanes are in-row literals)") {
     val p = plan(Similarity.q40LshAnn(spark, dir))
-    assert(p.contains("BroadcastHashJoin"), s"hyperplane join not broadcast:\n$p")
+    // the signature build must contribute no join and no aggregate — the
+    // native ddot_native calls against hyperplane literals are the whole
+    // pass; the only wide ops left belong to bucketing + rerank
+    assert(p.contains("ddot_native") || p.contains("fdot_native"),
+      s"native dot product absent from signature pass:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
   }
 }
