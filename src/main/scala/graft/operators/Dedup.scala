@@ -337,13 +337,96 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** One frontier step of min-label propagation: nodes whose label just
+    * dropped push it to their neighbors; a node adopts the smallest
+    * incoming candidate if it beats the current label. Returns the new
+    * label table and the new frontier (nodes that changed).
+    *
+    * Exposed for the PlanSpec scale assertion: the only data shuffled per
+    * iteration are the narrow (node, label) frontier messages and the
+    * label table — `sym` is read from its hash-partitioned cache, never
+    * re-shuffled and never recomputed from the pair pipeline.
+    */
+  private[operators] def ccStep(
+      sym: DataFrame, labels: DataFrame, frontier: DataFrame): DataFrame = {
+    import sym.sparkSession.implicits._
+    val msgs = sym.join(frontier.withColumnRenamed("node", "u")
+        .withColumnRenamed("label", "flabel"), Seq("u"))
+      .groupBy($"v".as("node")).agg(min($"flabel").as("cand"))
+    labels.join(msgs, Seq("node"), "left")
+      .select($"node",
+        least($"label", coalesce($"cand", $"label")).as("label"),
+        coalesce($"cand" < $"label", lit(false)).as("_moved"))
+  }
+
+  /** Connected components of an undirected edge list (columns `u`, `v`)
+    * via frontier min-label propagation to a fixpoint — the DataFrame-only
+    * formulation (no GraphX): converges in O(component diameter)
+    * iterations, and after the first one only the frontier (nodes whose
+    * label changed) emits messages, so late iterations shuffle a
+    * vanishing fraction of the graph. The symmetrized edge list is
+    * repartitioned by source ONCE and cached — every iteration's message
+    * join reuses that partitioning instead of re-shuffling the edges.
+    * Output: (node, label) with label = min node id of the component, for
+    * nodes that appear in at least one edge.
+    *
+    * Every iteration's label table is eagerly localCheckpoint'ed
+    * (disk-backed blocks): without lineage truncation, iteration N's
+    * logical plan nests all N−1 predecessors and Catalyst analysis time
+    * explodes combinatorially — the standard iterative-DataFrame trap. A
+    * cluster deployment would use a reliable checkpoint directory for
+    * fault tolerance; the per-iteration truncation is the same.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val sym = edges.select($"u", $"v")
+      .union(edges.select($"v".as("u"), $"u".as("v")))
+      .repartition($"u")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select($"u".as("node")).distinct()
+      .withColumn("label", $"node")
+      .localCheckpoint(true)
+    var frontier = labels
+    var frontierSize = frontier.count()
+    while (frontierSize > 0) {
+      val step = ccStep(sym, labels, frontier).localCheckpoint(true)
+      frontierSize = step.filter($"_moved").count()
+      labels = step.select($"node", $"label")
+      frontier = step.filter($"_moved").select($"node", $"label")
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** q48 — the dedup pipeline's actual deliverable: every document mapped
+    * to its near-dup cluster representative (min doc_id of the connected
+    * component of the q28 MinHash-LSH pair graph) plus the cluster size;
+    * docs in no candidate pair are their own singleton cluster. Downstream
+    * a training run keeps `doc_id == rep_doc_id` rows — the multi-doc
+    * generalization of [[q25ExactDedup]]'s survivor contract.
+    */
+  def q48NeardupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cc = connectedComponents(
+      q28MinhashPairs(spark, dir).select($"doc_a".as("u"), $"doc_b".as("v")))
+    val wRep = org.apache.spark.sql.expressions.Window.partitionBy($"rep_doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id")
+      .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"label", $"doc_id").as("rep_doc_id"))
+      .withColumn("cluster_size", count(lit(1)).over(wRep))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_exact_dedup" -> (q25ExactDedup _),
     "q26_shingle_jaccard" -> (q26ShingleJaccard _),
     "q27_minhash_sig" -> (q27MinhashSig _),
     "q28_minhash_pairs" -> (q28MinhashPairs _),
     "q29_simhash" -> (q29Simhash _),
-    "q44_simhash_pairs" -> (q44SimhashPairs _)
+    "q44_simhash_pairs" -> (q44SimhashPairs _),
+    "q48_neardup_clusters" -> (q48NeardupClusters _)
   )
 
   /** Shared SQL fragment: distinct word 3-gram shingles per doc. */
@@ -418,6 +501,27 @@ object Dedup {
          |  ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q29_simhash" -> (simhashSqlFor(16) + " ORDER BY doc_id"),
+    // connected components as a recursive min-label reachability closure
+    // over the SAME band CTEs the q28 oracle uses: (doc, rep) ∈ cc when a
+    // monotone-descending path carries rep to doc; the component minimum m
+    // reaches every member (every hop away from m satisfies rep < node),
+    // so min(rep) per doc is the component representative.
+    "q48_neardup_clusters" ->
+      s"""WITH RECURSIVE $minhashBandsCtes,
+         |edges AS (
+         |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.doc_id < b.doc_id),
+         |sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+         |cc AS (
+         |  SELECT doc_id, doc_id AS rep FROM documents
+         |  UNION
+         |  SELECT s.v AS doc_id, c.rep FROM cc c JOIN sym s ON s.u = c.doc_id
+         |  WHERE c.rep < s.v),
+         |lab AS (SELECT doc_id, min(rep) AS rep_doc_id FROM cc GROUP BY doc_id)
+         |SELECT doc_id, rep_doc_id,
+         |  count(*) OVER (PARTITION BY rep_doc_id) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin,
     "q44_simhash_pairs" ->
       s"""WITH sk AS (${simhashSqlFor(32)}),
          |bands AS (

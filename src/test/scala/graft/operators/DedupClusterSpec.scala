@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q48 near-dup cluster resolution: connected components over the LSH pair
+  * graph, and the scale shape of the per-iteration step (frontier messages
+  * only; edges read from cache, never recomputed).
+  */
+class DedupClusterSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  private def edges(es: (Long, Long)*) = {
+    import spark.implicits._
+    es.toDF("u", "v")
+  }
+
+  test("two components and an isolated pair resolve to min-id labels") {
+    val cc = Dedup.connectedComponents(edges(1L -> 2L, 2L -> 3L, 10L -> 11L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("a 20-node chain converges to one component (diameter > 1 iteration)") {
+    val chain = edges((0L until 19L).map(i => i -> (i + 1)): _*)
+    val cc = Dedup.connectedComponents(chain).collect()
+    assert(cc.length == 20 && cc.forall(_.getLong(1) == 0L))
+  }
+
+  test("ccStep shuffles only narrow label rows and never recomputes the edge pipeline") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val sym = edges(1L -> 2L, 2L -> 3L).repartition($"u")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+    val labels = sym.select($"u".as("node")).distinct().withColumn("label", $"node")
+    val step = Dedup.ccStep(sym, labels, labels)
+    assert(step.columns.toSeq == Seq("node", "label", "_moved"),
+      "iteration state is not the narrow (node, label, moved) shape")
+    val p = step.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(p.contains("InMemoryTableScan"), s"edges not read from cache:\n$p")
+    assert(!p.contains("Generate"), s"iteration recomputes an explode pipeline:\n$p")
+    sym.unpersist()
+  }
+
+  test("q48 is consistent with the q28 pair graph and q25-style survivor semantics") {
+    val dir = "/root/testdata/sf0.001"
+    val q48 = Dedup.q48NeardupClusters(spark, dir)
+    val docs = graft.Tables.documents(spark, dir).count()
+    val rows = q48.collect()
+    assert(rows.length == docs, "q48 must cover every document")
+    val rep = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep.forall { case (d, r) => r <= d }, "rep must be the component minimum")
+    // both endpoints of every candidate pair land in the same cluster
+    val pairs = Dedup.q28MinhashPairs(spark, dir).collect()
+    assert(pairs.forall(p => rep(p.getLong(0)) == rep(p.getLong(1))),
+      "a q28 pair straddles two q48 clusters")
+    // cluster_size is the rep's member count
+    val sizes = rows.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    assert(rows.forall(r => r.getLong(2) == sizes(r.getLong(1))))
+  }
+}
