@@ -142,21 +142,24 @@ object Dedup {
     * plus `_nch` = the group's total chunk count. Groups with fewer than 2
     * values are dropped (no pairs to emit).
     */
-  private[operators] def chunkedPostingLists(
+  private[graft] def chunkedPostingLists(
       rows: DataFrame, keys: Seq[String], valueCol: String, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import rows.sparkSession.implicits._
     val kcols = keys.map(col)
-    val wAll = Window.partitionBy(kcols: _*)
     val wOrd = Window.partitionBy(kcols: _*).orderBy(col(valueCol))
+    val wKeys = Window.partitionBy(kcols: _*)
+    // one full-data pass: the row_number window and the (keys, _chunk)
+    // aggregate share the window's hash(keys) exchange (partitioning by a
+    // subset satisfies the aggregate's clustering), so chunking costs one
+    // shuffle + one sort; `_nch` and the singleton filter run over the
+    // already-collapsed list rows, not the full data
     rows
-      .withColumn("_cnt", count(lit(1)).over(wAll))
-      .filter($"_cnt" >= 2)
       .withColumn("_chunk", ((row_number().over(wOrd) - 1) / cap).cast("int"))
-      .withColumn("_nch", ceil($"_cnt" / lit(cap.toDouble)).cast("int"))
       .groupBy((kcols :+ $"_chunk"): _*)
-      .agg(sort_array(collect_list(col(valueCol))).as("_vs"),
-        first($"_nch").as("_nch"))
+      .agg(sort_array(collect_list(col(valueCol))).as("_vs"))
+      .withColumn("_nch", (max($"_chunk").over(wKeys) + 1).cast("int"))
+      .filter($"_nch" > 1 || size($"_vs") >= 2)
   }
 
   /** Exact dedup via content fingerprint: survivor = min doc_id per

@@ -287,16 +287,21 @@ object Similarity {
       isQuery: Column => Column,
       k: Int): DataFrame = {
     import emb.sparkSession.implicits._
-    // all bucket-mate pairs with bounded rows, then orient each unordered
-    // pair both ways IN-ROW (a union of two selects would instantiate the
-    // pair pipeline twice) and keep the query-anchored directions
-    val cand = graft.operators.Dedup.boundedPairs(
-      sigs.select($"band", $"bucket", $"vec_id"), Seq("band", "bucket"), "vec_id")
-      .select(explode(array(
-        struct($"a".as("qid"), $"b".as("vid")),
-        struct($"b".as("qid"), $"a".as("vid")))).as("pq"))
-      .select($"pq.qid".as("qid"), $"pq.vid".as("vid"))
-      .filter(isQuery($"qid"))
+    // query-anchored candidate generation: the query signature set is tiny
+    // by construction, so it BROADCASTS against the corpus posting lists —
+    // work is |buckets probed| · |bucket|, never the Σ|bucket|² all-pairs
+    // expansion a full pair materialization would cost. Corpus lists are
+    // chunked to bounded rows (hot buckets split, not one giant array);
+    // instantiating `sigs` twice is free since the round-4 signature build
+    // is a pure shuffle-free projection.
+    val qsigs = sigs.filter(isQuery($"vec_id"))
+      .select($"band", $"bucket", $"vec_id".as("qid"))
+    val cand = graft.operators.Dedup.chunkedPostingLists(
+      sigs.select($"band", $"bucket", $"vec_id"), Seq("band", "bucket"), "vec_id",
+      graft.operators.Dedup.hotBucketCap)
+      .join(broadcast(qsigs), Seq("band", "bucket"))
+      .select($"qid", explode($"_vs").as("vid"))
+      .filter($"vid" =!= $"qid")
       .distinct()
     rerankTopK(cand, emb, isQuery($"vec_id"), k)
   }

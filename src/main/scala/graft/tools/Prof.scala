@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only stage profiler: times labeled sub-pipelines of the pair-family
+  * queries through the same noop sink the bench uses. Not part of any
+  * driver contract.
+  */
+object Prof {
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def t(name: String)(df: => DataFrame): Unit = {
+    val d = df
+    force(d) // warm
+    val t0 = System.nanoTime()
+    force(d)
+    println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.operators.Dedup
+
+    t("q44: sketch32")(Dedup.simhashSketch(spark, dir, 32))
+    t("q44: sketch+bands") {
+      val sk = Dedup.simhashSketch(spark, dir, 32)
+      val nibbles = (0 until 4).map { b =>
+        struct(lit(b).as("band"), shiftright($"simhash", 8 * b).bitwiseAND(255).as("key"))
+      }
+      sk.select($"doc_id", $"simhash", explode(array(nibbles: _*)).as("bk"))
+        .select($"bk.band".as("band"), $"bk.key".as("key"),
+          struct($"doc_id", $"simhash").as("v"))
+    }
+    t("q44: +chunkedLists") {
+      val sk = Dedup.simhashSketch(spark, dir, 32)
+      val nibbles = (0 until 4).map { b =>
+        struct(lit(b).as("band"), shiftright($"simhash", 8 * b).bitwiseAND(255).as("key"))
+      }
+      Dedup.chunkedPostingLists(
+        sk.select($"doc_id", $"simhash", explode(array(nibbles: _*)).as("bk"))
+          .select($"bk.band".as("band"), $"bk.key".as("key"),
+            struct($"doc_id", $"simhash").as("v")),
+        Seq("band", "key"), "v", Dedup.hotBucketCap)
+    }
+    t("q44: +boundedPairs") {
+      val sk = Dedup.simhashSketch(spark, dir, 32)
+      val nibbles = (0 until 4).map { b =>
+        struct(lit(b).as("band"), shiftright($"simhash", 8 * b).bitwiseAND(255).as("key"))
+      }
+      Dedup.boundedPairs(
+        sk.select($"doc_id", $"simhash", explode(array(nibbles: _*)).as("bk"))
+          .select($"bk.band".as("band"), $"bk.key".as("key"),
+            struct($"doc_id", $"simhash").as("v")),
+        Seq("band", "key"), "v")
+    }
+    if (args.contains("explain")) {
+      val p = Dedup.q44SimhashPairs(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      println("[plan] q44:\n" + p.linesIterator
+        .filter(l => l.contains("Exchange") || l.contains("Sort") ||
+          l.contains("Window") || l.contains("Aggregate") || l.contains("Generate"))
+        .mkString("\n"))
+    }
+    t("q44: full")(Dedup.q44SimhashPairs(spark, dir))
+    t("q26: full")(Dedup.q26ShingleJaccard(spark, dir))
+    t("q28: full")(Dedup.q28MinhashPairs(spark, dir))
+    t("q27: sigs only")(Dedup.q27MinhashSig(spark, dir))
+    spark.stop()
+  }
+}
