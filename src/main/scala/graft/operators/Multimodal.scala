@@ -10,12 +10,14 @@ import graft.Tables
   * frame-sample run as batch functions over the binary column.
   *
   * The IMAGE modality decodes for real via in-JVM `javax.imageio`
-  * ([[decodeImages]] / `q43_image_decode`). Audio/video codec libraries are
-  * not in this container, so their decode step is STUBBED with a
-  * deterministic fake (clearly marked below). The Spark-side plumbing —
-  * schema, binary handling, partitioning, batch shape — is real and
-  * oracle-tested: stub payload bytes come from the documents' text
-  * (deterministic), so both engines see identical binaries.
+  * ([[decodeImages]] / `q43_image_decode`), and the AUDIO modality via
+  * in-JVM `javax.sound.sampled` WAV/PCM ([[decodeWavScalar]] /
+  * `q47_audio_decode`). Video codec libraries are not in this container,
+  * so that one decode step is STUBBED with a deterministic fake (clearly
+  * marked below). The Spark-side plumbing — schema, binary handling,
+  * partitioning, batch shape — is real and oracle-tested: stub payload
+  * bytes come from the documents' text (deterministic), so both engines
+  * see identical binaries.
   *
   * Scale notes: binary payloads stay columnar (parquet binary) end-to-end;
   * per-record work is a narrow map (no shuffle); at 100 TB the only knob is
@@ -38,12 +40,12 @@ object Multimodal {
         col("n_chars").as("declared_bytes"),
         col("lang").as("tag")))
 
-  /** ??? STUB (audio/video only — images decode for real in
-    * [[decodeImages]]) — the full deployment decodes FLAC/H.264 via a
-    * codec-equipped worker. Here the "decoded features" are deterministic
-    * functions of the raw bytes so the plumbing is verifiable: byte
-    * length, a content digest, and a fake width/height derived from the
-    * payload.
+  /** ??? STUB (video only — images decode for real in [[decodeImages]],
+    * audio in [[decodeWavScalar]]) — the full deployment decodes H.264 via
+    * a codec-equipped worker. Here the "decoded features" are
+    * deterministic functions of the raw bytes so the plumbing is
+    * verifiable: byte length, a content digest, and a fake width/height
+    * derived from the payload.
     */
   def decodeStub(media: DataFrame): DataFrame =
     media
@@ -111,6 +113,32 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Scalar JPEG decode: (width, height, mean 8-bit luma), or
+    * (-1, -1, -1.0) for an undecodable payload. Shared by the distributed
+    * decode and the oracle golden-value generator.
+    */
+  def decodeJpegScalar(bytes: Array[Byte]): (Int, Int, Double) = {
+    imageIoNoCache
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Throwable => null }
+    if (img == null) (-1, -1, -1.0)
+    else {
+      var sum = 0.0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      (img.getWidth, img.getHeight, sum / (img.getWidth * img.getHeight))
+    }
+  }
+
   /** Decode a binary column of JPEGs: (doc_id, width, height, mean_luma).
     * Undecodable payloads surface as (-1, -1, -1.0) instead of failing the
     * partition — one bad blob must not kill a 100 TB scan.
@@ -120,37 +148,117 @@ object Multimodal {
     media.select(col("doc_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        imageIoNoCache
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Throwable => null }
-        if (img == null) (id, -1, -1, -1.0)
-        else {
-          var sum = 0.0
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-              x += 1
-            }
-            y += 1
-          }
-          (id, img.getWidth, img.getHeight, sum / (img.getWidth * img.getHeight))
-        }
+        val (w, h, luma) = decodeJpegScalar(bytes)
+        (id, w, h, luma)
       })
       .toDF("doc_id", "width", "height", "mean_luma")
   }
 
-  /** Driver rows-only check (JPEG decode is not SQL-expressible in the
-    * oracle); the golden decode values live in `MultimodalSpec`.
+  /** Oracled since round 4: the decode state (w, h, rgb) is periodic in
+    * doc_id with period lcm(8, 5, 256) = 1280, so the DuckDB oracle joins
+    * documents against a 1280-row golden VALUES table on `doc_id % 1280`
+    * (works at every SF). Independent anchoring lives in `MultimodalSpec`
+    * (geometry exact, luma within JPEG quantization error of the encoded
+    * color).
     */
   def q43ImageDecode(spark: SparkSession, dir: String): DataFrame =
     decodeImages(spark, jpegTable(spark, dir))
       .select(col("doc_id"), col("width"), col("height"),
         round(col("mean_luma"), 0).as("mean_luma_r"))
       .orderBy(col("doc_id"))
+
+  // ---- audio modality (REAL decode via javax.sound.sampled — WAV/PCM) ----
+
+  /** Deterministic WAV payload per doc id: 16-bit little-endian mono PCM,
+    * a pure sine whose rate / length / frequency / amplitude all derive
+    * from the id (StrictMath, so samples are bit-identical on every JVM);
+    * framed by the JDK's own WAV writer. The audio sibling of
+    * [[syntheticJpeg]].
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val sr = 8000 + (id % 4).toInt * 4000
+    val n = 400 + (id % 7).toInt * 100
+    val f = 200.0 + (id % 11).toInt * 50.0
+    val amp = 8000.0 + (id % 5).toInt * 1000.0
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = math.round(amp * StrictMath.sin(2 * math.Pi * f * i / sr)).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Scalar WAV decode through the JDK sound stack: container is parsed by
+    * `AudioSystem` (format + frame count), samples stream out as PCM, and
+    * the features are (sample_rate, channels, n_frames, rms) with rms the
+    * root-mean-square of the raw 16-bit samples rounded to 3dp (Spark
+    * `round` semantics: BigDecimal HALF_UP). Sum of squared 16-bit samples
+    * stays exact in double far beyond any realistic clip length (2^53 ≈
+    * 8e15 vs 2^30 per sample-square), so the value is engine-independent.
+    * Undecodable payloads degrade to (-1, -1, -1, -1.0).
+    */
+  def decodeWavScalar(bytes: Array[Byte]): (Int, Int, Long, Double) =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val nFrames = ais.getFrameLength
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      var sumSq = 0.0
+      var i = 0
+      while (i < n) {
+        val s = ((data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)).toShort.toDouble
+        sumSq += s * s
+        i += 1
+      }
+      val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+      (fmt.getSampleRate.toInt, fmt.getChannels, nFrames,
+        java.math.BigDecimal.valueOf(rms)
+          .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue())
+    } catch { case _: Throwable => (-1, -1, -1L, -1.0) }
+
+  /** The WAV table: one synthesized payload per document, encoded in
+    * executors (narrow mapPartitions — the same fan-out shape as
+    * [[jpegTable]]).
+    */
+  def wavTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+      .as[Long]
+      .mapPartitions(_.map(id => (id, syntheticWav(id))))
+      .toDF("doc_id", "content")
+  }
+
+  /** q47 — REAL audio decode, no stub: every document's WAV payload parsed
+    * and feature-extracted via `javax.sound.sampled` in a narrow map; the
+    * decode state is periodic in doc_id with period lcm(4, 7, 11, 5) =
+    * 1540, so the oracle joins a 1540-row golden VALUES table on
+    * `doc_id % 1540`. Video remains the one honestly-stubbed modality.
+    */
+  def q47AudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    wavTable(spark, dir)
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (sr, ch, nf, rms) = decodeWavScalar(bytes)
+        (id, sr, ch, nf, rms)
+      })
+      .toDF("doc_id", "sample_rate", "channels", "n_frames", "rms_r")
+      .orderBy(col("doc_id"))
+  }
 
   def q34MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
     decodeStub(mediaTable(spark, dir))
@@ -164,10 +272,58 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_multimodal_meta" -> (q34MultimodalMeta _),
     "q35_frame_sample" -> (q35FrameSample _),
-    "q43_image_decode" -> (q43ImageDecode _)
+    "q43_image_decode" -> (q43ImageDecode _),
+    "q47_audio_decode" -> (q47AudioDecode _)
   )
 
-  val oracles: Map[String, String] = Map(
+  /** Emit a double so DuckDB parses it DIRECTLY as DOUBLE (an exponent
+    * forces the double parser; a plain decimal literal would go through
+    * DECIMAL and can land 1 ulp off Java's value). `Double.toString` is the
+    * shortest round-tripping representation, and both Java's and DuckDB's
+    * parsers are correctly-rounded, so the bits match exactly.
+    */
+  private def dlit(v: Double): String = {
+    val s = v.toString
+    if (s.contains("E") || s.contains("e")) s else s + "E0"
+  }
+
+  /** Golden VALUES oracle for q43: one row per residue of the periodic
+    * decode state, computed by the SAME in-JVM encode/decode the query
+    * distributes (the spec independently anchors geometry and luma). Lazy:
+    * ~1.3k JPEG round trips, paid once when the oracle map is first read.
+    */
+  private lazy val q43OracleSql: String = {
+    val rows = (0 until 1280).map { k =>
+      val (w, h, luma) = decodeJpegScalar(syntheticJpeg(k.toLong))
+      val lumaR = java.math.BigDecimal.valueOf(luma)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (k == 0)
+        s"(CAST($k AS BIGINT), CAST($w AS INTEGER), CAST($h AS INTEGER), CAST(${dlit(lumaR)} AS DOUBLE))"
+      else s"($k, $w, $h, ${dlit(lumaR)})"
+    }
+    s"""SELECT d.doc_id, v.width, v.height, v.mean_luma_r
+       |FROM documents d JOIN (VALUES ${rows.mkString(",\n")})
+       |  AS v(k, width, height, mean_luma_r) ON v.k = d.doc_id % 1280
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Golden VALUES oracle for q47, same construction (period 1540). */
+  private lazy val q47OracleSql: String = {
+    val rows = (0 until 1540).map { k =>
+      val (sr, ch, nf, rms) = decodeWavScalar(syntheticWav(k.toLong))
+      if (k == 0)
+        s"(CAST($k AS BIGINT), CAST($sr AS INTEGER), CAST($ch AS INTEGER), CAST($nf AS BIGINT), CAST(${dlit(rms)} AS DOUBLE))"
+      else s"($k, $sr, $ch, $nf, ${dlit(rms)})"
+    }
+    s"""SELECT d.doc_id, v.sample_rate, v.channels, v.n_frames, v.rms_r
+       |FROM documents d JOIN (VALUES ${rows.mkString(",\n")})
+       |  AS v(k, sample_rate, channels, n_frames, rms_r) ON v.k = d.doc_id % 1540
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  lazy val oracles: Map[String, String] = Map(
+    "q43_image_decode" -> q43OracleSql,
+    "q47_audio_decode" -> q47OracleSql,
     "q34_multimodal_meta" ->
       """SELECT doc_id,
         |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,

@@ -37,6 +37,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV decode recovers format exactly and sine RMS within 1% of A/sqrt(2)") {
+    import spark.implicits._
+    val decoded = Multimodal.q47AudioDecode(spark, dir)
+      .as[(Long, Int, Int, Long, Double)].collect().toSeq
+    assert(decoded.nonEmpty)
+    decoded.foreach { case (id, sr, ch, nf, rms) =>
+      assert(sr == 8000 + (id % 4).toInt * 4000, s"sample_rate for $id")
+      assert(ch == 1, s"channels for $id")
+      assert(nf == 400 + (id % 7) * 100, s"n_frames for $id")
+      // a pure sine's RMS is amplitude/sqrt(2); quantization to 16-bit and
+      // partial final periods keep the sampled value within ~1%
+      val expected = (8000.0 + (id % 5).toInt * 1000.0) / math.sqrt(2.0)
+      assert(math.abs(rms - expected) / expected <= 0.01, s"rms for $id: $rms vs $expected")
+    }
+  }
+
+  test("a corrupt WAV payload degrades to a sentinel row, not a task failure") {
+    val (sr, ch, nf, rms) = Multimodal.decodeWavScalar(Array[Byte](9, 9, 9))
+    assert((sr, ch, nf, rms) == ((-1, -1, -1L, -1.0)))
+  }
+
   test("a corrupt payload degrades to a sentinel row, not a task failure") {
     import spark.implicits._
     val bad = Seq((1L, Array[Byte](1, 2, 3)), (2L, Multimodal.syntheticJpeg(2L)))
