@@ -44,7 +44,12 @@ object Bench {
     // one pass but not both, so the min is the steady-state number a
     // cluster would see. Failures are recorded distinctly (-1 + errors
     // map), never as a silently-fast timing.
+    // optional subset (dev runs, e.g. the SCALE.md sf1 amortization pass):
+    // comma-separated query names; absent → the full suite, as the driver
+    // invokes it
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.Map.empty[String, String]
     def pass(): Map[String, Double] = names.map { name =>
       val fn = SparkEntry.queries(name)

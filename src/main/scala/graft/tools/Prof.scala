@@ -33,6 +33,23 @@ object Prof {
     import spark.implicits._
     import graft.operators.Dedup
 
+    if (args.contains("agg")) {
+      // oracle-parity decimal aggregation vs the double sums a production
+      // deployment would use (sensitivity for SCALE.md)
+      t("q1: decimal (oracle parity)")(graft.operators.Relational.q1Agg(spark, dir))
+      t("q1: double sums") {
+        graft.Tables.lineitem(spark, dir)
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(sum($"l_quantity").as("sum_qty"),
+            sum($"l_extendedprice").as("sum_base_price"),
+            sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+            count(lit(1)).as("n_rows"))
+      }
+      t("q1: scan only")(graft.Tables.lineitem(spark, dir)
+        .select($"l_returnflag", $"l_linestatus", $"l_quantity",
+          $"l_extendedprice", $"l_discount"))
+      spark.stop(); return
+    }
     t("q44: sketch32")(Dedup.simhashSketch(spark, dir, 32))
     t("q44: sketch+bands") {
       val sk = Dedup.simhashSketch(spark, dir, 32)
