@@ -169,6 +169,39 @@ object Multimodal {
 
   // ---- audio modality (REAL decode via javax.sound.sampled — WAV/PCM) ----
 
+  /** The JDK WAV codec providers, resolved ONCE per JVM: every
+    * `AudioSystem.write` / `getAudioInputStream` call goes through a
+    * SYNCHRONIZED provider-registry lookup (`JDK13Services.getProviders`),
+    * which serializes 32 concurrent decode tasks on one lock — measured
+    * NEGATIVE scaling (q47 slower at 32 threads than at 4). Calling the
+    * `javax.sound.sampled.spi` providers directly keeps the identical
+    * codec with zero shared state per record.
+    */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE writer provider"))
+  }
+
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val all = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader]).iterator().asScala.toList
+    // probe-order: the reader that actually parses a WAV goes FIRST. The
+    // JDK list also contains SoftMidiAudioFileReader, whose REJECTION path
+    // runs a synchronized MidiSystem registry lookup per call — with it
+    // ahead of the WAV reader, 32 decode threads serialize on that lock
+    // (measured slower than single-threaded)
+    val probe = syntheticWav(0L)
+    val (hit, miss) = all.partition { r =>
+      try { r.getAudioFileFormat(new java.io.ByteArrayInputStream(probe)); true }
+      catch { case _: Throwable => false }
+    }
+    hit ++ miss
+  }
+
   /** Deterministic WAV payload per doc id: 16-bit little-endian mono PCM,
     * a pure sine whose rate / length / frequency / amplitude all derive
     * from the id (StrictMath, so samples are bit-identical on every JVM);
@@ -192,8 +225,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
@@ -208,8 +240,13 @@ object Multimodal {
     */
   def decodeWavScalar(bytes: Array[Byte]): (Int, Int, Long, Double) =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      // the same first-provider-that-parses loop AudioSystem runs, minus
+      // its synchronized registry lookup per call
+      val ais = audioReaders.iterator.flatMap { r =>
+        try Some(r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+      }.nextOption().getOrElse(
+        throw new javax.sound.sampled.UnsupportedAudioFileException("no provider"))
       val fmt = ais.getFormat
       val nFrames = ais.getFrameLength
       val data = ais.readAllBytes()

@@ -54,7 +54,8 @@ object ScaleOps {
       .agg(
         count(lit(1)).as("n_events"),
         first($"user_total").as("user_total"),
-        sum($"value".cast(DecimalType(18, 2))).cast("double").as("total_value"))
+        (sum(graft.functions.DecScaledLong.decScaledLong($"value", 2))
+          .cast("double") / 100.0).as("total_value"))
       .orderBy($"user_id")
   }
 
@@ -67,7 +68,8 @@ object ScaleOps {
     Tables.orders(spark, dir)
       .rollup($"o_orderpriority", $"o_orderstatus")
       .agg(count(lit(1)).as("n"),
-        sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double").as("total"))
+        (sum(graft.functions.DecScaledLong.decScaledLong($"o_totalprice", 2))
+          .cast("double") / 100.0).as("total"))
       .select(
         coalesce($"o_orderpriority", lit("<all>")).as("priority"),
         coalesce($"o_orderstatus", lit("<all>")).as("status"),

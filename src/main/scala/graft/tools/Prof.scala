@@ -50,6 +50,31 @@ object Prof {
           $"l_extendedprice", $"l_discount"))
       spark.stop(); return
     }
+    if (args.contains("wav")) {
+      import graft.operators.Multimodal
+      t("q47: wav encode only")(Multimodal.wavTable(spark, dir))
+      t("q47: full")(Multimodal.q47AudioDecode(spark, dir))
+      val t0 = System.nanoTime()
+      var i = 0L
+      while (i < 1000) { Multimodal.decodeWavScalar(Multimodal.syntheticWav(i)); i += 1 }
+      println(f"[prof] 1000 single-thread synth+decode: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // pure-JVM multithreaded run — isolates codec-level lock contention
+      // from Spark plan structure
+      val nThreads = cpus.toInt
+      val perThread = 5000 / nThreads
+      val t1 = System.nanoTime()
+      val threads = (0 until nThreads).map { t =>
+        new Thread(() => {
+          var j = 0L
+          while (j < perThread) {
+            Multimodal.decodeWavScalar(Multimodal.syntheticWav(t * perThread + j)); j += 1
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      println(f"[prof] 5000 on $nThreads threads:       ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      spark.stop(); return
+    }
     t("q44: sketch32")(Dedup.simhashSketch(spark, dir, 32))
     t("q44: sketch+bands") {
       val sk = Dedup.simhashSketch(spark, dir, 32)

@@ -89,4 +89,39 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(out(0).getDouble(1) == 25.0)
     assert(out(1).isNullAt(1))
   }
+
+  test("fixed-point dsum is bit-identical to the decimal-sum formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // adversarial mix: exact cents, long decimal tails, negatives, zeros,
+    // half-up boundary values (x.xx5), large magnitudes
+    val values = Seq.tabulate(4000) { i =>
+      val base = rng.nextInt(5) match {
+        case 0 => rng.nextInt(2000000) / 100.0
+        case 1 => rng.nextDouble() * 1e6
+        case 2 => -rng.nextDouble() * 1e5
+        case 3 => (rng.nextInt(100000) * 10 + 5) / 1000.0 // …x5 at 3dp
+        case _ => 0.0
+      }
+      (i.toLong % 7, base)
+    }
+    val df = values.toDF("g", "v")
+    for (scale <- Seq(2, 4)) {
+      val pow = math.pow(10.0, scale)
+      val fixed = df.groupBy($"g")
+        .agg((sum(DecScaledLong.decScaledLong($"v", scale)).cast("double") / pow).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val dec = df.groupBy($"g")
+        .agg(sum($"v".cast(DecimalType(28, scale))).cast("double").as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(fixed == dec, s"fixed-point/decimal divergence at scale $scale")
+    }
+    // per-row quantization matches Spark's double→decimal cast exactly
+    val rows = df.select($"v",
+      DecScaledLong.decScaledLong($"v", 2).as("q"),
+      ($"v".cast(DecimalType(18, 2)) * 100).cast("long").as("c")).collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"row ${r.getDouble(0)}"))
+  }
 }
