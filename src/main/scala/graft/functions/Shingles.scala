@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** In-row word-3-gram machinery for the dedup family: the round-3 pipeline
+  * exploded every word, stitched 3-grams with two `lead()` windows,
+  * hashed, `distinct()`-ed, and counted through two more wide operators —
+  * four full-data shuffles before any pairing happened. These expressions
+  * compute the same values in a single projection pass per document
+  * (|docs| rows in, |docs| rows out, zero shuffles), the q29/q40 round-4
+  * pattern. md5 stays the hash for DuckDB-oracle parity; a production
+  * deployment swaps xxhash64 behind the same signature.
+  */
+object ShingleOps {
+
+  /** (a, b) parameters of the 8 minhash "permutations" — the single
+    * source of truth (Dedup.minhashParams aliases this).
+    */
+  val minhashParams: Seq[(Long, Long)] = Seq(
+    (131L, 7L), (137L, 91L), (139L, 173L), (149L, 255L),
+    (151L, 337L), (157L, 419L), (163L, 501L), (167L, 583L))
+
+  private val P = 2147483647L
+
+  /** 60-bit portable hash of the 3-gram starting at `i`, digested
+    * incrementally (identical bytes to `md5(w0 ++ " " ++ w1 ++ " " ++ w2)`).
+    */
+  private def gramHash(
+      md: java.security.MessageDigest, tokens: ArrayData, i: Int): Long = {
+    md.reset()
+    md.update(tokens.getUTF8String(i).getBytes)
+    md.update(' '.toByte)
+    md.update(tokens.getUTF8String(i + 1).getBytes)
+    md.update(' '.toByte)
+    md.update(tokens.getUTF8String(i + 2).getBytes)
+    val d = md.digest()
+    var v = 0L
+    var k = 0
+    while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** Sorted DISTINCT 60-bit hashes of a document's word 3-grams (empty
+    * for <3 words) — `size()` of the result is the q26 `n_sh`.
+    */
+  def shingleHashes(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n < 3) return new GenericArrayData(Array.emptyLongArray)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + 2 < n) {
+      set.add(gramHash(md, tokens, i))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** The 8 minhash permutation minima over a document's 3-gram hashes
+    * (h_i = min over shingles of (a_i·(g mod P) + b_i) mod P), or null
+    * when the document has no shingles — the multiset minimum equals the
+    * distinct-set minimum, so no dedup pass is needed.
+    */
+  def minhashSig(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n < 3) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val as = new Array[Long](8)
+    val bs = new Array[Long](8)
+    var k = 0
+    while (k < 8) { as(k) = minhashParams(k)._1; bs(k) = minhashParams(k)._2; k += 1 }
+    val mins = Array.fill(8)(Long.MaxValue)
+    var i = 0
+    while (i + 2 < n) {
+      val g = gramHash(md, tokens, i) % P
+      k = 0
+      while (k < 8) {
+        val h = (as(k) * g + bs(k)) % P
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** `shingle_hashes(tokens)` → sorted distinct array<long>. */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $dt")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.shingleHashes(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.shingleHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(tokens)` → array<long>(8), null when no shingles exist. */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // <3 words → null sig
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $dt")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.minhashSig(input.asInstanceOf[ArrayData])
+  // nullSafeCodeGen (not defineCodeGen): the helper returns null for
+  // <3-word documents, which must surface as SQL NULL
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.ShingleOps.minhashSig($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object ShingleFunctions {
+  def shingleHashes(c: Column): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c)))
+  def minhashSig(c: Column): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c)))
+}

@@ -34,10 +34,10 @@ object Dedup {
 
   private val P = 2147483647L // 2^31-1, modulus for minhash permutations
 
-  /** (a, b) parameters of the 8 minhash "permutations". */
-  val minhashParams: Seq[(Long, Long)] = Seq(
-    (131L, 7L), (137L, 91L), (139L, 173L), (149L, 255L),
-    (151L, 337L), (157L, 419L), (163L, 501L), (167L, 583L))
+  /** (a, b) parameters of the 8 minhash "permutations" (canonical copy
+    * lives with the in-row implementation).
+    */
+  val minhashParams: Seq[(Long, Long)] = graft.functions.ShingleOps.minhashParams
 
   /** Word 3-gram shingles from a MATERIALIZED word-array column (kept for
     * in-row uses; the exploded pipelines below use [[shingleRows]] which is
@@ -198,25 +198,30 @@ object Dedup {
       spark: SparkSession, dir: String, minJaccard: Double,
       maxDf: Option[Int]): DataFrame = {
     import spark.implicits._
-    // join on the 60-bit portable hash, not the shingle string: the shuffle
-    // sorts fixed-width longs instead of ~30-char strings, and the oracle
-    // applies the same hash so any (vanishingly unlikely) collision changes
-    // both sides identically. n_sh = |distinct shingle hashes| per doc.
-    val rows = shingleRows(spark,
-      Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism) // single-file input
-        .select($"doc_id", $"lang", $"source", $"text"))
-    val hashed = rows
-      .select($"doc_id", $"lang", $"source", portableHash($"shingle").as("sh_h"))
-      .distinct()
-    val capped = maxDf match {
-      case Some(cap) => hashed.withColumn("_df", count(lit(1)).over(
+    // per-doc DISTINCT shingle hashes and their count are computed IN-ROW
+    // by the native shingle_hashes expression — the round-3 pipeline paid
+    // four full-data wide operators (explode + two lead() windows,
+    // distinct, per-doc count window) for the same values. Joining on the
+    // 60-bit hash keeps fixed-width shuffle keys, and the oracle applies
+    // the same hash so any (vanishingly unlikely) collision changes both
+    // sides identically. n_sh = |distinct shingle hashes| per doc.
+    val hashed = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+      .select($"doc_id", $"lang", $"source",
+        graft.functions.ShingleFunctions.shingleHashes(split($"text", " ")).as("shs"))
+      .select($"doc_id", $"lang", $"source", size($"shs").as("n_sh"),
+        explode($"shs").as("sh_h"))
+    val inv = maxDf match {
+      case Some(cap) =>
+        // stop-shingle df filter ALSO shrinks each doc's shingle set, so
+        // n_sh must be recounted over the survivors
+        hashed.withColumn("_df", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy($"lang", $"source", $"sh_h")))
-        .filter($"_df" <= cap).drop("_df")
+          .filter($"_df" <= cap).drop("_df", "n_sh")
+          .withColumn("n_sh", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
       case None => hashed
     }
-    val inv = capped.withColumn("n_sh",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
     // one pass: bucket the inverted index by (block, shingle hash) and
     // expand co-occurrence pairs in-row from sorted posting lists, chunked
     // to hotBucketCap elements per row — the round-1 self-join evaluated
@@ -241,20 +246,17 @@ object Dedup {
     */
   def q27MinhashSig(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // hash each shingle ONCE in a projection; the 8 permutation minima are
-    // then cheap integer expressions over `g` (md5 is the expensive part)
-    val aggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod($"g" * a + b, lit(P))).as(s"h$i")
-    }
-    // NOTE: no shingle dedup here — the minimum over a multiset equals the
-    // minimum over its distinct set, so duplicates cannot change any h_i
-    shingleRows(spark,
-      Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism) // single-file input
-        .select($"doc_id", $"text"))
-      .withColumn("g", pmod(portableHash($"shingle"), lit(P)))
-      .groupBy($"doc_id")
-      .agg(aggs.head, aggs.tail: _*)
+    // the whole signature is ONE in-row native expression per document
+    // (shingle hashing + all 8 permutation minima in a single pass; the
+    // multiset minimum equals the distinct-set minimum) — zero shuffles,
+    // where the round-3 shape exploded every shingle through a groupBy.
+    // Docs with <3 words have no shingles and drop, as the explode did.
+    val sig = graft.functions.ShingleFunctions.minhashSig(split($"text", " "))
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+      .select($"doc_id", sig.as("sig"))
+      .filter($"sig".isNotNull)
+      .select($"doc_id" +: (0 until 8).map(i => $"sig" (i).as(s"h$i")): _*)
       .orderBy($"doc_id")
   }
 

@@ -56,11 +56,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
-  test("q27: native hash expression participates in codegen") {
+  test("q27: native signature expression participates in codegen") {
     val df = Dedup.q27MinhashSig(spark, dir)
     df.collect() // execute THIS plan so AQE finalizes and codegen ids materialize
     val p = plan(df)
-    assert(p.contains("portable_hash60"), s"native expression absent:\n$p")
+    assert(p.contains("minhash_sig"), s"native expression absent:\n$p")
     assert(p.contains("codegen id"), s"no codegen span:\n$p")
   }
 
@@ -82,17 +82,20 @@ class PlanSpec extends AnyFunSuite {
   test("q26/q28: the shingle/signature pipeline runs ONCE (no self-join double evaluation)") {
     // the hot stage starts at the shingle explode (Generate posexplode);
     // the round-1 self-join shape instantiated the whole pipeline once per
-    // join side. The posting-list expansion must leave exactly one
-    // shingle-explode instance (q28's pair expansion adds its own
-    // posexplode over the tiny posting lists — count only word explodes).
-    def shingleStages(df: org.apache.spark.sql.DataFrame): Int = {
-      val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    // join side. Since round 4 the shingle/signature work is IN-ROW
+    // (native shingle_hashes / minhash_sig) — the plans must contain the
+    // native expression and NO word-explode at all (a posexplode over
+    // split(...) means the pipeline regressed to the shuffled shape)
+    def wordExplodes(p: String): Int =
       p.linesIterator.count(l => l.contains("Generate posexplode") && l.contains("split"))
-    }
-    val n26 = shingleStages(Dedup.q26ShingleJaccard(spark, dir))
-    val n28 = shingleStages(Dedup.q28MinhashPairs(spark, dir))
-    assert(n26 == 1, s"q26 instantiates the shingle pipeline $n26×")
-    assert(n28 == 1, s"q28 instantiates the shingle pipeline $n28×")
+    val p26 = Dedup.q26ShingleJaccard(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    val p28 = Dedup.q28MinhashPairs(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(wordExplodes(p26) == 0, s"q26 explodes words (in-row shingling regressed):\n$p26")
+    assert(wordExplodes(p28) == 0, s"q28 explodes words (in-row shingling regressed):\n$p28")
+    assert(p26.contains("shingle_hashes"), s"q26 missing native shingle_hashes:\n$p26")
+    assert(p28.contains("minhash_sig"), s"q28 missing native minhash_sig:\n$p28")
     // q40's signature build is in-row since round 4 (ddot against
     // hyperplane literals): the plan must contain NO embedding posexplode
     // at all — candidates expand from posting lists, not a sig self-join
