@@ -89,7 +89,13 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.count(_._2 < 0)},"passes":2,"overhead_per_query":$overhead,"sf":"$sfDir"}""")
+    // subset runs are self-identifying: an official run must say
+    // full_suite:true, so a stray SPARK_GRAFT_ONLY can't silently shrink
+    // the reported total
+    val fullSuite = names.size == SparkEntry.queries.size
+    val subset = if (fullSuite) "" else
+      s""","subset":${names.map(jstr).mkString("[", ",", "]")}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.count(_._2 < 0)},"passes":2,"overhead_per_query":$overhead,"full_suite":$fullSuite$subset,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,16 +21,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * Decimal — measured 7× on the sf1 q1 aggregate, where the decimal
   * buffer dominated the marginal cost vs DuckDB's vectorized int128.
   *
-  * Overflow headroom: |Σ unscaled| must stay under 2⁶³ (~9.2e18 = 9.2e16
-  * currency units at scale 2), and the final long→double conversion is
-  * exact below 2⁵³ — the same practical envelope the DECIMAL(18, 2) input
-  * cast already imposed per row; a 100 TB deployment keeping >2⁵³ unscaled
-  * totals per GROUP would move the division into BigDecimal.
+  * Per-row envelope: exactly the one `cast(double → DECIMAL(18, scale))`
+  * imposed — a non-finite input or a quantized value wider than 18 digits
+  * yields NULL (skipped by `sum`), never an exception. |Σ unscaled| must
+  * still stay under 2⁶³ (~9.2e18), and the final long→double conversion is
+  * exact below 2⁵³; callers that sum these longs guard that group-level
+  * envelope (see `Relational.dsum`'s overflow canary).
   */
 case class DecScaledLong(child: Expression, scale: Int)
     extends UnaryExpression {
 
   override def nullIntolerant: Boolean = true
+  // NULL is produced for non-finite / >18-digit inputs even when the child
+  // is non-nullable (same nullability the replaced decimal cast had)
+  override def nullable: Boolean = true
   override def dataType: DataType = LongType
   override def prettyName: String = "dec_scaled_long"
 
@@ -41,12 +45,22 @@ case class DecScaledLong(child: Expression, scale: Int)
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    FixedPointOps.scaledLong(input.asInstanceOf[Double], scale)
+    FixedPointOps.scaledLongOrNull(input.asInstanceOf[Double], scale)
 
   // helper statics live outside the companion (the Janino static-forwarder
   // trap documented on DotProduct)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.FixedPointOps.scaledLong($c, $scale)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("scaled")
+      s"""
+         |java.lang.Long $boxed = graft.functions.FixedPointOps.scaledLongOrNull($c, $scale);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.longValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): DecScaledLong =
     copy(child = newChild)
@@ -59,8 +73,16 @@ object DecScaledLong {
 
 /** Static eval helpers called from generated code. */
 object FixedPointOps {
-  def scaledLong(x: Double, scale: Int): Long =
-    java.math.BigDecimal.valueOf(x)
+  /** Quantize with `cast(double → DECIMAL(18, scale))` null semantics: NaN,
+    * ±Infinity, and quantized values wider than 18 digits return null (the
+    * boxed Long is immediately unboxed in generated code — scalar-replaced
+    * on the hot path). precision ≤ 18 ⇒ |unscaled| < 10¹⁸ < 2⁶³, so the
+    * narrowing is exact.
+    */
+  def scaledLongOrNull(x: Double, scale: Int): java.lang.Long = {
+    if (!java.lang.Double.isFinite(x)) return null
+    val bd = java.math.BigDecimal.valueOf(x)
       .setScale(scale, java.math.RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
+    if (bd.precision() > 18) null else bd.unscaledValue().longValue()
+  }
 }

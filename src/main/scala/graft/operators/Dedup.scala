@@ -97,19 +97,38 @@ object Dedup {
     * O(|bucket|²/cap²) bounded rows, with the role fan-out duplicating each
     * chunk row only |bucket|/cap times.
     *
-    * `rows` must carry `keys` plus a `valueCol` whose values are DISTINCT
-    * within each key group (every caller's posting lists are per-doc
-    * distinct); with cnt ≤ cap per group, the plan degenerates to exactly
-    * the single-collect round-3 shape plus the counting window.
+    * PRECONDITION: `rows` must carry `keys` plus a `valueCol` whose values
+    * are DISTINCT within each key group — duplicates would silently emit
+    * wrong/duplicate pairs (every in-repo caller satisfies this: q28/q44/
+    * q45 posting lists are built per-doc distinct, q31's values are the
+    * distinct doc_ids themselves). New callers enable `validate` (default:
+    * `-Dgraft.validate=true`) to turn a violation into a raise instead;
+    * the check is a window count over (keys, value) — one extra shuffle,
+    * so it is opt-in, not an always-on cost. With cnt ≤ cap per group, the
+    * plan degenerates to exactly the single-collect round-3 shape plus the
+    * counting window.
     *
     * Output: `keys` + (`a`, `b`) value pairs.
     */
   def boundedPairs(
       rows: DataFrame, keys: Seq[String], valueCol: String,
-      cap: Int = hotBucketCap): DataFrame = {
+      cap: Int = hotBucketCap,
+      validate: Boolean = java.lang.Boolean.getBoolean("graft.validate")): DataFrame = {
     import rows.sparkSession.implicits._
     val kcols = keys.map(col)
-    val lists = chunkedPostingLists(rows, keys, valueCol, cap)
+    val checked = if (!validate) rows else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy((keys.map(col) :+ col(valueCol)): _*)
+      rows
+        .withColumn("_dupcnt", count(lit(1)).over(w))
+        .withColumn(valueCol,
+          when($"_dupcnt" > 1, raise_error(concat(
+            lit("boundedPairs precondition violated: duplicate value within key group: "),
+            col(valueCol).cast("string"))))
+            .otherwise(col(valueCol)))
+        .drop("_dupcnt")
+    }
+    val lists = chunkedPostingLists(checked, keys, valueCol, cap)
     val emptyRoles = array().cast("array<struct<lo:int,hi:int,isL:boolean>>")
     val selfRole =
       array(struct($"_chunk".as("lo"), $"_chunk".as("hi"), lit(true).as("isL")))

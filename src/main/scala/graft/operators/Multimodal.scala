@@ -248,6 +248,12 @@ object Multimodal {
       }.nextOption().getOrElse(
         throw new javax.sound.sampled.UnsupportedAudioFileException("no provider"))
       val fmt = ais.getFormat
+      // the RMS loop below reconstructs 16-bit little-endian signed PCM;
+      // any other parsed format (8-bit, float, big-endian, unsigned) would
+      // make rms deterministic-but-meaningless, so degrade to the sentinel
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return (-1, -1, -1L, -1.0)
       val nFrames = ais.getFrameLength
       val data = ais.readAllBytes()
       val n = data.length / 2

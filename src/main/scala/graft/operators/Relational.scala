@@ -27,18 +27,37 @@ import graft.Tables
   */
 object Relational {
 
-  /** Exact decimal(18,2) sum of a double column, surfaced as double —
+  /** Exact decimal(18,scale) sum of a double column, surfaced as double —
     * computed in fixed point: each value quantizes to its exact unscaled
     * long (the same shortest-repr HALF_UP quantization as
-    * `cast(DECIMAL(18,2))`), the longs sum exactly in a primitive buffer,
-    * and one division rounds the same rational the decimal→double cast
-    * would. Bit-identical to `sum(c.cast(DecimalType(18,2))).cast("double")`
-    * (the round-3 formulation) and ~7× cheaper per row — Spark's Decimal
-    * aggregation buffer was the whole marginal-cost gap vs DuckDB's
-    * vectorized decimal on the aggregate family (SCALE.md sf1 run).
+    * `cast(DECIMAL(18,s))`, with the same NULL on non-finite / >18-digit
+    * input), the longs sum exactly in a primitive buffer, and one division
+    * rounds the same rational the decimal→double cast would. Bit-identical
+    * to `sum(c.cast(DecimalType(18,s))).cast("double")` (the round-3
+    * formulation) and ~7× cheaper per row — Spark's Decimal aggregation
+    * buffer was the whole marginal-cost gap vs DuckDB's vectorized decimal
+    * on the aggregate family (SCALE.md sf1 run).
+    *
+    * Overflow canary: a 64-bit sum of unscaled longs wraps silently where
+    * the old decimal(28,s) buffer surfaced overflow as NULL — at scale 4
+    * with ~1e9-unscaled rows that is only ~1e9 rows/group of headroom. The
+    * aggregate therefore also tracks count and max|unscaled| (primitive
+    * map-side buffers, negligible next to the sum) and RAISES when
+    * count·max|v| could reach 2⁶³ — the conservative sufficient bound under
+    * which wraparound is impossible. Silent-wrong becomes a visible error
+    * with ~2% false-positive margin at the boundary.
     */
-  def dsum(c: Column): Column =
-    (sum(graft.functions.DecScaledLong.decScaledLong(c, 2)).cast("double") / 100.0)
+  def dsumScaled(c: Column, scale: Int): Column = {
+    val d = graft.functions.DecScaledLong.decScaledLong(c, scale)
+    val maxAbs = greatest(abs(coalesce(max(d), lit(0L))), abs(coalesce(min(d), lit(0L))))
+    val safe = count(d).cast("double") * maxAbs.cast("double") < lit(9.0e18)
+    when(safe, sum(d).cast("double") / math.pow(10.0, scale))
+      .otherwise(raise_error(lit(
+        s"dsum overflow canary: count*max|unscaled| may exceed 2^63 at scale $scale; " +
+          "re-aggregate this group family with a decimal buffer")))
+  }
+
+  def dsum(c: Column): Column = dsumScaled(c, 2)
 
   /** Deterministic avg: exact decimal sum / count, divided in double. */
   def davg(c: Column): Column =
@@ -54,8 +73,7 @@ object Relational {
       .agg(
         dsum($"l_quantity").as("sum_qty"),
         dsum($"l_extendedprice").as("sum_base_price"),
-        (sum(graft.functions.DecScaledLong.decScaledLong(
-          $"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)).cast("double") / 10000.0)
+        dsumScaled($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
           .as("sum_disc_price"),
         count(lit(1)).as("n_rows"))
       .orderBy($"l_returnflag", $"l_linestatus")
@@ -148,8 +166,7 @@ object Relational {
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name")
       .agg(
-        (sum(graft.functions.DecScaledLong.decScaledLong(
-          $"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)).cast("double") / 10000.0)
+        dsumScaled($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
           .as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy($"r_name")

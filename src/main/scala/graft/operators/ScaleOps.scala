@@ -54,8 +54,7 @@ object ScaleOps {
       .agg(
         count(lit(1)).as("n_events"),
         first($"user_total").as("user_total"),
-        (sum(graft.functions.DecScaledLong.decScaledLong($"value", 2))
-          .cast("double") / 100.0).as("total_value"))
+        Relational.dsum($"value").as("total_value"))
       .orderBy($"user_id")
   }
 
@@ -68,8 +67,7 @@ object ScaleOps {
     Tables.orders(spark, dir)
       .rollup($"o_orderpriority", $"o_orderstatus")
       .agg(count(lit(1)).as("n"),
-        (sum(graft.functions.DecScaledLong.decScaledLong($"o_totalprice", 2))
-          .cast("double") / 100.0).as("total"))
+        Relational.dsum($"o_totalprice").as("total"))
       .select(
         coalesce($"o_orderpriority", lit("<all>")).as("priority"),
         coalesce($"o_orderstatus", lit("<all>")).as("status"),

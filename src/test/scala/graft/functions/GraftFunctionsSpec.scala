@@ -124,4 +124,60 @@ class GraftFunctionsSpec extends AnyFunSuite {
       ($"v".cast(DecimalType(18, 2)) * 100).cast("long").as("c")).collect()
     rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"row ${r.getDouble(0)}"))
   }
+
+  test("dec_scaled_long nulls non-finite and >18-digit inputs like the decimal cast") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    import spark.implicits._
+    // the NULL contract matches cast(DECIMAL(18,2)) under NON-ANSI
+    // semantics (ANSI casts throw instead — exactly the failure mode this
+    // guard exists to avoid): > 18 quantized digits or non-finite → null
+    val bad = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      1e17, -1e17, 9.99e16) // at scale 2: unscaled ≥ 10^18 → precision > 18
+    val ok = Seq(0.0, -12.345, 9.99e15, 1e15)
+    val out = (bad.map(("bad", _)) ++ ok.map(("ok", _))).toDF("kind", "v")
+      .select($"kind", DecScaledLong.decScaledLong($"v", 2).as("q")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(1) == (r.getString(0) == "bad"),
+        s"wrong nullness for ${r.getString(0)} input")
+    }
+    // interpreted eval path agrees with codegen
+    assert(FixedPointOps.scaledLongOrNull(Double.NaN, 2) == null)
+    assert(FixedPointOps.scaledLongOrNull(1e17, 2) == null)
+    assert(FixedPointOps.scaledLongOrNull(-12.345, 2) == -1235L) // HALF_UP away from zero
+  }
+
+  test("dsum overflow canary raises instead of wrapping silently") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Under ANSI (the session default) a 64-bit sum overflow already raises
+    // in the agg buffer itself; the canary exists for NON-ANSI deployments,
+    // where the same sum wraps silently — exercise that path explicitly.
+    // 200 rows of 1e15 at scale 2 → count·max|unscaled| = 2e19 > 2^63 bound
+    val hot = Seq.fill(200)(("g", 1e15)).toDF("g", "v")
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val ex = intercept[Exception] {
+        hot.groupBy($"g").agg(graft.operators.Relational.dsum($"v")).collect()
+      }
+      assert(messages(ex).exists(_.contains("dsum overflow canary")), ex.toString)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+    // and under ANSI the overflow is still a visible error, never silence
+    val ansiEx = intercept[Exception] {
+      hot.groupBy($"g").agg(graft.operators.Relational.dsum($"v")).collect()
+    }
+    assert(messages(ansiEx).exists(m =>
+      m.contains("dsum overflow canary") || m.contains("ARITHMETIC_OVERFLOW")), ansiEx.toString)
+    // a safe group of the same shape still matches the decimal formulation
+    val safe = Seq.tabulate(200)(i => ("g", i * 1.01)).toDF("g", "v")
+    val viaFixed = safe.groupBy($"g")
+      .agg(graft.operators.Relational.dsum($"v").as("s")).collect()(0).getDouble(1)
+    val viaDec = safe.groupBy($"g")
+      .agg(sum($"v".cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+        .cast("double").as("s")).collect()(0).getDouble(1)
+    assert(viaFixed == viaDec)
+  }
 }

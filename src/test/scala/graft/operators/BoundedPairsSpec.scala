@@ -65,6 +65,22 @@ class BoundedPairsSpec extends AnyFunSuite {
     assert(collected(1000) == collected(5))
   }
 
+  test("validate mode: duplicate values within a key group raise, distinct pass unchanged") {
+    val dup = df(Seq(("k", 1L), ("k", 2L), ("k", 2L)))
+    val ex = intercept[Exception] {
+      Dedup.boundedPairs(dup, Seq("k"), "v", cap = 25, validate = true).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("boundedPairs precondition")), ex.toString)
+    val ok = df((0L until 40L).map(v => ("k", v)))
+    def rows(validate: Boolean) =
+      Dedup.boundedPairs(ok, Seq("k"), "v", cap = 25, validate = validate)
+        .select(col("k"), col("a"), col("b")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rows(true) == rows(false))
+  }
+
   test("q26 stop-shingle cap: huge maxDf is a no-op, maxDf=0 drops everything") {
     val dir = "/root/testdata/sf0.001"
     val base = Dedup.shingleJaccardPairs(spark, dir, 0.5, None).collect().map(_.toSeq).toSeq

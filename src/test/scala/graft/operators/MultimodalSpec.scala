@@ -58,6 +58,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert((sr, ch, nf, rms) == ((-1, -1, -1L, -1.0)))
   }
 
+  test("a parseable-but-not-16-bit-LE WAV degrades to the sentinel, not a bogus RMS") {
+    // valid 8-bit unsigned PCM WAV: AudioSystem parses it fine, but the RMS
+    // loop assumes 16-bit LE signed — the guard must return the sentinel
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+    val samples = Array.tabulate[Byte](800)(i => ((i % 200) + 28).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val out = Multimodal.decodeWavScalar(bos.toByteArray)
+    assert(out == ((-1, -1, -1L, -1.0)), s"8-bit WAV produced $out")
+  }
+
   test("a corrupt payload degrades to a sentinel row, not a task failure") {
     import spark.implicits._
     val bad = Seq((1L, Array[Byte](1, 2, 3)), (2L, Multimodal.syntheticJpeg(2L)))
