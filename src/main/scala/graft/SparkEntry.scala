@@ -20,12 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ Dedup.queries ++
       Similarity.queries ++ WinProb.queries ++ ChessQueries.queries ++
-      Multimodal.queries ++ ScaleOps.queries
+      Multimodal.queries ++ ScaleOps.queries ++ TrainPrep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextOps.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ WinProb.oracles ++ ChessQueries.oracles ++
-      Multimodal.oracles ++ ScaleOps.oracles
+      Multimodal.oracles ++ ScaleOps.oracles ++ TrainPrep.oracles
 }

@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-corpus preparation operators beyond the dedup/similarity
+  * families: deterministic sampling, sequence packing, PII scrubbing,
+  * benchmark decontamination, and tf-idf term extraction — the remaining
+  * steps a large-scale LLM data pipeline runs between raw documents and
+  * tokenized shards.
+  *
+  * Determinism: sampling uses the portable md5-derived hash (no RNG state,
+  * so the sample is reproducible, partition-independent, and replayable by
+  * the DuckDB oracle); packing is the concat-then-split convention (bin =
+  * starting offset / budget in a per-(lang, source) id-ordered stream), not
+  * order-dependent greedy bin packing.
+  *
+  * Scale notes (100 TB): the sample filter is per-row (no shuffle, pushes
+  * nothing to the driver); packing windows partition by (lang, source) —
+  * a deployment with giant single strata would sub-bucket the stream key
+  * the same way the reference's id-ordering convention allows; the
+  * contamination join shuffles on shingle hash (high cardinality) with the
+  * benchmark side small enough to broadcast; tf-idf's df table is
+  * |vocabulary| rows — broadcast when small, shuffle-joined otherwise.
+  */
+object TrainPrep {
+
+  /** q49 — deterministic stratified Bernoulli sample: keep a document when
+    * its salted portable hash lands under the per-language per-mille rate
+    * (en is upsampled 2×). Reproducible across runs/partitions — the
+    * property a training pipeline needs so re-runs and incremental
+    * backfills select the same rows.
+    */
+  def q49HashSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = Dedup.portableHash(concat(lit("smpl:"), $"doc_id".cast("string"))) % 100
+    Tables.documents(spark, dir)
+      .withColumn("bucket", bucket)
+      .filter($"bucket" < when($"lang" === "en", 20).otherwise(10))
+      .select($"doc_id", $"lang", $"source", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  /** Token budget per packed sequence (q50). */
+  val packBudget = 512
+
+  /** q50 — sequence packing, concat-then-split convention: documents are
+    * streamed in doc_id order within (lang, source), conceptually
+    * concatenated, and split every [[packBudget]] tokens; a document's bin
+    * is the bin of its first token. One window cumsum — no driver loop, no
+    * order-dependent greedy state.
+    */
+  def q50SeqPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum($"n_tokens").over(w) - $"n_tokens")
+      .select($"doc_id", $"lang", $"source", $"n_tokens",
+        floor($"start_off" / lit(packBudget.toDouble)).as("bin_id"),
+        ($"start_off" % packBudget).as("bin_offset"))
+      .orderBy($"doc_id")
+  }
+
+  // conservative regex subset shared verbatim by java.util.regex and
+  // DuckDB's RE2: no lookaround, no backrefs
+  private[operators] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val phoneRe = "\\b555-[0-9]+\\b"
+
+  /** q51 — PII scrub: redact emails and 555-prefixed phone numbers, count
+    * the redactions. The synthetic corpus carries no PII, so the scrub
+    * target is planted in-plan (a contact line derived from doc_id) —
+    * making the regex semantics, not the data, the thing under test; a
+    * production run drops the planting projection and scrubs `text`
+    * directly with the identical plan.
+    */
+  def q51PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+      lit("@example.com or call 555-"), $"doc_id".cast("string"), lit(" now"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", planted.as("raw"))
+      .select($"doc_id",
+        size(regexp_extract_all($"raw", lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all($"raw", lit(phoneRe), lit(0))).as("n_phones"),
+        regexp_replace(regexp_replace($"raw", emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  /** Benchmark membership for q52: every 97th document stands in for an
+    * eval-set shard.
+    */
+  private def isBenchmark = col("doc_id") % 97 === 0
+
+  /** q52 — benchmark decontamination: for each corpus document, the count
+    * of distinct word 3-gram shingles it shares with ANY benchmark
+    * document, and the contaminated-fraction of its own shingles. The join
+    * shuffles on the shingle hash; the benchmark shingle set is tiny
+    * relative to the corpus (an eval suite, not a second corpus), so
+    * Catalyst broadcasts it — no full-corpus self-join ever happens.
+    */
+  def q52Contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // benchmark membership filters BEFORE shingling: the two sides share no
+    // subtree, so neither pipeline is instantiated twice (the q26/q28
+    // self-join lesson), and the bench side only shingles 1/97 of the docs
+    def shingled(side: DataFrame) =
+      Dedup.shingleRows(spark, side.select($"doc_id", $"text"))
+        .select($"doc_id", Dedup.portableHash($"shingle").as("sh_h"))
+        .distinct()
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+    val bench = broadcast(
+      shingled(docs.filter(isBenchmark)).select($"sh_h").distinct())
+    val corpus = shingled(docs.filter(!isBenchmark))
+      .withColumn("n_shingles", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    corpus
+      .join(bench, Seq("sh_h"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"), first($"n_shingles").as("n_shingles"))
+      .select($"doc_id", $"n_shared",
+        round($"n_shared".cast("double") / $"n_shingles", 6).as("contamination"))
+      .orderBy($"doc_id")
+  }
+
+  /** q53 — top-3 tf-idf terms per document: tf from the exploded tokens,
+    * df over the distinct (doc, word) pairs, idf = ln(N/df) with the score
+    * rounded to 6dp BEFORE ranking so both engines rank the identical
+    * value (word ascending breaks ties deterministically). The df table is
+    * |vocab| rows — broadcast; tf aggregation shuffles on (doc, word).
+    */
+  def q53Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+    val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).select(countDistinct($"doc_id").as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), Seq("word"))
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"word",
+        round($"tf" * log($"n_docs".cast("double") / $"df"), 6).as("score"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"word".asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"word", $"score", $"rk")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_hash_sample" -> (q49HashSample _),
+    "q50_seq_pack" -> (q50SeqPack _),
+    "q51_pii_scrub" -> (q51PiiScrub _),
+    "q52_contamination" -> (q52Contamination _),
+    "q53_tfidf" -> (q53Tfidf _)
+  )
+
+  private val hashSql =
+    "CAST(('0x' || substring(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q49_hash_sample" ->
+      s"""SELECT doc_id, lang, source, $hashSql % 100 AS bucket
+         |FROM documents
+         |WHERE $hashSql % 100 < CASE WHEN lang = 'en' THEN 20 ELSE 10 END
+         |ORDER BY doc_id""".stripMargin,
+    "q50_seq_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  -- sum() OVER a BIGINT is HUGEINT in DuckDB; pin it back
+         |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang, source
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+         |  FROM t)
+         |SELECT doc_id, lang, source, n_tokens,
+         |  CAST(floor(start_off / ${packBudget}.0) AS BIGINT) AS bin_id,
+         |  start_off % $packBudget AS bin_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q51_pii_scrub" -> {
+      val planted = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com or call 555-' || CAST(doc_id AS VARCHAR) || ' now'"
+      s"""WITH raw AS (SELECT doc_id, $planted AS raw FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(raw, '$emailRe')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(raw, '$phoneRe')) AS INT) AS n_phones,
+         |  regexp_replace(regexp_replace(raw, '$emailRe', '<EMAIL>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g') AS clean_text
+         |FROM raw ORDER BY doc_id""".stripMargin
+    },
+    "q52_contamination" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      [string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+        |       for i in range(1, len(string_split(text, ' ')) - 1)]
+        |      ELSE [] END) AS sh
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS sh_h
+        |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM docs)),
+        |bench AS (SELECT DISTINCT sh_h FROM hashed WHERE doc_id % 97 = 0),
+        |corpus AS (
+        |  SELECT *, count(*) OVER (PARTITION BY doc_id) AS n_shingles
+        |  FROM hashed WHERE doc_id % 97 <> 0)
+        |SELECT doc_id, count(*) AS n_shared,
+        |  round(CAST(count(*) AS DOUBLE) / any_value(n_shingles), 6) AS contamination
+        |FROM corpus WHERE sh_h IN (SELECT sh_h FROM bench)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q53_tfidf" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+        |  FROM tf JOIN df USING (word) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, word ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, word, score, CAST(rk AS INT) AS rk
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+  )
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the training-prep family (exactness vs DuckDB is the
+  * driver gate; these pin the semantic contracts that survive any
+  * refactor of the plan shapes).
+  */
+class TrainPrepSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q49: sample is deterministic, every kept row's bucket is under its stratum rate") {
+    val a = TrainPrep.q49HashSample(spark, dir).collect().map(_.toSeq).toSeq
+    val b = TrainPrep.q49HashSample(spark, dir).collect().map(_.toSeq).toSeq
+    assert(a == b, "hash sample must be reproducible run-to-run")
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val (lang, bucket) = (r(1).asInstanceOf[String], r(3).asInstanceOf[Long])
+      val rate = if (lang == "en") 20 else 10
+      assert(bucket >= 0 && bucket < rate, s"bucket $bucket outside stratum rate $rate")
+    }
+  }
+
+  test("q50: concat-then-split packing — offsets bounded, bins reconstructible from cumsum") {
+    val rows = TrainPrep.q50SeqPack(spark, dir)
+      .select("lang", "source", "doc_id", "n_tokens", "bin_id", "bin_offset")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, _, _, _, off) =>
+      off >= 0 && off < TrainPrep.packBudget }, "bin_offset outside [0, budget)")
+    // replay the convention per stratum in plain Scala
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, g) =>
+      var cum = 0L
+      g.sortBy(_._3).foreach { case (_, _, id, toks, bin, off) =>
+        assert(bin == cum / TrainPrep.packBudget, s"bin for doc $id")
+        assert(off == cum % TrainPrep.packBudget, s"offset for doc $id")
+        cum += toks
+      }
+    }
+  }
+
+  test("q51: exactly one planted email and phone per doc, both redacted") {
+    import spark.implicits._
+    val out = TrainPrep.q51PiiScrub(spark, dir)
+      .as[(Long, Int, Int, String)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, ne, np, clean) =>
+      assert(ne == 1 && np == 1, s"doc $id counted ($ne, $np)")
+      assert(clean.contains("<EMAIL>") && clean.contains("<PHONE>"), s"doc $id")
+      assert(!clean.contains("@example.com") && !clean.contains("call 555-"), s"doc $id")
+    }
+  }
+
+  test("q52: contamination is in (0, 1], benchmark docs never appear") {
+    import spark.implicits._
+    val out = TrainPrep.q52Contamination(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, shared, frac) =>
+      assert(id % 97 != 0, s"benchmark doc $id leaked into corpus output")
+      assert(shared >= 1, s"doc $id emitted with zero shared shingles")
+      assert(frac > 0.0 && frac <= 1.0, s"doc $id contamination $frac")
+    }
+  }
+
+  test("q53: at most 3 terms per doc, ranks dense from 1, scores non-increasing") {
+    import spark.implicits._
+    val out = TrainPrep.q53Tfidf(spark, dir)
+      .as[(Long, String, Double, Int)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (id, g) =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.length <= 3 && sorted.map(_._4).toSeq == (1 to sorted.length),
+        s"ranks for doc $id")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3
+        case _ => true
+      }, s"scores not non-increasing for doc $id")
+    }
+  }
+}
