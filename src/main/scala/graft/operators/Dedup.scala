@@ -270,13 +270,42 @@ object Dedup {
     // multiset minimum equals the distinct-set minimum) — zero shuffles,
     // where the round-3 shape exploded every shingle through a groupBy.
     // Docs with <3 words have no shingles and drop, as the explode did.
+    minhashSigRaw(spark, dir).orderBy($"doc_id")
+  }
+
+  /** [[q27MinhashSig]] without the presentation sort (band construction
+    * doesn't need it).
+    */
+  private[operators] def minhashSigRaw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val sig = graft.functions.ShingleFunctions.minhashSig(split($"text", " "))
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism) // single-file input
       .select($"doc_id", sig.as("sig"))
       .filter($"sig".isNotNull)
       .select($"doc_id" +: (0 until 8).map(i => $"sig" (i).as(s"h$i")): _*)
-      .orderBy($"doc_id")
+  }
+
+  /** LSH band membership rows (doc_id, band, r0, r1): 4 bands × 2 rows via
+    * ONE posexplode over an in-row struct array — a 4-way union of selects
+    * from the signature table re-instantiates the whole signature pipeline
+    * once per branch (PlanSpec counts the instances). Shared by the q28
+    * pair expansion and the q48 membership-graph clustering.
+    */
+  /** Dev-profiling alias for [[minhashBands]] (Prof lives outside this
+    * package).
+    */
+  private[graft] def probeBands(spark: SparkSession, dir: String): DataFrame =
+    minhashBands(spark, dir)
+
+  private[operators] def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bandStructs = (0 until 4).map { bnd =>
+      struct(col(s"h${2 * bnd}").as("r0"), col(s"h${2 * bnd + 1}").as("r1"))
+    }
+    minhashSigRaw(spark, dir)
+      .select($"doc_id", posexplode(array(bandStructs: _*)).as(Seq("band", "b")))
+      .select($"doc_id", $"band", $"b.r0".as("r0"), $"b.r1".as("r1"))
   }
 
   /** MinHash LSH candidate pairs: 4 bands × 2 rows over the 8-long
@@ -285,16 +314,7 @@ object Dedup {
     */
   def q28MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sig = q27MinhashSig(spark, dir)
-    // band rows via ONE posexplode over an in-row struct array — a 4-way
-    // union of selects from `sig` re-instantiates the whole signature
-    // pipeline once per branch (PlanSpec counts the instances)
-    val bandStructs = (0 until 4).map { bnd =>
-      struct(col(s"h${2 * bnd}").as("r0"), col(s"h${2 * bnd + 1}").as("r1"))
-    }
-    val bands = sig
-      .select($"doc_id", posexplode(array(bandStructs: _*)).as(Seq("band", "b")))
-      .select($"doc_id", $"band", $"b.r0".as("r0"), $"b.r1".as("r1"))
+    val bands = minhashBands(spark, dir)
     // bucket docs by full band value and expand pairs WITHIN each bucket:
     // the signature pipeline (the expensive md5 shingle pass) runs ONCE —
     // the round-1 band self-join evaluated it twice, once per join side.
@@ -416,10 +436,75 @@ object Dedup {
     while (frontierSize > 0) {
       val step = ccStep(sym, labels, frontier).localCheckpoint(true)
       frontierSize = step.filter($"_moved").count()
+      if (java.lang.Boolean.getBoolean("graft.cc.log"))
+        println(s"[cc] edge round: moved=$frontierSize")
       labels = step.select($"node", $"label")
       frontier = step.filter($"_moved").select($"node", $"label")
     }
     sym.unpersist()
+    labels
+  }
+
+  /** Connected components over a bipartite membership list (node ∈ bucket)
+    * WITHOUT materializing the pair graph: nodes sharing a bucket are
+    * connected, exactly the LSH candidate-pair semantics, but each
+    * iteration's messages are the Σk bucket memberships rather than the
+    * Σk² expanded pairs — for a hot bucket (the 100 TB boilerplate case,
+    * k in the millions) that is the difference between a linear shuffle
+    * and an impossible quadratic one. Alternating min-label rounds: changed
+    * nodes push labels into their buckets (min per bucket), every member of
+    * a touched bucket pulls the bucket minimum; a node's label only ever
+    * decreases, and an untouched bucket's minimum was already offered to
+    * all its members, so the frontier restriction loses nothing. Converges
+    * in O(component diameter in bucket-hops) iterations, same as the edge
+    * formulation.
+    *
+    * Two narrow copies of the (≥2-member) membership list are cached, one
+    * hash-partitioned by node for the push join, one by bucket for the pull
+    * join — every iteration reuses those partitionings instead of
+    * re-shuffling the memberships. Size-1 buckets carry no connectivity and
+    * are dropped up front (the sizing window shares the bucket
+    * partitioning). Labels are localCheckpoint'ed per iteration — the same
+    * lineage-truncation requirement documented on [[connectedComponents]].
+    *
+    * Output: (node, label) for every node appearing in a ≥2-member bucket,
+    * label = min node id of the component.
+    */
+  def membershipComponents(
+      m: DataFrame, bucketCols: Seq[String], nodeCol: String): DataFrame = {
+    import m.sparkSession.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val bc = bucketCols.map(col)
+    val sized = m
+      .withColumn("_sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(bc: _*)))
+      .filter($"_sz" >= 2)
+      .select(bc :+ col(nodeCol).as("node"): _*)
+    val byBucket = sized.repartition(bc: _*).persist(StorageLevel.MEMORY_AND_DISK)
+    val byNode = sized.repartition($"node").persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = byNode.select($"node").distinct()
+      .withColumn("label", $"node")
+      .localCheckpoint(true)
+    var frontier = labels
+    var moved = frontier.count()
+    while (moved > 0) {
+      val bmin = byNode.join(frontier, Seq("node"))
+        .groupBy(bc: _*).agg(min($"label").as("_bl"))
+      val cand = byBucket.join(bmin, bucketCols)
+        .groupBy($"node").agg(min($"_bl").as("_cand"))
+      val step = labels.join(cand, Seq("node"), "left")
+        .select($"node",
+          least($"label", coalesce($"_cand", $"label")).as("label"),
+          coalesce($"_cand" < $"label", lit(false)).as("_moved"))
+        .localCheckpoint(true)
+      moved = step.filter($"_moved").count()
+      if (java.lang.Boolean.getBoolean("graft.cc.log"))
+        println(s"[cc] membership round: moved=$moved")
+      labels = step.select($"node", $"label")
+      frontier = step.filter($"_moved").select($"node", $"label")
+    }
+    byBucket.unpersist()
+    byNode.unpersist()
     labels
   }
 
@@ -429,11 +514,17 @@ object Dedup {
     * docs in no candidate pair are their own singleton cluster. Downstream
     * a training run keeps `doc_id == rep_doc_id` rows — the multi-doc
     * generalization of [[q25ExactDedup]]'s survivor contract.
+    *
+    * Clustering runs on the band MEMBERSHIP graph ([[membershipComponents]]),
+    * never expanding candidate pairs at all — the pair graph exists only in
+    * the q28 deliverable and the oracle, and the q48 plan's shuffle volume
+    * stays linear in the membership count even for a degenerate corpus
+    * where one bucket holds half the documents.
     */
   def q48NeardupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cc = connectedComponents(
-      q28MinhashPairs(spark, dir).select($"doc_a".as("u"), $"doc_b".as("v")))
+    val cc = membershipComponents(
+      minhashBands(spark, dir), Seq("band", "r0", "r1"), "doc_id")
     val wRep = org.apache.spark.sql.expressions.Window.partitionBy($"rep_doc_id")
     Tables.documents(spark, dir)
       .select($"doc_id")

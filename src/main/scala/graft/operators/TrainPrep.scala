@@ -113,8 +113,12 @@ object TrainPrep {
       Dedup.shingleRows(spark, side.select($"doc_id", $"text"))
         .select($"doc_id", Dedup.portableHash($"shingle").as("sh_h"))
         .distinct()
+    // partition by doc_id (not round-robin): hash(doc_id) satisfies the
+    // shingle window, the (doc_id, sh_h) distinct, the n_shingles window,
+    // and the final groupBy — one exchange feeds the whole corpus pipeline,
+    // and the bench side is a broadcast so the semi join adds none
     val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+      .repartition(col("doc_id")) // single-file input → also restores parallelism
     val bench = broadcast(
       shingled(docs.filter(isBenchmark)).select($"sh_h").distinct())
     val corpus = shingled(docs.filter(!isBenchmark))
@@ -131,19 +135,24 @@ object TrainPrep {
   /** q53 — top-3 tf-idf terms per document: tf from the exploded tokens,
     * df over the distinct (doc, word) pairs, idf = ln(N/df) with the score
     * rounded to 6dp BEFORE ranking so both engines rank the identical
-    * value (word ascending breaks ties deterministically). The df table is
-    * |vocab| rows — broadcast; tf aggregation shuffles on (doc, word).
+    * value (word ascending breaks ties deterministically).
+    *
+    * Single-pipeline shape: df is a count-window over `word` on the tf
+    * stream itself (df = |tf rows per word| by construction), not a
+    * groupBy-and-rejoin — a joined df table re-instantiates the whole
+    * tokenize+tf pipeline per side, the same trap as the q28 band union.
+    * The token stream crosses ONE exchange (hash(doc_id) satisfies the tf
+    * grouping); everything after moves |doc·distinct-word| rows only.
     */
   def q53Tfidf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val words = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+      .repartition(col("doc_id")) // single-file input → also restores parallelism
       .select($"doc_id", explode(split($"text", " ")).as("word"))
     val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir).select(countDistinct($"doc_id").as("n_docs"))
     val scored = tf
-      .join(broadcast(df), Seq("word"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"word")))
       .crossJoin(broadcast(n))
       .select($"doc_id", $"word",
         round($"tf" * log($"n_docs".cast("double") / $"df"), 6).as("score"))

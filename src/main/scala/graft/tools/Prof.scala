@@ -75,6 +75,60 @@ object Prof {
       println(f"[prof] 5000 on $nThreads threads:       ${(System.nanoTime() - t1) / 1e9}%.2f s")
       spark.stop(); return
     }
+    if (args.contains("plan")) {
+      // dump the physical plan skeleton of any SparkEntry query
+      val name = args(args.indexOf("plan") + 1)
+      val p = graft.SparkEntry.queries(name)(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      println(p)
+      spark.stop(); return
+    }
+    if (args.contains("cc")) {
+      import graft.operators.Dedup
+      // round structure of the two CC formulations on the real band graph
+      val bandsDf = Dedup.q28MinhashPairs(spark, dir)
+      t("q28 pairs (edge input)")(bandsDf)
+      val t0 = System.nanoTime()
+      val viaEdges = Dedup.connectedComponents(
+        Dedup.q28MinhashPairs(spark, dir)
+          .select($"doc_a".as("u"), $"doc_b".as("v")))
+      force(viaEdges)
+      println(f"[prof] edge CC end-to-end:          ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val t1 = System.nanoTime()
+      val viaMembership = Dedup.membershipComponents(
+        Dedup.probeBands(spark, dir), Seq("band", "r0", "r1"), "doc_id")
+      force(viaMembership)
+      println(f"[prof] membership CC end-to-end:    ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      t("q48 full")(Dedup.q48NeardupClusters(spark, dir))
+      spark.stop(); return
+    }
+    if (args.contains("dims")) {
+      // q6 stage decomposition: where does a 5-way dim join spend time?
+      val li = graft.Tables.lineitem(spark, dir)
+      val o = graft.Tables.orders(spark, dir)
+      val c = graft.Tables.customer(spark, dir)
+      val n = graft.Tables.nation(spark, dir)
+      val r = graft.Tables.region(spark, dir)
+      t("q6: li scan")(li.select($"l_orderkey", $"l_extendedprice", $"l_discount"))
+      t("q6: li join o")(li.join(o, $"l_orderkey" === $"o_orderkey")
+        .select($"l_extendedprice", $"o_custkey"))
+      t("q6: li join bcast(o)")(li.join(broadcast(o), $"l_orderkey" === $"o_orderkey")
+        .select($"l_extendedprice", $"o_custkey"))
+      t("q6: full")(graft.operators.Relational.q6JoinDims(spark, dir))
+      t("q6: full, bcast o+c") {
+        li.join(broadcast(o), $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name")
+          .agg(graft.operators.Relational
+            .dsumScaled($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"r_name")
+      }
+      t("q4: full")(graft.operators.Relational.q4Clock(spark, dir))
+      spark.stop(); return
+    }
     t("q44: sketch32")(Dedup.simhashSketch(spark, dir, 32))
     t("q44: sketch+bands") {
       val sk = Dedup.simhashSketch(spark, dir, 32)

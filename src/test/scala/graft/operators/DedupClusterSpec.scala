@@ -53,6 +53,33 @@ class DedupClusterSpec extends AnyFunSuite {
     sym.unpersist()
   }
 
+  test("membership components == edge components on the expanded pair graph") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // 120 nodes scattered over 40 buckets, multi-membership, some isolated
+    val m = (0 until 250).map { _ =>
+      (s"b${rng.nextInt(40)}", rng.nextInt(120).toLong)
+    }.distinct.toDF("bucket", "node")
+    val viaMembership = Dedup.membershipComponents(m, Seq("bucket"), "node")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // expand the same connectivity as pairs and run the edge formulation
+    val pairs = m.as("x").join(m.as("y"), "bucket")
+      .select($"x.node".as("u"), $"y.node".as("v"))
+      .filter($"u" < $"v").distinct()
+    val viaEdges = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaMembership == viaEdges)
+  }
+
+  test("membership components: a 20-bucket chain converges (diameter > 1 iteration)") {
+    import spark.implicits._
+    // node i shares bucket i with node i+1 → one 21-node chain
+    val m = (0L until 20L).flatMap(i => Seq((s"c$i", i), (s"c$i", i + 1)))
+      .toDF("bucket", "node")
+    val cc = Dedup.membershipComponents(m, Seq("bucket"), "node").collect()
+    assert(cc.length == 21 && cc.forall(_.getLong(1) == 0L))
+  }
+
   test("q48 is consistent with the q28 pair graph and q25-style survivor semantics") {
     val dir = "/root/testdata/sf0.001"
     val q48 = Dedup.q48NeardupClusters(spark, dir)
