@@ -276,14 +276,35 @@ object Dedup {
   /** [[q27MinhashSig]] without the presentation sort (band construction
     * doesn't need it).
     */
-  private[operators] def minhashSigRaw(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  private[operators] def minhashSigRaw(spark: SparkSession, dir: String): DataFrame =
+    sigRows(Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)) // single-file input
+
+  /** MinHash signature columns (h0..h7) for any (doc_id, text, ...) frame
+    * — batch or streaming (the signature is one in-row native expression,
+    * so it is streaming-safe by construction). Docs with <3 words have no
+    * shingles and drop.
+    */
+  private[graft] def sigRows(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val sig = graft.functions.ShingleFunctions.minhashSig(split($"text", " "))
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+    docs
       .select($"doc_id", sig.as("sig"))
       .filter($"sig".isNotNull)
       .select($"doc_id" +: (0 until 8).map(i => $"sig" (i).as(s"h$i")): _*)
+  }
+
+  /** LSH band membership rows (doc_id, band, r0, r1) from signature rows —
+    * the in-row posexplode shared by batch and streaming band pipelines.
+    */
+  private[graft] def bandRowsFromSigs(sigs: DataFrame): DataFrame = {
+    import sigs.sparkSession.implicits._
+    val bandStructs = (0 until 4).map { bnd =>
+      struct(col(s"h${2 * bnd}").as("r0"), col(s"h${2 * bnd + 1}").as("r1"))
+    }
+    sigs
+      .select($"doc_id", posexplode(array(bandStructs: _*)).as(Seq("band", "b")))
+      .select($"doc_id", $"band", $"b.r0".as("r0"), $"b.r1".as("r1"))
   }
 
   /** LSH band membership rows (doc_id, band, r0, r1): 4 bands × 2 rows via
@@ -298,15 +319,8 @@ object Dedup {
   private[graft] def probeBands(spark: SparkSession, dir: String): DataFrame =
     minhashBands(spark, dir)
 
-  private[operators] def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val bandStructs = (0 until 4).map { bnd =>
-      struct(col(s"h${2 * bnd}").as("r0"), col(s"h${2 * bnd + 1}").as("r1"))
-    }
-    minhashSigRaw(spark, dir)
-      .select($"doc_id", posexplode(array(bandStructs: _*)).as(Seq("band", "b")))
-      .select($"doc_id", $"band", $"b.r0".as("r0"), $"b.r1".as("r1"))
-  }
+  private[operators] def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    bandRowsFromSigs(minhashSigRaw(spark, dir))
 
   /** MinHash LSH candidate pairs: 4 bands × 2 rows over the 8-long
     * signature; docs sharing any full band become candidates. Output is

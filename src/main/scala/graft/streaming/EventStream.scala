@@ -147,6 +147,64 @@ object EventStream {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  final case class BandMembership(doc_id: Long, band: Int, r0: Long, r1: Long)
+
+  final case class BucketClaim(first_doc: Long)
+
+  final case class BucketHit(doc_id: Long, band: Int, first_doc: Long)
+
+  /** Streaming NEAR-dup gate — the online counterpart of the batch
+    * q28/q48 MinHash-LSH family: an incoming document is a near-dup
+    * CANDIDATE when any of its LSH band buckets was already claimed by an
+    * earlier document. State is ONE long per occupied bucket (the first
+    * claimant's doc_id), keyed by the band triple via
+    * flatMapGroupsWithState; the signature and band rows are in-row native
+    * expressions (streaming-safe, no shuffle before the state operator's
+    * own keyed exchange).
+    *
+    * Semantics are stream-ordered by design: the first arrival claims the
+    * bucket (ties within a micro-batch break by min doc_id, so a replay of
+    * the same batches is deterministic); on full replay the candidate SET
+    * matches the batch pair graph — a doc is flagged iff it shares a
+    * bucket with a doc that arrived before it. Output is one row per band
+    * membership (doc_id, band, first_doc); a doc is a candidate iff any of
+    * its rows has first_doc != doc_id — that per-doc ANY is a second
+    * stateful aggregation, so it runs batch-side (foreachBatch /
+    * [[neardupFlags]]), the same split [[toJdbc]] uses.
+    *
+    * Scale notes: state size is |occupied buckets| longs, not |docs|; an
+    * unbounded deployment bounds it with state TTL (GroupStateTimeout) or
+    * keeps claims in the at-rest store via the J7 anti-join pattern —
+    * exactly the [[dedupStreamBounded]] trade documented for exact dedup.
+    */
+  def neardupGate(docs: DataFrame): Dataset[BucketHit] = {
+    import docs.sparkSession.implicits._
+    graft.operators.Dedup.bandRowsFromSigs(
+      graft.operators.Dedup.sigRows(docs))
+      .as[BandMembership]
+      .groupByKey(m => (m.band, m.r0, m.r1))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        bucketFold)
+  }
+
+  private[streaming] def bucketFold(
+      key: (Int, Long, Long),
+      rows: Iterator[BandMembership],
+      state: GroupState[BucketClaim]): Iterator[BucketHit] = {
+    val sorted = rows.toSeq.sortBy(_.doc_id)
+    val claimant = state.getOption.map(_.first_doc)
+      .getOrElse(sorted.head.doc_id)
+    if (state.getOption.isEmpty) state.update(BucketClaim(claimant))
+    sorted.iterator.map(m => BucketHit(m.doc_id, m.band, claimant))
+  }
+
+  /** Batch-side reduction of [[neardupGate]] output: per-doc candidate
+    * flag (any bucket already claimed by another doc).
+    */
+  def neardupFlags(hits: DataFrame): DataFrame =
+    hits.groupBy(col("doc_id"))
+      .agg(max(col("first_doc") =!= col("doc_id")).as("is_candidate"))
+
   /** Batch-mode sessionization with identical semantics (window-based),
     * used to cross-check the stateful operator and as the at-rest variant.
     */

@@ -155,6 +155,51 @@ class EventStreamSpec extends AnyFunSuite {
     assert(served.nonEmpty)
   }
 
+  test("streaming near-dup gate: full replay flags exactly the docs sharing a bucket with an earlier doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val q = EventStream.neardupGate(source.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("gate").start()
+    try {
+      // two micro-batches, deliberately NOT id-ordered across the split:
+      // late batch docs must flag against early batch claims regardless of id
+      val (late, early) = docs.partition(_._1 % 3 == 0)
+      source.addData(early)
+      q.processAllAvailable()
+      source.addData(late)
+      q.processAllAvailable()
+      val hits = spark.sql("SELECT doc_id, band, first_doc FROM gate")
+      val flagged = EventStream.neardupFlags(hits)
+        .filter(col("is_candidate")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+
+      // sequential reference fold in plain Scala, same arrival order
+      val bands = Dedup.bandRowsFromSigs(Dedup.sigRows(docs.toDF("doc_id", "text")))
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3)))
+      val byDoc = bands.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val claims = scala.collection.mutable.Map.empty[(Int, Long, Long), Long]
+      val expected = scala.collection.mutable.Set.empty[Long]
+      Seq(early, late).foreach { batch =>
+        val inBatch = batch.map(_._1).filter(byDoc.contains).sorted
+        // within a batch the min doc_id claims (bucketFold's tie-break)
+        inBatch.foreach { d =>
+          byDoc(d).foreach(b => claims.getOrElseUpdate(b, d))
+        }
+        inBatch.foreach { d =>
+          if (byDoc(d).exists(b => claims(b) != d)) expected += d
+        }
+      }
+      assert(flagged == expected.toSet)
+      assert(flagged.nonEmpty, "fixture produced no near-dup candidates")
+    } finally q.stop()
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) agrees with the batch window formulation") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
