@@ -591,6 +591,24 @@ object Dedup {
        |  SELECT doc_id, 2, h4, h5 FROM sig UNION ALL
        |  SELECT doc_id, 3, h6, h7 FROM sig)""".stripMargin
 
+  /** Band CTEs + recursive min-label closure down to `lab(doc_id,
+    * rep_doc_id)` — shared by the q48 oracle and the q54 corpus-pipeline
+    * oracle (must follow `WITH RECURSIVE`).
+    */
+  private[operators] val ccLabCtes: String =
+    s"""$minhashBandsCtes,
+       |edges AS (
+       |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.doc_id < b.doc_id),
+       |sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+       |cc AS (
+       |  SELECT doc_id, doc_id AS rep FROM documents
+       |  UNION
+       |  SELECT s.v AS doc_id, c.rep FROM cc c JOIN sym s ON s.u = c.doc_id
+       |  WHERE c.rep < s.v),
+       |lab AS (SELECT doc_id, min(rep) AS rep_doc_id FROM cc GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q25_exact_dedup" ->
       """SELECT min(doc_id) AS survivor_doc_id, count(*) AS cluster_size
@@ -636,18 +654,7 @@ object Dedup {
     // reaches every member (every hop away from m satisfies rep < node),
     // so min(rep) per doc is the component representative.
     "q48_neardup_clusters" ->
-      s"""WITH RECURSIVE $minhashBandsCtes,
-         |edges AS (
-         |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.doc_id < b.doc_id),
-         |sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
-         |cc AS (
-         |  SELECT doc_id, doc_id AS rep FROM documents
-         |  UNION
-         |  SELECT s.v AS doc_id, c.rep FROM cc c JOIN sym s ON s.u = c.doc_id
-         |  WHERE c.rep < s.v),
-         |lab AS (SELECT doc_id, min(rep) AS rep_doc_id FROM cc GROUP BY doc_id)
+      s"""WITH RECURSIVE $ccLabCtes
          |SELECT doc_id, rep_doc_id,
          |  count(*) OVER (PARTITION BY rep_doc_id) AS cluster_size
          |FROM lab ORDER BY doc_id""".stripMargin,

@@ -53,17 +53,22 @@ object TrainPrep {
     * is the bin of its first token. One window cumsum — no driver loop, no
     * order-dependent greedy state.
     */
-  def q50SeqPack(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def q50SeqPack(spark: SparkSession, dir: String): DataFrame =
+    pack(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** The packing stage over any (doc_id, lang, source, text, ...) frame —
+    * shared by q50 and the q54 pipeline composition.
+    */
+  private def pack(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
-    Tables.documents(spark, dir)
+    docs
       .select($"doc_id", $"lang", $"source",
         size(split($"text", " ")).cast("long").as("n_tokens"))
       .withColumn("start_off", sum($"n_tokens").over(w) - $"n_tokens")
       .select($"doc_id", $"lang", $"source", $"n_tokens",
         floor($"start_off" / lit(packBudget.toDouble)).as("bin_id"),
         ($"start_off" % packBudget).as("bin_offset"))
-      .orderBy($"doc_id")
   }
 
   // conservative regex subset shared verbatim by java.util.regex and
@@ -164,12 +169,43 @@ object TrainPrep {
       .orderBy($"doc_id", $"rk")
   }
 
+  /** q54 — the training-corpus pipeline END TO END, composed from the
+    * family's own operators in one plan: (1) drop benchmark (eval-set)
+    * documents from the corpus; (2) keep only near-dup cluster survivors
+    * (the [[Dedup.membershipComponents]] representative — non-reps
+    * anti-join out); (3) drop documents whose shingle contamination
+    * against the benchmark set is ≥ 0.5; (4) sequence-pack what remains
+    * (same concat-then-split convention as q50). This is the deliverable a
+    * training run actually consumes — every stage is individually oracled
+    * (q48, q52, q50) and the composition is oracled as one CTE chain.
+    *
+    * Scale shape: three anti/semi joins against SMALL derived sets
+    * (non-reps, contaminated, benchmark ids) over one pass of the corpus,
+    * then the packing window — no stage materializes anything quadratic.
+    */
+  def q54CorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nonReps = Dedup
+      .membershipComponents(Dedup.probeBands(spark, dir), Seq("band", "r0", "r1"), "doc_id")
+      .filter($"node" =!= $"label")
+      .select($"node".as("doc_id"))
+    val contaminated = q52Contamination(spark, dir)
+      .filter($"contamination" >= 0.5)
+      .select($"doc_id")
+    val kept = Tables.documents(spark, dir)
+      .filter(!isBenchmark)
+      .join(nonReps, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    pack(kept).orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_hash_sample" -> (q49HashSample _),
     "q50_seq_pack" -> (q50SeqPack _),
     "q51_pii_scrub" -> (q51PiiScrub _),
     "q52_contamination" -> (q52Contamination _),
-    "q53_tfidf" -> (q53Tfidf _)
+    "q53_tfidf" -> (q53Tfidf _),
+    "q54_corpus_pipeline" -> (q54CorpusPipeline _)
   )
 
   private val hashSql =
@@ -226,6 +262,36 @@ object TrainPrep {
         |  round(CAST(count(*) AS DOUBLE) / any_value(n_shingles), 6) AS contamination
         |FROM corpus WHERE sh_h IN (SELECT sh_h FROM bench)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q54_corpus_pipeline" ->
+      s"""WITH RECURSIVE ${Dedup.ccLabCtes},
+         |nonreps AS (SELECT doc_id FROM lab WHERE rep_doc_id <> doc_id),
+         |hashed2 AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS sh_h
+         |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM docs)),
+         |bench2 AS (SELECT DISTINCT sh_h FROM hashed2 WHERE doc_id % 97 = 0),
+         |corpus2 AS (
+         |  SELECT *, count(*) OVER (PARTITION BY doc_id) AS n_shingles
+         |  FROM hashed2 WHERE doc_id % 97 <> 0),
+         |contam AS (
+         |  SELECT doc_id FROM corpus2 WHERE sh_h IN (SELECT sh_h FROM bench2)
+         |  GROUP BY doc_id
+         |  HAVING round(CAST(count(*) AS DOUBLE) / any_value(n_shingles), 6) >= 0.5),
+         |kept AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  WHERE doc_id % 97 <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM nonreps)
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |packed AS (
+         |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang, source
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+         |  FROM kept)
+         |SELECT doc_id, lang, source, n_tokens,
+         |  CAST(floor(start_off / ${packBudget}.0) AS BIGINT) AS bin_id,
+         |  start_off % $packBudget AS bin_offset
+         |FROM packed ORDER BY doc_id""".stripMargin,
     "q53_tfidf" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -78,6 +78,27 @@ class TrainPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("q54: pipeline output is exactly survivors minus benchmark/contaminated, repacked") {
+    import spark.implicits._
+    val out = TrainPrep.q54CorpusPipeline(spark, dir)
+      .select("doc_id", "n_tokens", "bin_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val outIds = out.map(_._1).toSet
+    // no benchmark docs
+    assert(outIds.forall(_ % 97 != 0))
+    // no non-representative cluster members (q48 is the per-doc source of truth)
+    val nonReps = Dedup.q48NeardupClusters(spark, dir).collect()
+      .filter(r => r.getLong(0) != r.getLong(1)).map(_.getLong(0)).toSet
+    assert(outIds.intersect(nonReps).isEmpty, "a non-survivor leaked into the packed corpus")
+    // no heavily contaminated docs
+    val heavy = TrainPrep.q52Contamination(spark, dir)
+      .filter(col("contamination") >= 0.5).collect().map(_.getLong(0)).toSet
+    assert(outIds.intersect(heavy).isEmpty, "a contaminated doc leaked into the packed corpus")
+    // the packing convention holds on the FILTERED stream (offsets bounded)
+    assert(out.forall { case (_, _, off) => off >= 0 && off < TrainPrep.packBudget })
+  }
+
   test("q53: at most 3 terms per doc, ranks dense from 1, scores non-increasing") {
     import spark.implicits._
     val out = TrainPrep.q53Tfidf(spark, dir)
