@@ -344,12 +344,41 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** q55 — symmetric int8 embedding quantization (the standard serving /
+    * training compression step): per vector, scale = 127 / max|x| and
+    * q_i = round(x_i · scale) — |q_i| ≤ 127 by construction, zero vectors
+    * degrade to (scale 0, all-zero codes). Exploded to (vec_id, pos, qval)
+    * rows so the oracle hash covers every element.
+    *
+    * Engine parity: float→double widening is exact, IEEE division and
+    * multiplication are exactly rounded in both engines, and both round
+    * halves away from zero — so codes AND the raw double scale
+    * hash-match without any rounding fudge. Plan shape: one shuffle on
+    * vec_id (the max|x| window); elements never shuffle again.
+    */
+  def q55Int8Quant(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
+    Tables.embeddings(spark, dir)
+      .repartition($"vec_id") // single-file input → also restores parallelism
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos0", "x")))
+      .withColumn("maxabs", max(abs($"x")).over(w))
+      .select($"vec_id", ($"pos0" + 1).cast("long").as("pos"),
+        when($"maxabs" === 0f, 0.0)
+          .otherwise(lit(127.0) / $"maxabs".cast("double")).as("scale"),
+        when($"maxabs" === 0f, lit(0))
+          .otherwise(round($"x".cast("double") *
+            (lit(127.0) / $"maxabs".cast("double"))).cast("int")).as("qval"))
+      .orderBy($"vec_id", $"pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_cosine_topk" -> (q30CosineTopK _),
     "q31_embed_neardup" -> (q31EmbedNearDup _),
     "q32_ivf_ann" -> (q32IvfAnn _),
     "q40_lsh_ann" -> (q40LshAnn _),
-    "q45_lsh_neardup" -> (q45LshNearDup _)
+    "q45_lsh_neardup" -> (q45LshNearDup _),
+    "q55_int8_quant" -> (q55Int8Quant _)
   )
 
   /** Shared SQL: exact decimal dot via index-join on unnested elements. */
@@ -376,6 +405,17 @@ object Similarity {
       |  FROM sums GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q55_int8_quant" ->
+      s"""WITH e AS ($elemsSql),
+         |m AS (SELECT vec_id, max(abs(x)) AS maxabs FROM e GROUP BY vec_id)
+         |SELECT e.vec_id, CAST(e.i AS BIGINT) AS pos,
+         |  CASE WHEN m.maxabs = 0 THEN 0.0
+         |       ELSE 127.0 / CAST(m.maxabs AS DOUBLE) END AS scale,
+         |  CASE WHEN m.maxabs = 0 THEN 0
+         |       ELSE CAST(round(CAST(e.x AS DOUBLE) *
+         |         (127.0 / CAST(m.maxabs AS DOUBLE))) AS INT) END AS qval
+         |FROM e JOIN m USING (vec_id)
+         |ORDER BY vec_id, pos""".stripMargin,
     "q30_cosine_topk" ->
       s"""WITH norms AS ($normsSql),
          |e AS ($elemsSql),

@@ -69,4 +69,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probed == direct)
     assert(probed.nonEmpty)
   }
+
+  test("int8 quantization: codes bounded, dequantization error within half a step") {
+    import spark.implicits._
+    val rows = Similarity.q55Int8Quant(spark, dir)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, _, q) => q >= -127 && q <= 127 })
+    // reconstruct x̂ = q/scale and compare against the original elements:
+    // symmetric quantization guarantees |x − x̂| ≤ 0.5/scale
+    val orig = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos0", "x")))
+      .collect().map(r => (r.getLong(0), r.getInt(1) + 1L) -> r.getFloat(2)).toMap
+    rows.foreach { case (vid, pos, scale, q) =>
+      val x = orig((vid, pos)).toDouble
+      if (scale > 0)
+        assert(math.abs(x - q / scale) <= 0.5 / scale + 1e-12,
+          s"vec $vid pos $pos: $x vs ${q / scale}")
+      else assert(q == 0)
+    }
+  }
 }
