@@ -45,7 +45,13 @@ object TextOps {
     * a composite score and a keep/drop flag (the heuristics a pretraining
     * filter applies before expensive stages).
     */
-  def q22Quality(spark: SparkSession, dir: String): DataFrame = {
+  def q22Quality(spark: SparkSession, dir: String): DataFrame =
+    qualityRaw(spark, dir).orderBy(col("doc_id"))
+
+  /** [[q22Quality]] without the presentation sort — reused by the q56
+    * quality-survivor selection.
+    */
+  private[operators] def qualityRaw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = words($"text")
     val enStops = array(langStopwords.head._2.map(lit): _*)
@@ -64,7 +70,6 @@ object TextOps {
             when(meanLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.0)) * 0.3,
           6).as("quality_score"))
       .withColumn("keep", ($"quality_score" >= 0.5).cast("boolean"))
-      .orderBy($"doc_id")
   }
 
   /** Language ID by stopword vote: count tokens hitting each language's
@@ -142,6 +147,24 @@ object TextOps {
   private def stopList(lang: String): String =
     langStopwords.toMap.apply(lang).map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** Quality-score CTEs (`qf` raw ratios → `qscore` composite) — shared by
+    * the q22 oracle and the q56 quality-survivor oracle.
+    */
+  private[operators] val qualityCtes: String =
+    s"""qf AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${stopList("en")}, t))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stop_ratio,
+       |    CAST(list_sum(list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS mean_len
+       |  FROM documents),
+       |qscore AS (
+       |  SELECT doc_id, stop_ratio, mean_len,
+       |    round(CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END * 0.4 +
+       |          least(stop_ratio * 5.0, 1.0) * 0.3 +
+       |          CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END * 0.3, 6) AS quality_score
+       |  FROM qf)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q46_bpe_tokens" ->
       s"""SELECT doc_id,
@@ -158,21 +181,11 @@ object TextOps {
         |  CAST(len(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q22_quality" ->
-      s"""WITH f AS (
-         |  SELECT doc_id, n_chars,
-         |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${stopList("en")}, t))) AS DOUBLE)
-         |      / len(string_split(text, ' ')) AS stop_ratio,
-         |    CAST(list_sum(list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))) AS DOUBLE)
-         |      / len(string_split(text, ' ')) AS mean_len
-         |  FROM documents)
-         |SELECT doc_id, round(stop_ratio, 6) AS stop_ratio, round(mean_len, 6) AS mean_token_len,
-         |  round(CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END * 0.4 +
-         |        least(stop_ratio * 5.0, 1.0) * 0.3 +
-         |        CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END * 0.3, 6) AS quality_score,
-         |  (round(CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END * 0.4 +
-         |        least(stop_ratio * 5.0, 1.0) * 0.3 +
-         |        CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END * 0.3, 6) >= 0.5) AS keep
-         |FROM f ORDER BY doc_id""".stripMargin,
+      s"""WITH $qualityCtes
+         |SELECT doc_id, round(stop_ratio, 6) AS stop_ratio,
+         |  round(mean_len, 6) AS mean_token_len, quality_score,
+         |  (quality_score >= 0.5) AS keep
+         |FROM qscore ORDER BY doc_id""".stripMargin,
     "q23_langid" ->
       s"""WITH v AS (
          |  SELECT doc_id, lang AS labeled_lang,

@@ -199,13 +199,45 @@ object TrainPrep {
     pack(kept).orderBy($"doc_id")
   }
 
+  /** q56 — survivor selection by QUALITY: one row per near-dup cluster,
+    * keeping the member with the highest q22 quality score (doc_id breaks
+    * ties) instead of q48's min-id convention — the policy a production
+    * dedup actually wants (keep the best copy, not the first). Cluster
+    * identity stays the min-id label so q48 and q56 share vocabulary.
+    *
+    * Scale shape: the cluster label table is narrow (two longs per doc);
+    * the quality table is a per-row projection; the survivor window
+    * partitions by cluster id (high cardinality — clusters are small by
+    * construction).
+    */
+  def q56QualitySurvivor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cc = Dedup.membershipComponents(
+      Dedup.probeBands(spark, dir), Seq("band", "r0", "r1"), "doc_id")
+    val lab = Tables.documents(spark, dir).select($"doc_id")
+      .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"label", $"doc_id").as("cluster_id"))
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"quality_score".desc, $"doc_id".asc)
+    lab
+      .join(TextOps.qualityRaw(spark, dir).select($"doc_id", $"quality_score"),
+        Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy($"cluster_id")))
+      .filter($"rk" === 1)
+      .select($"cluster_id", $"doc_id".as("survivor_doc_id"),
+        $"quality_score".as("survivor_quality"), $"cluster_size")
+      .orderBy($"cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_hash_sample" -> (q49HashSample _),
     "q50_seq_pack" -> (q50SeqPack _),
     "q51_pii_scrub" -> (q51PiiScrub _),
     "q52_contamination" -> (q52Contamination _),
     "q53_tfidf" -> (q53Tfidf _),
-    "q54_corpus_pipeline" -> (q54CorpusPipeline _)
+    "q54_corpus_pipeline" -> (q54CorpusPipeline _),
+    "q56_quality_survivor" -> (q56QualitySurvivor _)
   )
 
   private val hashSql =
@@ -292,6 +324,18 @@ object TrainPrep {
          |  CAST(floor(start_off / ${packBudget}.0) AS BIGINT) AS bin_id,
          |  start_off % $packBudget AS bin_offset
          |FROM packed ORDER BY doc_id""".stripMargin,
+    "q56_quality_survivor" ->
+      s"""WITH RECURSIVE ${Dedup.ccLabCtes},
+         |${TextOps.qualityCtes},
+         |j AS (
+         |  SELECT l.rep_doc_id AS cluster_id, q.doc_id, q.quality_score,
+         |    row_number() OVER (PARTITION BY l.rep_doc_id
+         |      ORDER BY q.quality_score DESC, q.doc_id ASC) AS rk,
+         |    count(*) OVER (PARTITION BY l.rep_doc_id) AS cluster_size
+         |  FROM lab l JOIN qscore q USING (doc_id))
+         |SELECT cluster_id, doc_id AS survivor_doc_id,
+         |  quality_score AS survivor_quality, cluster_size
+         |FROM j WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
     "q53_tfidf" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -99,6 +99,27 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out.forall { case (_, _, off) => off >= 0 && off < TrainPrep.packBudget })
   }
 
+  test("q56: one survivor per q48 cluster, and it is the max-quality member") {
+    import spark.implicits._
+    val q48 = Dedup.q48NeardupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val quality = TextOps.q22Quality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val out = TrainPrep.q56QualitySurvivor(spark, dir)
+      .as[(Long, Long, Double, Long)].collect()
+    // same cluster vocabulary and sizes as q48
+    val q48Clusters = q48.map(t => t._2 -> t._3).toMap
+    assert(out.map(_._1).toSet == q48Clusters.keySet)
+    out.foreach { case (cid, _, _, size) => assert(size == q48Clusters(cid)) }
+    // survivor maximizes (quality, then min doc_id) within its cluster
+    val members = q48.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    out.foreach { case (cid, survivor, sq, _) =>
+      val best = members(cid).map(d => (-quality(d), d)).min
+      assert(survivor == best._2 && sq == quality(survivor),
+        s"cluster $cid picked $survivor, expected ${best._2}")
+    }
+  }
+
   test("q53: at most 3 terms per doc, ranks dense from 1, scores non-increasing") {
     import spark.implicits._
     val out = TrainPrep.q53Tfidf(spark, dir)
