@@ -27,6 +27,36 @@ object Sessions {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Builder preconfigured for the large-cluster deployment this library
+    * is designed for (SCALE.md) — the settings that change between
+    * `local[32]` and 1000 executors are all HERE, none in operator code.
+    * The caller supplies master/deploy specifics and `getOrCreate()`.
+    *
+    * Rationale per knob:
+    *  - shuffle.partitions high (AQE coalesces down at runtime; starting
+    *    low caps reduce parallelism instead)
+    *  - AQE skew-join splits hot reduce partitions (the salted-join
+    *    operator remains for pre-aggregated build sides AQE can't split)
+    *  - 128 MB file partitions bound scan-task memory against wide
+    *    binary/multimodal rows
+    *  - broadcast threshold raised to 64 MB: the dimension/benchmark/
+    *    query-set sides this library broadcasts are small even at 100 TB
+    *    fact scale, and a missed broadcast costs a full fact shuffle
+    */
+  def clusterBuilder(shufflePartitions: Int = 2048): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 }
 
 /** Readers for the driver-provided synthetic tables (TESTDATA.md).
