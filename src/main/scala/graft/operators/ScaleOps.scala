@@ -147,16 +147,63 @@ object ScaleOps {
       .orderBy($"event_id")
   }
 
+  /** q57 — funnel analysis: per user, the earliest view, the first click
+    * within an hour of it, and the first purchase within an hour of that
+    * click; `stage` counts how deep the user got. Each stage is a
+    * conditional-min aggregate over the event stream joined to the
+    * previous stage's |users|-sized frame — no window over the full
+    * stream, no per-user state, shuffles keyed on user_id throughout.
+    * Times are epoch-micros (the q19 convention: DuckDB timestamps are
+    * µs-precision; the parquet nanos are µs-zero-padded).
+    */
+  def q57Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", expr("ts div 1000").as("ts_us"))
+    def stageAfter(prev: DataFrame, evType: String, prevCol: String, outCol: String) =
+      ev.filter($"event_type" === evType)
+        .join(prev.select(col("user_id"), col(prevCol)), Seq("user_id"))
+        .filter($"ts_us" > col(prevCol) && $"ts_us" <= col(prevCol) + hourUs)
+        .groupBy($"user_id").agg(min($"ts_us").as(outCol))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts_us").as("view_us"))
+    val c = stageAfter(v, "click", "view_us", "click_us")
+    val p = stageAfter(c, "purchase", "click_us", "purchase_us")
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select($"user_id", $"view_us", $"click_us", $"purchase_us",
+        (lit(1) + when($"click_us".isNotNull, 1).otherwise(0) +
+          when($"purchase_us".isNotNull, 1).otherwise(0)).as("stage"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_approx_distinct" -> (q36ApproxDistinct _),
     "q37_salted_join" -> (q37SaltedJoin _),
     "q38_rollup" -> (q38Rollup _),
     "q39_sessionize" -> (q39Sessionize _),
     "q41_quantiles" -> (q41Quantiles _),
-    "q42_asof_join" -> (q42AsofJoin _)
+    "q42_asof_join" -> (q42AsofJoin _),
+    "q57_funnel" -> (q57Funnel _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q57_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS view_us FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT ev.user_id, min(ts_us) AS click_us FROM ev JOIN v USING (user_id)
+        |      WHERE event_type = 'click'
+        |        AND ts_us > view_us AND ts_us <= view_us + 3600000000 GROUP BY 1),
+        |p AS (SELECT ev.user_id, min(ts_us) AS purchase_us FROM ev JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase'
+        |        AND ts_us > click_us AND ts_us <= click_us + 3600000000 GROUP BY 1)
+        |SELECT v.user_id, view_us, click_us, purchase_us,
+        |  1 + CAST(click_us IS NOT NULL AS INT) + CAST(purchase_us IS NOT NULL AS INT) AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q36_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
         |  (CAST(abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id)) AS DOUBLE)
