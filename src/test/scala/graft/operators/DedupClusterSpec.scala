@@ -71,6 +71,12 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(viaMembership == viaEdges)
   }
 
+  test("membership components: all-singleton buckets produce no labels (everyone is a singleton)") {
+    import spark.implicits._
+    val m = (0L until 10L).map(i => (s"solo$i", i)).toDF("bucket", "node")
+    assert(Dedup.membershipComponents(m, Seq("bucket"), "node").isEmpty)
+  }
+
   test("membership components: a 20-bucket chain converges (diameter > 1 iteration)") {
     import spark.implicits._
     // node i shares bucket i with node i+1 → one 21-node chain
