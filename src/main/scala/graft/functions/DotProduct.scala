@@ -39,6 +39,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * both facts).
   *
   * Pass the same array twice for a squared norm (`dot(a, a)`).
+  *
+  * Element types: each side independently accepts `array<float>` or
+  * `array<double>` — the k-means family (q58) scores float corpus vectors
+  * against DOUBLE centroid arrays (decimal-exact per-dimension means), and
+  * casting those centroids to float would round them away from the values
+  * the oracle computes. A float element is widened exactly; a double
+  * element is used as-is, and double×double is exactly rounded in IEEE, so
+  * every product is engine-independent before the decimal quantization.
   */
 case class DotProduct(left: Expression, right: Expression, exact: Boolean)
     extends BinaryExpression {
@@ -47,19 +55,28 @@ case class DotProduct(left: Expression, right: Expression, exact: Boolean)
   override def dataType: DataType = DoubleType
   override def prettyName: String = if (exact) "ddot_native" else "fdot_native"
 
+  private def isDouble(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> inputs, got ${left.dataType} / ${right.dataType}")
+      s"$prettyName requires two array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    if (exact) DotOps.exact(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    else DotOps.fast(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (exact)
+      DotOps.exact(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        isDouble(left.dataType), isDouble(right.dataType))
+    else
+      DotOps.fast(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        isDouble(left.dataType), isDouble(right.dataType))
 
   // NOTE: the helpers live in the standalone DotOps object, NOT the
   // companion — the case-class accessor `exact()` suppresses the
@@ -67,7 +84,8 @@ case class DotProduct(left: Expression, right: Expression, exact: Boolean)
   // see the zero-arg accessor and fail to compile the generated call.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fn = if (exact) "exact" else "fast"
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotOps.$fn($a, $b)")
+    val (ad, bd) = (isDouble(left.dataType), isDouble(right.dataType))
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotOps.$fn($a, $b, $ad, $bd)")
   }
 
   override protected def withNewChildrenInternal(
@@ -91,33 +109,46 @@ object DotProduct {
 object DotOps {
 
   /** Plain double fold, left to right (same order as the `aggregate` it
-    * replaces, so prefilter thresholds are unchanged).
+    * replaces, so prefilter thresholds are unchanged). `aDbl`/`bDbl` select
+    * the element getter per side (double elements read as-is, floats widen
+    * exactly) — codegen passes compile-time constants, so the branches fold
+    * away after JIT.
     */
-  def fast(a: ArrayData, b: ArrayData): Double = {
+  def fast(a: ArrayData, b: ArrayData, aDbl: Boolean, bDbl: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      val x = if (aDbl) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDbl) b.getDouble(i) else b.getFloat(i).toDouble
+      s += x * y
       i += 1
     }
     s
   }
 
+  /** Float-only overload kept for source compatibility with existing specs. */
+  def fast(a: ArrayData, b: ArrayData): Double = fast(a, b, aDbl = false, bDbl = false)
+
   /** Order-independent exact dot: per-element product quantized to 14
     * decimal places through the shortest decimal representation (matching
     * Spark's and DuckDB's double→DECIMAL(28,14) cast), summed exactly.
     */
-  def exact(a: ArrayData, b: ArrayData): Double = {
+  def exact(a: ArrayData, b: ArrayData, aDbl: Boolean, bDbl: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = java.math.BigDecimal.ZERO
     var i = 0
     while (i < n) {
-      val p = a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      val x = if (aDbl) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDbl) b.getDouble(i) else b.getFloat(i).toDouble
+      val p = x * y
       acc = acc.add(new java.math.BigDecimal(java.lang.Double.toString(p))
         .setScale(14, java.math.RoundingMode.HALF_UP))
       i += 1
     }
     acc.doubleValue()
   }
+
+  /** Float-only overload kept for source compatibility with existing specs. */
+  def exact(a: ArrayData, b: ArrayData): Double = exact(a, b, aDbl = false, bDbl = false)
 }

@@ -372,13 +372,82 @@ object Similarity {
       .orderBy($"vec_id", $"pos")
   }
 
+  /** Seed count for [[q58Kmeans]]: the first `kmeansK` vectors by vec_id. */
+  val kmeansK = 8
+
+  /** q58 — k-means over the embedding corpus, two Lloyd iterations with
+    * deterministic seeds (vec_id < [[kmeansK]]): assign every vector to its
+    * nearest centroid by squared Euclidean distance, recompute centroids as
+    * the per-dimension mean of their members, re-assign. Output is the
+    * final (vec_id, cid, dist) assignment — the clustering a curation
+    * pipeline uses for topic bucketing / domain discovery over embeddings.
+    * A deployment loops the same update step to convergence; two unrolled
+    * iterations pin the semantics without a data-dependent trip count.
+    *
+    * Engine parity: dist² = ‖v‖² + ‖c‖² − 2·v·c with every inner product
+    * decimal-exact ([[ddot]]), distances rounded to 6dp before the argmin
+    * (ties break on cid); updated centroids are per-dimension
+    * decimal-exact means rounded to 6dp and kept as DOUBLE arrays — the
+    * [[graft.functions.DotProduct]] expression scores float vectors
+    * against double centroids directly, because a float cast would round
+    * the means away from the oracle's values.
+    *
+    * Scale shape (MLlib's own k-means layout): centroids are k tiny rows —
+    * broadcast to every assignment, so the corpus NEVER shuffles for
+    * scoring; the argmin window and the update aggregate both shuffle
+    * narrow (vec_id|cid, dist|sum) rows with map-side partials, never the
+    * embedding arrays. Work per iteration is |corpus|·k in-row
+    * multiply-adds plus two narrow shuffles — the plan a 1000-executor
+    * cluster wants.
+    */
+  def q58Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+      .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
+    val c0 = emb.filter($"vec_id" < kmeansK)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nn".as("cn"))
+    val a1 = assignToCentroids(emb, c0)
+    // centroid update: decimal-exact per-dimension mean over each cluster,
+    // rounded to 6dp. The aggregate moves (cid, pos, decimal) rows — the
+    // arrays stay where they were scanned
+    val means = a1.select($"vec_id", $"cid")
+      .join(emb, Seq("vec_id"))
+      .select($"cid", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"cid", $"pos")
+      .agg(round(sum($"x".cast("double").cast("decimal(28,14)")).cast("double") /
+        count(lit(1)), 6).as("m"))
+    val c1 = means.groupBy($"cid")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+        s => s.getField("m")).as("ce"))
+      .select($"cid", $"ce", dnorm2($"ce").as("cn"))
+    assignToCentroids(emb, c1).orderBy($"vec_id")
+  }
+
+  /** One Lloyd assignment: nearest centroid by 6dp-rounded squared
+    * Euclidean distance, ties on cid. Centroids broadcast; the ranking
+    * window shuffles narrow (vec_id, cid, dist) rows only.
+    */
+  private def assignToCentroids(emb: DataFrame, cents: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"dist".asc, $"cid".asc)
+    emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cid",
+        round($"nn" + $"cn" - lit(2.0) * ddot($"embedding", $"ce"), 6).as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"cid", $"dist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_cosine_topk" -> (q30CosineTopK _),
     "q31_embed_neardup" -> (q31EmbedNearDup _),
     "q32_ivf_ann" -> (q32IvfAnn _),
     "q40_lsh_ann" -> (q40LshAnn _),
     "q45_lsh_neardup" -> (q45LshNearDup _),
-    "q55_int8_quant" -> (q55Int8Quant _)
+    "q55_int8_quant" -> (q55Int8Quant _),
+    "q58_kmeans" -> (q58Kmeans _)
   )
 
   /** Shared SQL: exact decimal dot via index-join on unnested elements. */
@@ -405,6 +474,43 @@ object Similarity {
       |  FROM sums GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q58_kmeans" ->
+      s"""WITH norms AS ($normsSql),
+         |e AS ($elemsSql),
+         |d1 AS (
+         |  SELECT v.vec_id, c.vec_id AS cid,
+         |    CAST(SUM(CAST(CAST(v.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
+         |  FROM e v JOIN e c ON v.i = c.i WHERE c.vec_id < $kmeansK
+         |  GROUP BY 1, 2),
+         |a1 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT d1.vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY d1.vec_id
+         |        ORDER BY round(nv.nn + nc.nn - 2 * dot, 6) ASC, cid ASC) AS rk
+         |    FROM d1 JOIN norms nv ON d1.vec_id = nv.vec_id
+         |            JOIN norms nc ON cid = nc.vec_id)
+         |  WHERE rk = 1),
+         |m AS (
+         |  SELECT a1.cid, e.i,
+         |    round(CAST(SUM(CAST(CAST(e.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6) AS m
+         |  FROM a1 JOIN e ON e.vec_id = a1.vec_id
+         |  GROUP BY 1, 2),
+         |cn AS (
+         |  SELECT cid, CAST(SUM(CAST(m * m AS DECIMAL(28,14))) AS DOUBLE) AS cn
+         |  FROM m GROUP BY cid),
+         |d2 AS (
+         |  SELECT e.vec_id, m.cid,
+         |    CAST(SUM(CAST(CAST(e.x AS DOUBLE) * m.m AS DECIMAL(28,14))) AS DOUBLE) AS dot
+         |  FROM e JOIN m ON e.i = m.i
+         |  GROUP BY 1, 2),
+         |a2 AS (
+         |  SELECT vec_id, cid, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+         |  FROM (
+         |    SELECT d2.vec_id, d2.cid, round(nv.nn + cn.cn - 2 * dot, 6) AS dist
+         |    FROM d2 JOIN norms nv ON d2.vec_id = nv.vec_id
+         |            JOIN cn ON d2.cid = cn.cid))
+         |SELECT vec_id, cid, dist FROM a2 WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     "q55_int8_quant" ->
       s"""WITH e AS ($elemsSql),
          |m AS (SELECT vec_id, max(abs(x)) AS maxabs FROM e GROUP BY vec_id)
