@@ -136,12 +136,97 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** q59 — repetition metrics, the Gopher-family filter a pretraining
+    * pipeline runs before anything expensive: per document the word 2-gram
+    * count, the duplicate-2-gram fraction (1 − distinct/total) and the
+    * top-2-gram fraction (most frequent 2-gram / total). Boilerplate and
+    * degenerate generator loops light up both fractions.
+    *
+    * Plan shape: 2-grams are stitched with ONE lead() window over the
+    * posexploded tokens (the array-lambda variant re-evaluates its split
+    * subtree per element after project collapsing — the [[graft.operators.Dedup.shingleRows]]
+    * lesson); the window's hash(doc_id) exchange then satisfies BOTH
+    * downstream aggregations (per-(doc, gram) counts and the per-doc
+    * rollup), so the token stream crosses exactly one shuffle. Single-token
+    * documents have no 2-grams and drop, matching the oracle.
+    */
+  def q59Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    Tables.documents(spark, dir)
+      .repartition($"doc_id") // single-file input → also restores parallelism
+      .select($"doc_id", posexplode(words($"text")).as(Seq("pos", "word")))
+      .withColumn("w1", lead($"word", 1).over(w))
+      .filter($"w1".isNotNull)
+      .select($"doc_id", concat_ws(" ", $"word", $"w1").as("gram"))
+      .groupBy($"doc_id", $"gram")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"cnt").as("n_2grams"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum($"cnt"), 6)
+          .as("dup_2gram_frac"),
+        round(max($"cnt").cast("double") / sum($"cnt"), 6).as("top_2gram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** q60 — unigram-LM quality score (the zero-dependency stand-in for a
+    * KenLM perplexity filter): p(w) is the corpus unigram MLE and each
+    * document scores its length-normalized log-likelihood
+    * Σ tf·ln p(w) / Σ tf. Documents of rare-token soup score far below
+    * prose drawn from the corpus distribution — the standard perplexity
+    * screen with the LM replaced by the corpus itself.
+    *
+    * Engine parity: per-(doc, word) terms are rounded ONCE to integer
+    * micro-nats (round(tf·ln p · 1e6) — generic irrational values, so the
+    * rounding boundary is never hit), summed EXACTLY as longs, and the
+    * final mean is a single IEEE division of exact integers — bit-identical
+    * across engines. A 6dp round of the mean instead would sit exactly on
+    * ....5e-7 decimal boundaries whenever the micro-nat sum divides the
+    * token count evenly — where Spark (decimal-string HALF_UP) and DuckDB
+    * (multiply-then-round) legitimately disagree; measured on this corpus
+    * at 3 docs in 500.
+    *
+    * Plan shape: corpus word counts are a sum-window over the tf stream
+    * (a joined frequency table would re-instantiate the tokenize pipeline
+    * per side — the q53 lesson); the token stream collapses to tf rows on
+    * its one hash(doc_id) exchange, and only tf rows cross the word window
+    * and the final per-doc rollup. The total-token count is a separate
+    * scalar aggregate over the raw table (scan-only, broadcast back).
+    */
+  def q60UnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .repartition($"doc_id") // single-file input → also restores parallelism
+      .select($"doc_id", explode(words($"text")).as("word"))
+      .groupBy($"doc_id", $"word")
+      .agg(count(lit(1)).as("tf"))
+    val n = Tables.documents(spark, dir)
+      .select(sum(size(words($"text")).cast("long")).cast("double").as("n_total"))
+    tf
+      .withColumn("cw", sum($"tf").over(Window.partitionBy($"word")))
+      .crossJoin(broadcast(n))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"tf").as("n_tokens"),
+        sum(round($"tf" * log($"cw".cast("double") / $"n_total") * lit(1e6))
+          .cast("long")).as("lp_micro"))
+      .select($"doc_id", $"n_tokens",
+        ($"lp_micro".cast("double") / ($"n_tokens".cast("double") * lit(1e6)))
+          .as("logprob"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_text_stats" -> (q21TextStats _),
     "q22_quality" -> (q22Quality _),
     "q23_langid" -> (q23LangId _),
     "q24_fingerprint" -> (q24Fingerprint _),
-    "q46_bpe_tokens" -> (q46BpeTokens _)
+    "q46_bpe_tokens" -> (q46BpeTokens _),
+    "q59_repetition" -> (q59Repetition _),
+    "q60_unigram_lm" -> (q60UnigramLm _)
   )
 
   private def stopList(lang: String): String =
@@ -206,6 +291,27 @@ object TextOps {
         |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents)
         |SELECT doc_id, md5(norm) AS fingerprint,
         |  md5(array_to_string(string_split(norm, ' ')[1:8], ' ')) AS prefix_fingerprint
-        |FROM n ORDER BY doc_id""".stripMargin
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "q59_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+        |  FROM t),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_2grams,
+        |  round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS dup_2gram_frac,
+        |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_2gram_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q60_unigram_lm" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+        |cw AS (SELECT *, sum(tf) OVER (PARTITION BY word) AS cw FROM tf),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM words)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CAST(round(tf * ln(CAST(cw AS DOUBLE) / n_total) * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / (CAST(sum(tf) AS DOUBLE) * 1e6) AS logprob
+        |FROM cw CROSS JOIN n GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-side replays of the round-5 text-analysis additions: the DuckDB
+  * hash gate proves engine parity; these prove the SEMANTICS by recomputing
+  * the metrics from the raw text in plain Scala.
+  */
+class TextOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Spark's round(col, s): decimal expansion of the double's shortest
+    * string, HALF_UP.
+    */
+  private def r(x: Double, s: Int): Double =
+    JBigDecimal.valueOf(x).setScale(s, RoundingMode.HALF_UP).doubleValue()
+
+  private lazy val texts: Map[Long, Array[String]] =
+    graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(row => row.getLong(0) -> row.getString(1).split(" ", -1)).toMap
+
+  test("q59: metrics equal a plain-Scala sliding-window replay") {
+    val out = TextOps.q59Repetition(spark, dir).collect()
+      .map(row => row.getLong(0) -> (row.getLong(1), row.getDouble(2), row.getDouble(3))).toMap
+    val expected = texts.collect { case (id, toks) if toks.length >= 2 =>
+      val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      val total = grams.size.toDouble
+      id -> (grams.size.toLong,
+        r(1.0 - counts.size / total, 6), r(counts.values.max / total, 6))
+    }
+    assert(out == expected)
+  }
+
+  test("q60: log-prob equals a plain-Scala corpus-MLE replay; common beats rare") {
+    val corpusCw: Map[String, Long] =
+      texts.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTotal = corpusCw.values.sum.toDouble
+    val out = TextOps.q60UnigramLm(spark, dir).collect()
+      .map(row => row.getLong(0) -> (row.getLong(1), row.getDouble(2))).toMap
+    val expected = texts.map { case (id, toks) =>
+      val microSum = toks.groupBy(identity).map { case (w, ts) =>
+        val tf = ts.size.toLong
+        JBigDecimal.valueOf(tf * math.log(corpusCw(w) / nTotal) * 1e6)
+          .setScale(0, RoundingMode.HALF_UP).longValue()
+      }.sum
+      id -> (toks.length.toLong, microSum.toDouble / (toks.length.toDouble * 1e6))
+    }
+    assert(out == expected)
+    // the score orders documents by how typical their tokens are
+    val maxCw = corpusCw.values.max.toDouble
+    val minCw = corpusCw.values.min.toDouble
+    out.values.foreach { case (_, lp) =>
+      assert(lp <= math.log(maxCw / nTotal) + 1e-6 &&
+        lp >= math.log(minCw / nTotal) - 1e-6)
+    }
+  }
+}
