@@ -548,7 +548,53 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** q61 — shingle CONTAINMENT for the LSH candidate pairs: Jaccard (q26)
+    * misses the "short doc pasted inside a long one" case because the
+    * union in its denominator is dominated by the long side; containment
+    * |A∩B|/|A| and |A∩B|/|B| catches it (the near-dup policy CCNet/Gopher
+    * pipelines apply next to plain Jaccard). Candidates are the q28
+    * MinHash-LSH pair graph; for each pair the distinct-shingle-hash
+    * intersection is computed in-row from the two docs' shingle-set
+    * arrays.
+    *
+    * Plan shape: the per-doc shingle-set array is ONE in-row native
+    * expression pass (no explode, no shuffle); the tiny candidate pair
+    * list fans out to two (pair, doc, side) roles and BROADCASTS into
+    * that pass, so the corpus never shuffles — only the matched pair
+    * rows (two bounded arrays each) cross the one groupBy exchange that
+    * reunites the sides. Work is |pairs|·|doc shingles|, never corpus².
+    */
+  def q61Containment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = boundedPairs(
+      minhashBands(spark, dir).select($"band", $"r0", $"r1", $"doc_id"),
+      Seq("band", "r0", "r1"), "doc_id")
+      .select($"a".as("doc_a"), $"b".as("doc_b"))
+      .distinct()
+    val roles = pairs.select($"doc_a", $"doc_b",
+      explode(array(
+        struct($"doc_a".as("doc_id"), lit(true).as("isA")),
+        struct($"doc_b".as("doc_id"), lit(false).as("isA")))).as("r"))
+      .select($"doc_a", $"doc_b", $"r.doc_id".as("doc_id"), $"r.isA".as("isA"))
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+      .select($"doc_id",
+        graft.functions.ShingleFunctions.shingleHashes(split($"text", " ")).as("shs"))
+    docs
+      .join(broadcast(roles), Seq("doc_id"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(first(when($"isA", $"shs"), ignoreNulls = true).as("sa"),
+        first(when(!$"isA", $"shs"), ignoreNulls = true).as("sb"))
+      .select($"doc_a", $"doc_b",
+        size($"sa").cast("long").as("n_a"), size($"sb").cast("long").as("n_b"),
+        size(array_intersect($"sa", $"sb")).cast("long").as("inter"))
+      .withColumn("containment_a", round($"inter".cast("double") / $"n_a", 6))
+      .withColumn("containment_b", round($"inter".cast("double") / $"n_b", 6))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_containment" -> (q61Containment _),
     "q25_exact_dedup" -> (q25ExactDedup _),
     "q26_shingle_jaccard" -> (q26ShingleJaccard _),
     "q27_minhash_sig" -> (q27MinhashSig _),
@@ -658,6 +704,32 @@ object Dedup {
          |SELECT doc_id, rep_doc_id,
          |  count(*) OVER (PARTITION BY rep_doc_id) AS cluster_size
          |FROM lab ORDER BY doc_id""".stripMargin,
+    "q61_containment" ->
+      s"""WITH $minhashBandsCtes,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.doc_id < b.doc_id),
+         |hashed AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS sh_h
+         |  FROM inv),
+         |ns AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
+         |cnt AS (
+         |  SELECT p.doc_a, p.doc_b, count(*) AS inter
+         |  FROM pairs p
+         |  JOIN hashed ha ON ha.doc_id = p.doc_a
+         |  JOIN hashed hb ON hb.doc_id = p.doc_b AND hb.sh_h = ha.sh_h
+         |  GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b, na.n AS n_a, nb.n AS n_b,
+         |  coalesce(c.inter, 0) AS inter,
+         |  round(CAST(coalesce(c.inter, 0) AS DOUBLE) / na.n, 6) AS containment_a,
+         |  round(CAST(coalesce(c.inter, 0) AS DOUBLE) / nb.n, 6) AS containment_b
+         |FROM pairs p
+         |LEFT JOIN cnt c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+         |JOIN ns na ON na.doc_id = p.doc_a
+         |JOIN ns nb ON nb.doc_id = p.doc_b
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
     "q44_simhash_pairs" ->
       s"""WITH sk AS (${simhashSqlFor(32)}),
          |bands AS (

@@ -102,4 +102,30 @@ class DedupClusterSpec extends AnyFunSuite {
     val sizes = rows.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
     assert(rows.forall(r => r.getLong(2) == sizes(r.getLong(1))))
   }
+
+  test("q61 rows are exactly the q28 pairs; containment matches a raw-text shingle replay") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Dedup.q61Containment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    val pairs = Dedup.q28MinhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.keySet == pairs, "q61 must cover the q28 candidate set exactly")
+    // distinct word-3-gram sets straight from the raw text (no hashing):
+    // the 60-bit hash is collision-free on this corpus, so set sizes and
+    // intersections must agree with the hashed formulation
+    val sh = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val w = r.getString(1).split(" ", -1)
+        r.getLong(0) -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.toMap
+    out.foreach { case ((a, b), (nA, nB, inter, cA, cB)) =>
+      val (sa, sb) = (sh(a), sh(b))
+      val i = sa.intersect(sb).size.toLong
+      assert(nA == sa.size && nB == sb.size && inter == i, s"pair ($a,$b)")
+      assert(math.abs(cA - i.toDouble / sa.size) < 1e-6, s"containment_a ($a,$b)")
+      assert(math.abs(cB - i.toDouble / sb.size) < 1e-6, s"containment_b ($a,$b)")
+    }
+  }
 }
