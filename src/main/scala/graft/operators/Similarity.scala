@@ -440,7 +440,58 @@ object Similarity {
       .select($"vec_id", $"cid", $"dist")
   }
 
+  /** Cosine threshold for [[q62Semdedup]] — the family's near-dup bar. */
+  val semdedupTau = 0.3
+
+  /** q62 — SemDeDup-style semantic dedup: k-means cells (one Lloyd
+    * assignment from the deterministic [[kmeansK]] seeds) BLOCK the
+    * candidate pairs, exact-decimal cosine ≥ [[semdedupTau]] within a cell
+    * marks the higher vec_id of each pair as a duplicate (the min-id
+    * survivor convention q25/q48 use). Output is the per-vector verdict
+    * (vec_id, cid, is_dup) — a training run keeps `!is_dup` rows. This is
+    * the embedding-space sibling of q48: near-identical *content* clusters
+    * there, near-identical *meaning* cells here.
+    *
+    * Scale shape: the corpus never pairs globally — candidates expand
+    * in-row from per-cell bounded posting lists (one pass, chunked at
+    * [[graft.operators.Dedup.hotBucketCap]]), so work is Σ|cell|², bounded
+    * by making k proportional to corpus size exactly as SemDeDup
+    * prescribes; the double prefilter reserves decimal arithmetic for
+    * near-threshold pairs. Everything upstream (assignment) broadcasts k
+    * tiny centroids — the corpus shuffles once, by cell, for the pair
+    * expansion.
+    */
+  def q62Semdedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+      .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
+    val c0 = emb.filter($"vec_id" < kmeansK)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nn".as("cn"))
+    val assign = assignToCentroids(emb, c0).select($"vec_id", $"cid")
+    // re-attach arrays, then expand within-cell pairs in-row from bounded
+    // posting lists (struct ordering is by leading vec_id → a < b for free)
+    val cand = graft.operators.Dedup.boundedPairs(
+      assign.join(emb, Seq("vec_id"))
+        .select($"cid", struct($"vec_id", $"embedding", $"nn").as("v")),
+      Seq("cid"), "v")
+    val dups = cand
+      // cheap double prefilter at 0.29; exact decimal sim only for survivors
+      .filter(fdot($"a.embedding", $"b.embedding") /
+        (sqrt($"a.nn") * sqrt($"b.nn")) >= semdedupTau - 0.01)
+      .filter(round(ddot($"a.embedding", $"b.embedding") /
+        (sqrt($"a.nn") * sqrt($"b.nn")), 6) >= semdedupTau)
+      .select($"b.vec_id".as("vec_id"))
+      .distinct()
+      .withColumn("is_dup", lit(true))
+    assign
+      .join(dups, Seq("vec_id"), "left")
+      .select($"vec_id", $"cid", coalesce($"is_dup", lit(false)).as("is_dup"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_semdedup" -> (q62Semdedup _),
     "q30_cosine_topk" -> (q30CosineTopK _),
     "q31_embed_neardup" -> (q31EmbedNearDup _),
     "q32_ivf_ann" -> (q32IvfAnn _),
@@ -473,23 +524,48 @@ object Similarity {
       |    SUM(CASE WHEN s > 0 THEN CAST(power(2, k) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bucket
       |  FROM sums GROUP BY 1, 2)""".stripMargin
 
+  /** First Lloyd assignment from the deterministic seeds — the CTE prefix
+    * shared by the q58 oracle and the q62 SemDeDup oracle.
+    */
+  private val kmeansAssign1Ctes: String =
+    s"""norms AS ($normsSql),
+       |e AS ($elemsSql),
+       |d1 AS (
+       |  SELECT v.vec_id, c.vec_id AS cid,
+       |    CAST(SUM(CAST(CAST(v.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
+       |  FROM e v JOIN e c ON v.i = c.i WHERE c.vec_id < $kmeansK
+       |  GROUP BY 1, 2),
+       |a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT d1.vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY d1.vec_id
+       |        ORDER BY round(nv.nn + nc.nn - 2 * dot, 6) ASC, cid ASC) AS rk
+       |    FROM d1 JOIN norms nv ON d1.vec_id = nv.vec_id
+       |            JOIN norms nc ON cid = nc.vec_id)
+       |  WHERE rk = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q58_kmeans" ->
-      s"""WITH norms AS ($normsSql),
-         |e AS ($elemsSql),
-         |d1 AS (
-         |  SELECT v.vec_id, c.vec_id AS cid,
-         |    CAST(SUM(CAST(CAST(v.x AS DOUBLE) * CAST(c.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
-         |  FROM e v JOIN e c ON v.i = c.i WHERE c.vec_id < $kmeansK
+    "q62_semdedup" ->
+      s"""WITH $kmeansAssign1Ctes,
+         |p AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |dots AS (
+         |  SELECT p.vec_a, p.vec_b,
+         |    CAST(SUM(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
+         |  FROM p JOIN e a ON a.vec_id = p.vec_a
+         |         JOIN e b ON b.vec_id = p.vec_b AND a.i = b.i
          |  GROUP BY 1, 2),
-         |a1 AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT d1.vec_id, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY d1.vec_id
-         |        ORDER BY round(nv.nn + nc.nn - 2 * dot, 6) ASC, cid ASC) AS rk
-         |    FROM d1 JOIN norms nv ON d1.vec_id = nv.vec_id
-         |            JOIN norms nc ON cid = nc.vec_id)
-         |  WHERE rk = 1),
+         |dups AS (
+         |  SELECT DISTINCT vec_b FROM dots
+         |  JOIN norms na ON vec_a = na.vec_id
+         |  JOIN norms nb ON vec_b = nb.vec_id
+         |  WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= $semdedupTau)
+         |SELECT a1.vec_id, a1.cid,
+         |  (a1.vec_id IN (SELECT vec_b FROM dups)) AS is_dup
+         |FROM a1 ORDER BY vec_id""".stripMargin,
+    "q58_kmeans" ->
+      s"""WITH $kmeansAssign1Ctes,
          |m AS (
          |  SELECT a1.cid, e.i,
          |    round(CAST(SUM(CAST(CAST(e.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6) AS m

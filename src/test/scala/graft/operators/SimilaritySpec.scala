@@ -89,4 +89,43 @@ class SimilaritySpec extends AnyFunSuite {
       else assert(q == 0)
     }
   }
+
+  test("q62: verdicts match a plain-Scala within-cell cosine replay") {
+    import spark.implicits._
+    val out = Similarity.q62Semdedup(spark, dir)
+      .as[(Long, Long, Boolean)].collect()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    // one verdict per corpus vector
+    assert(out.map(_._1).toSet == emb.keySet)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // assignment: the chosen seed minimizes distance (double replay, with
+    // slack for the 6dp rounding of the exact-decimal plan)
+    val seeds = out.map(_._1).filter(_ < Similarity.kmeansK)
+    out.foreach { case (vid, cid, _) =>
+      def d2(s: Long) = {
+        val (v, c) = (emb(vid), emb(s))
+        v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+      }
+      assert(d2(cid) <= seeds.map(d2).min + 1e-5, s"vec $vid assigned to non-nearest $cid")
+    }
+    // duplicate verdicts: a dup has a smaller-id cellmate above the bar,
+    // a survivor has none (pairs within 1e-5 of the bar are skipped — the
+    // exact-decimal 6dp plan owns those edges, the DuckDB gate checks them)
+    val cells = out.groupBy(_._2)
+    out.foreach { case (vid, cid, isDup) =>
+      val sims = cells(cid).filter(_._1 < vid)
+        .map(m => cos(emb(m._1), emb(vid)))
+      val clearAbove = sims.exists(_ >= Similarity.semdedupTau + 1e-5)
+      val clearBelow = sims.forall(_ < Similarity.semdedupTau - 1e-5)
+      if (clearAbove) assert(isDup, s"vec $vid should be a dup")
+      else if (clearBelow) assert(!isDup, s"vec $vid should survive")
+    }
+    assert(out.exists(_._3) && out.exists(!_._3), "both verdicts should occur")
+  }
 }
