@@ -593,8 +593,42 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** q64 — incremental dedup gate, the batch flavor of
+    * [[graft.streaming.EventStream.neardupGate]]: a NEW batch of documents
+    * (doc_id ≡ 0 mod 3 stands in for today's crawl) is admitted against
+    * the ALREADY-INGESTED reference corpus (the rest) by LSH bucket
+    * occupancy — a batch document whose four MinHash band buckets are all
+    * unoccupied by the reference cannot be a candidate near-dup of
+    * anything ingested (the exact q28 candidate semantics) and is
+    * admitted. Output is the per-batch-doc verdict (doc_id, n_hot_bands,
+    * admitted). This is the operator a production pipeline runs daily:
+    * dedup the increment against the corpus WITHOUT re-clustering the
+    * corpus.
+    *
+    * Scale shape: the reference side collapses to its DISTINCT occupied
+    * buckets (narrow fixed-width rows — at 100 TB this is the persisted
+    * "bucket index", refreshed by appending each admitted batch); the
+    * batch's band rows equi-join that index on the bucket key and roll up
+    * per doc. Signatures are in-row native expressions, so each side costs
+    * a scan + one narrow shuffle — nothing quadratic anywhere.
+    */
+  def q64DedupGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = minhashBands(spark, dir)
+    val refIndex = bands.filter($"doc_id" % 3 =!= 0)
+      .select($"band", $"r0", $"r1").distinct()
+      .withColumn("hot", lit(1L))
+    bands.filter($"doc_id" % 3 === 0)
+      .join(refIndex, Seq("band", "r0", "r1"), "left")
+      .groupBy($"doc_id")
+      .agg(sum(coalesce($"hot", lit(0L))).as("n_hot_bands"))
+      .select($"doc_id", $"n_hot_bands", ($"n_hot_bands" === 0).as("admitted"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_containment" -> (q61Containment _),
+    "q64_dedup_gate" -> (q64DedupGate _),
     "q25_exact_dedup" -> (q25ExactDedup _),
     "q26_shingle_jaccard" -> (q26ShingleJaccard _),
     "q27_minhash_sig" -> (q27MinhashSig _),
@@ -656,6 +690,16 @@ object Dedup {
        |lab AS (SELECT doc_id, min(rep) AS rep_doc_id FROM cc GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q64_dedup_gate" ->
+      s"""WITH $minhashBandsCtes,
+         |refb AS (
+         |  SELECT DISTINCT band, r0, r1 FROM bands WHERE doc_id % 3 <> 0),
+         |batch AS (SELECT * FROM bands WHERE doc_id % 3 = 0)
+         |SELECT b.doc_id, count(r.band) AS n_hot_bands,
+         |  count(r.band) = 0 AS admitted
+         |FROM batch b LEFT JOIN refb r
+         |  ON b.band = r.band AND b.r0 = r.r0 AND b.r1 = r.r1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q25_exact_dedup" ->
       """SELECT min(doc_id) AS survivor_doc_id, count(*) AS cluster_size
         |FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents)

@@ -230,7 +230,49 @@ object TrainPrep {
       .orderBy($"cluster_id")
   }
 
+  /** q63 — temperature-based domain mixing (the multilingual-corpus
+    * standard): per-(lang, source) stratum, the target share is
+    * tokens^(1/T) with T = 2 (√-temperature — upweights small domains,
+    * flattens giant ones), the overall budget is half the corpus tokens,
+    * and each stratum's sampling rate budget·share/tokens (capped at 1)
+    * becomes an integer per-million threshold on the q49-style salted
+    * portable hash. Deterministic end to end: re-runs and incremental
+    * backfills keep exactly the same documents.
+    *
+    * Engine parity: √tokens is a correctly-rounded double, pinned to
+    * DECIMAL(28,14) so the cross-stratum share denominator sums exactly
+    * (a double Σ would depend on stratum order); every division happens
+    * in double AFTER exact casts, and the final floor(rate·1e6) threshold
+    * is integral — generic irrational rates never sit on the boundary.
+    *
+    * Plan shape: the strata table is |domains| rows (broadcast), its
+    * rollup one map-side-combined aggregate; the keep filter is per-row
+    * against the broadcast thresholds — the corpus itself never shuffles.
+    */
+  def q63DomainMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val strata = docs
+      .groupBy($"lang", $"source")
+      .agg(sum(size(split($"text", " ")).cast("long")).as("toks"))
+      .withColumn("w", sqrt($"toks".cast("double")).cast("decimal(28,14)"))
+    val tot = strata.agg(
+      sum($"w").as("wtot"), sum($"toks").cast("double").as("tokstot"))
+    val share = $"w".cast("double") / $"wtot".cast("double")
+    val rate = least(lit(1.0),
+      lit(0.5) * $"tokstot" * share / $"toks".cast("double"))
+    val thresh = strata.crossJoin(broadcast(tot))
+      .select($"lang", $"source", floor(rate * lit(1e6)).cast("long").as("thresh"))
+    docs
+      .join(broadcast(thresh), Seq("lang", "source"))
+      .filter(Dedup.portableHash(concat(lit("mix:"), $"doc_id".cast("string")))
+        % 1000000 < $"thresh")
+      .select($"doc_id", $"lang", $"source", $"thresh")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_domain_mix" -> (q63DomainMix _),
     "q49_hash_sample" -> (q49HashSample _),
     "q50_seq_pack" -> (q50SeqPack _),
     "q51_pii_scrub" -> (q51PiiScrub _),
@@ -243,7 +285,30 @@ object TrainPrep {
   private val hashSql =
     "CAST(('0x' || substring(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 
+  private val mixHashSql =
+    "CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
   val oracles: Map[String, String] = Map(
+    "q63_domain_mix" ->
+      s"""WITH strata AS (
+         |  SELECT lang, source,
+         |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS toks,
+         |    CAST(sqrt(CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE)) AS DECIMAL(28,14)) AS w
+         |  FROM documents GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT CAST(sum(w) AS DECIMAL(28,14)) AS wtot,
+         |    CAST(sum(toks) AS DOUBLE) AS tokstot
+         |  FROM strata),
+         |thresh AS (
+         |  SELECT lang, source,
+         |    CAST(floor(least(1.0,
+         |      0.5 * tokstot * (CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE))
+         |        / CAST(toks AS DOUBLE)) * 1e6) AS BIGINT) AS thresh
+         |  FROM strata CROSS JOIN tot)
+         |SELECT doc_id, d.lang, d.source, thresh
+         |FROM documents d JOIN thresh t ON d.lang = t.lang AND d.source = t.source
+         |WHERE $mixHashSql % 1000000 < thresh
+         |ORDER BY doc_id""".stripMargin,
     "q49_hash_sample" ->
       s"""SELECT doc_id, lang, source, $hashSql % 100 AS bucket
          |FROM documents

@@ -103,6 +103,33 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(2) == sizes(r.getLong(1))))
   }
 
+  test("q64 gate verdicts replay from the q27 signatures; q28 pairs imply rejection") {
+    val dir = "/root/testdata/sf0.001"
+    val sigs = Dedup.q27MinhashSig(spark, dir).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i)))
+    val bandsOf = sigs.map { case (id, h) =>
+      id -> (0 until 4).map(b => (b, h(2 * b), h(2 * b + 1))).toSet
+    }.toMap
+    val refBuckets = bandsOf.collect { case (id, bs) if id % 3 != 0 => bs }
+      .flatten.toSet
+    val out = Dedup.q64DedupGate(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // one verdict per batch doc that HAS a signature
+    assert(out.keySet == bandsOf.keySet.filter(_ % 3 == 0))
+    out.foreach { case (id, (hot, admitted)) =>
+      val expectHot = bandsOf(id).count(refBuckets.contains).toLong
+      assert(hot == expectHot && admitted == (expectHot == 0L), s"doc $id")
+    }
+    // consistency with the pair graph: a batch doc paired with a ref doc
+    // in q28 shares a band bucket with it, so the gate must reject it
+    Dedup.q28MinhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .foreach { case (a, b) =>
+        if (a % 3 == 0 && b % 3 != 0) assert(!out(a)._2, s"pair ($a,$b)")
+        if (b % 3 == 0 && a % 3 != 0) assert(!out(b)._2, s"pair ($a,$b)")
+      }
+  }
+
   test("q61 rows are exactly the q28 pairs; containment matches a raw-text shingle replay") {
     val dir = "/root/testdata/sf0.001"
     val out = Dedup.q61Containment(spark, dir).collect()

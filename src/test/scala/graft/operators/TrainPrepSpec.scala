@@ -120,6 +120,36 @@ class TrainPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("q63: deterministic, temperature favors small strata, budget is half the tokens") {
+    val a = TrainPrep.q63DomainMix(spark, dir).collect().map(_.toSeq).toSeq
+    val b = TrainPrep.q63DomainMix(spark, dir).collect().map(_.toSeq).toSeq
+    assert(a == b, "domain mix must be reproducible run-to-run")
+    assert(a.nonEmpty)
+    // per-stratum thresholds from the output; token counts from the table
+    val thresh = a.map(r => (r(1), r(2)) -> r(3).asInstanceOf[Long]).toMap
+    val toks = graft.Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().groupBy(r => (r.get(0), r.get(1)))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    // √-temperature: a smaller stratum never gets a lower rate
+    for (sa <- thresh.keys; sb <- thresh.keys)
+      if (toks(sa) < toks(sb))
+        assert(thresh(sa) >= thresh(sb), s"stratum $sa (smaller) below $sb")
+    // expected kept tokens ≈ half the corpus; the rate cap at 1 and the
+    // floor can only UNDERSHOOT (a stratum whose uncapped rate exceeds 1
+    // donates its surplus to nobody), so the bound below is cap-aware
+    val total = toks.values.sum.toDouble
+    val expected = thresh.map { case (s, t) => toks(s) * (t / 1e6) }.sum
+    val cappedLoss = thresh.collect { case (s, t) if t == 1000000L =>
+      val w = math.sqrt(toks(s).toDouble)
+      val wtot = toks.keys.map(k => math.sqrt(toks(k).toDouble)).sum
+      0.5 * total * (w / wtot) - toks(s)
+    }.filter(_ > 0).sum
+    assert(expected <= 0.5 * total + 1e-6 &&
+      expected >= 0.49 * total - cappedLoss - 1e-6,
+      s"budget drifted: $expected of $total (capped loss $cappedLoss)")
+  }
+
   test("q53: at most 3 terms per doc, ranks dense from 1, scores non-increasing") {
     import spark.implicits._
     val out = TrainPrep.q53Tfidf(spark, dir)
