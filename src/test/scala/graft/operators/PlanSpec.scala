@@ -152,4 +152,60 @@ class PlanSpec extends AnyFunSuite {
       s"native dot product absent from signature pass:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
   }
+
+  test("q59/q60: the token stream crosses one exchange, keyed by doc_id") {
+    // q59: the ONE shuffle is the doc_id repartition — window, gram counts
+    // and the per-doc rollup all reuse it
+    val p59 = plan(TextOps.q59Repetition(spark, dir))
+    val hp59 = p59.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hp59.size == 1 && hp59.head.contains("doc_id"),
+      s"expected exactly one doc_id exchange:\n$p59")
+    // q60: tokens collapse to tf rows on the doc_id exchange; only tf rows
+    // may shuffle again (by word for the corpus-count window) — nothing is
+    // ever round-robin'd or collapsed to one partition besides the scalar
+    // token total
+    val p60 = plan(TextOps.q60UnigramLm(spark, dir))
+    val hp60 = p60.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hp60.nonEmpty &&
+      hp60.forall(l => l.contains("doc_id") || l.contains("word")),
+      s"unexpected exchange keys:\n$p60")
+    for (p <- Seq(p59, p60)) {
+      assert(!p.contains("RoundRobinPartitioning"), s"round-robin of the token stream:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
+    }
+  }
+
+  test("q61: pair roles broadcast into the single shingle-set pass") {
+    val p = plan(Dedup.q61Containment(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"roles did not broadcast:\n$p")
+    // exactly one shingle_hashes pass over the corpus — the pair sides are
+    // reunited from roles, not by instantiating the doc pipeline per side
+    val passes = p.linesIterator.count(_.contains("shingle_hashes"))
+    assert(passes <= 2, s"shingle pipeline instantiated $passes times:\n$p") // project + scan lines
+    assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
+  }
+
+  test("q62: centroids broadcast; no global pair join outside the cells") {
+    val p = plan(Similarity.q62Semdedup(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroid set did not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
+  }
+
+  test("q63: corpus keep-filter is a broadcast join — the documents never shuffle") {
+    val p = plan(TrainPrep.q63DomainMix(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"thresholds did not broadcast:\n$p")
+    // the only hash exchanges belong to the tiny strata rollup, never keyed
+    // on doc_id
+    assert(!p.contains("hashpartitioning(doc_id"),
+      s"corpus shuffled on doc_id:\n$p")
+  }
+
+  test("q64: gate joins the bucket index on fixed-width band keys") {
+    val p = plan(Dedup.q64DedupGate(spark, dir))
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning(band") || l.contains("hashpartitioning(r0")),
+      s"bucket join not keyed on band columns:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
+  }
 }
