@@ -626,9 +626,61 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** q66 — sketch calibration: for every q28 candidate pair, the MinHash
+    * Jaccard ESTIMATE (matching signature components / 8) beside the EXACT
+    * shingle-set Jaccard and the absolute error. The measurement a sketch
+    * deployment owes its users — it answers "how many permutations do we
+    * need?" with data instead of the textbook bound, and it flags the
+    * drifted-sketch regression (a hash change that silently decorrelates
+    * estimate from truth).
+    *
+    * Plan shape: the q61 role-broadcast pattern with BOTH per-doc sketch
+    * artifacts (shingle-hash set + 8-long signature) computed in the SAME
+    * single in-row pass; only matched pair rows shuffle.
+    */
+  def q66SketchCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = boundedPairs(
+      minhashBands(spark, dir).select($"band", $"r0", $"r1", $"doc_id"),
+      Seq("band", "r0", "r1"), "doc_id")
+      .select($"a".as("doc_a"), $"b".as("doc_b"))
+      .distinct()
+    val roles = pairs.select($"doc_a", $"doc_b",
+      explode(array(
+        struct($"doc_a".as("doc_id"), lit(true).as("isA")),
+        struct($"doc_b".as("doc_id"), lit(false).as("isA")))).as("r"))
+      .select($"doc_a", $"doc_b", $"r.doc_id".as("doc_id"), $"r.isA".as("isA"))
+    val w = split($"text", " ")
+    val payload = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+      .select($"doc_id",
+        graft.functions.ShingleFunctions.shingleHashes(w).as("shs"),
+        graft.functions.ShingleFunctions.minhashSig(w).as("sig"))
+    val matches = (0 until 8)
+      .map(i => when($"ga" (i) === $"gb" (i), 1).otherwise(0))
+      .reduce(_ + _)
+    payload
+      .join(broadcast(roles), Seq("doc_id"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(first(when($"isA", $"shs"), ignoreNulls = true).as("sa"),
+        first(when(!$"isA", $"shs"), ignoreNulls = true).as("sb"),
+        first(when($"isA", $"sig"), ignoreNulls = true).as("ga"),
+        first(when(!$"isA", $"sig"), ignoreNulls = true).as("gb"))
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"sa", $"sb")).cast("long").as("inter"),
+        size($"sa").cast("long").as("n_a"), size($"sb").cast("long").as("n_b"),
+        (matches.cast("double") / lit(8.0)).as("est_jaccard"))
+      .withColumn("jaccard",
+        round($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter"), 6))
+      .select($"doc_a", $"doc_b", $"est_jaccard", $"jaccard",
+        round(abs($"est_jaccard" - $"jaccard"), 6).as("abs_err"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_containment" -> (q61Containment _),
     "q64_dedup_gate" -> (q64DedupGate _),
+    "q66_sketch_calibration" -> (q66SketchCalibration _),
     "q25_exact_dedup" -> (q25ExactDedup _),
     "q26_shingle_jaccard" -> (q26ShingleJaccard _),
     "q27_minhash_sig" -> (q27MinhashSig _),
@@ -690,6 +742,37 @@ object Dedup {
        |lab AS (SELECT doc_id, min(rep) AS rep_doc_id FROM cc GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q66_sketch_calibration" ->
+      s"""WITH $minhashBandsCtes,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.doc_id < b.doc_id),
+         |hashed AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS sh_h
+         |  FROM inv),
+         |ns AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
+         |cnt AS (
+         |  SELECT p.doc_a, p.doc_b, count(*) AS inter
+         |  FROM pairs p
+         |  JOIN hashed ha ON ha.doc_id = p.doc_a
+         |  JOIN hashed hb ON hb.doc_id = p.doc_b AND hb.sh_h = ha.sh_h
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    (${(0 until 8).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0 AS est_jaccard,
+         |    round(CAST(coalesce(c.inter, 0) AS DOUBLE)
+         |      / (na.n + nb.n - coalesce(c.inter, 0)), 6) AS jaccard
+         |  FROM pairs p
+         |  JOIN sig sa ON sa.doc_id = p.doc_a
+         |  JOIN sig sb ON sb.doc_id = p.doc_b
+         |  LEFT JOIN cnt c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+         |  JOIN ns na ON na.doc_id = p.doc_a
+         |  JOIN ns nb ON nb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, est_jaccard, jaccard,
+         |  round(abs(est_jaccard - jaccard), 6) AS abs_err
+         |FROM j ORDER BY doc_a, doc_b""".stripMargin,
     "q64_dedup_gate" ->
       s"""WITH $minhashBandsCtes,
          |refb AS (

@@ -490,8 +490,35 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** q65 — ANN recall evaluation: recall@5 of the LSH index (q40) against
+    * the exact brute-force baseline (q30), per query and exact. The
+    * operator an ANN deployment runs after every index build/parameter
+    * change — recall is THE accuracy contract of an approximate index, and
+    * computing it must not itself require a second exact engine.
+    *
+    * Scale shape: both sides are existing operators; the evaluation adds
+    * one narrow (qid, vid) left join + rollup over 5·|queries| rows —
+    * nothing touches the corpus beyond what q30/q40 already do. The q30
+    * side IS the expensive exact scan; a 100 TB deployment runs it on a
+    * sampled query panel (the panel here: the 10 probe vectors).
+    */
+  def q65AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = q30CosineTopK(spark, dir).select($"qid", $"vid")
+    val approx = q40LshAnn(spark, dir).select($"qid", $"vid")
+      .withColumn("hit", lit(1L))
+    exact
+      .join(approx, Seq("qid", "vid"), "left")
+      .groupBy($"qid")
+      .agg(sum(coalesce($"hit", lit(0L))).as("n_hits"))
+      .select($"qid", $"n_hits",
+        ($"n_hits".cast("double") / lit(5.0)).as("recall"))
+      .orderBy($"qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_semdedup" -> (q62Semdedup _),
+    "q65_ann_recall" -> (q65AnnRecall _),
     "q30_cosine_topk" -> (q30CosineTopK _),
     "q31_embed_neardup" -> (q31EmbedNearDup _),
     "q32_ivf_ann" -> (q32IvfAnn _),
@@ -545,6 +572,42 @@ object Similarity {
        |  WHERE rk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q65_ann_recall" ->
+      s"""WITH norms AS ($normsSql),
+         |e AS ($elemsSql),
+         |dotsx AS (
+         |  SELECT q.vec_id AS qid, v.vec_id AS vid,
+         |    CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(v.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
+         |  FROM e q JOIN e v ON q.i = v.i WHERE q.vec_id < 10 AND q.vec_id <> v.vec_id
+         |  GROUP BY 1, 2),
+         |topx AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY round(dot / (sqrt(nq.nn) * sqrt(nv.nn)), 6) DESC, vid ASC) AS rnk
+         |    FROM dotsx JOIN norms nq ON qid = nq.vec_id JOIN norms nv ON vid = nv.vec_id)
+         |  WHERE rnk <= 5),
+         |$lshSigsSql,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vid
+         |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id),
+         |dotsl AS (
+         |  SELECT c.qid, c.vid,
+         |    CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(v.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
+         |  FROM cand c JOIN e q ON q.vec_id = c.qid JOIN e v ON v.vec_id = c.vid AND q.i = v.i
+         |  GROUP BY 1, 2),
+         |topl AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY round(dot / (sqrt(nq.nn) * sqrt(nv.nn)), 6) DESC, vid ASC) AS rnk
+         |    FROM dotsl JOIN norms nq ON qid = nq.vec_id JOIN norms nv ON vid = nv.vec_id)
+         |  WHERE rnk <= 5)
+         |SELECT x.qid, count(l.vid) AS n_hits,
+         |  CAST(count(l.vid) AS DOUBLE) / 5 AS recall
+         |FROM topx x LEFT JOIN topl l ON l.qid = x.qid AND l.vid = x.vid
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q62_semdedup" ->
       s"""WITH $kmeansAssign1Ctes,
          |p AS (

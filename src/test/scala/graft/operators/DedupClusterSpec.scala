@@ -130,6 +130,27 @@ class DedupClusterSpec extends AnyFunSuite {
       }
   }
 
+  test("q66 estimate replays from the q27 signatures; exact side agrees with q61") {
+    val dir = "/root/testdata/sf0.001"
+    val sigs = Dedup.q27MinhashSig(spark, dir).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    val q61 = Dedup.q61Containment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val out = Dedup.q66SketchCalibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet == q61.keySet, "q66 must cover the q28 candidate set exactly")
+    out.foreach { case ((a, b), (est, jac, err)) =>
+      val expEst = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 8.0
+      assert(est == expEst, s"pair ($a,$b) estimate")
+      val (nA, nB, inter) = q61((a, b))
+      val expJac = inter.toDouble / (nA + nB - inter)
+      assert(math.abs(jac - expJac) < 1e-6, s"pair ($a,$b) exact jaccard")
+      assert(math.abs(err - math.abs(est - jac)) < 1e-6, s"pair ($a,$b) error")
+    }
+  }
+
   test("q61 rows are exactly the q28 pairs; containment matches a raw-text shingle replay") {
     val dir = "/root/testdata/sf0.001"
     val out = Dedup.q61Containment(spark, dir).collect()

@@ -90,6 +90,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("q65: recall replays from the q30/q40 outputs; values are fifths in [0,1]") {
+    val exact = Similarity.q30CosineTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))) // (qid, vid)
+    val approx = Similarity.q40LshAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val out = Similarity.q65AnnRecall(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == exact.map(_._1).toSet, "one row per probe query")
+    exact.groupBy(_._1).foreach { case (qid, top) =>
+      val hits = top.count(approx.contains).toLong
+      assert(out(qid) == ((hits, hits / 5.0)), s"query $qid")
+    }
+    assert(out.values.forall { case (h, r) => h >= 0 && h <= 5 && r == h / 5.0 })
+  }
+
   test("q62: verdicts match a plain-Scala within-cell cosine replay") {
     import spark.implicits._
     val out = Similarity.q62Semdedup(spark, dir)
