@@ -66,6 +66,24 @@ object ShingleOps {
     new GenericArrayData(out)
   }
 
+  /** [n_2grams, n_distinct_2grams, top_2gram_count] over a document's
+    * word 2-grams, or null for <2 tokens (see [[RepetitionStats]]).
+    */
+  def repetitionStats(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n < 2) return null
+    val counts = new java.util.HashMap[String, Integer]()
+    var top = 0
+    var i = 0
+    while (i + 1 < n) {
+      val g = tokens.getUTF8String(i).toString + " " + tokens.getUTF8String(i + 1).toString
+      val c: Int = counts.merge(g, 1, (a, b) => Integer.valueOf(a + b))
+      if (c > top) top = c
+      i += 1
+    }
+    new GenericArrayData(Array[Long](n - 1L, counts.size.toLong, top.toLong))
+  }
+
   /** The 8 minhash permutation minima over a document's 3-gram hashes
     * (h_i = min over shingles of (a_i·(g mod P) + b_i) mod P), or null
     * when the document has no shingles — the multiset minimum equals the
@@ -93,6 +111,33 @@ object ShingleOps {
     }
     new GenericArrayData(mins)
   }
+}
+
+/** `repetition_stats(tokens)` → [n_2grams, n_distinct_2grams,
+  * top_2gram_count], null for <2 tokens — the q59 metrics in one in-row
+  * pass. Exact string counts (no hashing), so the result is bit-identical
+  * to the explode + two-groupBy formulation it replaces — that plan
+  * shuffled every token through a window sort; this one shuffles nothing.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // <2 words → null
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $dt")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.repetitionStats(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.ShingleOps.repetitionStats($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
 }
 
 /** `shingle_hashes(tokens)` → sorted distinct array<long>. */
@@ -141,4 +186,6 @@ object ShingleFunctions {
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c)))
   def minhashSig(c: Column): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c)))
+  def repetitionStats(c: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(c)))
 }

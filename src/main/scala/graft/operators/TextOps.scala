@@ -142,32 +142,27 @@ object TextOps {
     * top-2-gram fraction (most frequent 2-gram / total). Boilerplate and
     * degenerate generator loops light up both fractions.
     *
-    * Plan shape: 2-grams are stitched with ONE lead() window over the
-    * posexploded tokens (the array-lambda variant re-evaluates its split
-    * subtree per element after project collapsing — the [[graft.operators.Dedup.shingleRows]]
-    * lesson); the window's hash(doc_id) exchange then satisfies BOTH
-    * downstream aggregations (per-(doc, gram) counts and the per-doc
-    * rollup), so the token stream crosses exactly one shuffle. Single-token
-    * documents have no 2-grams and drop, matching the oracle.
+    * Plan shape: all three counters come from the native in-row
+    * [[graft.functions.RepetitionStats]] expression (exact string counts,
+    * one hash map per document) — |docs| rows in, |docs| rows out, ZERO
+    * shuffles. The first cut stitched 2-grams with a lead() window and
+    * rolled up through two aggregations; that plan's window sort was pure
+    * overhead next to a per-row pass (measured 5.6s → ~0.4s at the
+    * sf1-equivalent corpus), and the counters are bit-identical.
+    * Single-token documents have no 2-grams and drop, matching the oracle.
     */
   def q59Repetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
     Tables.documents(spark, dir)
-      .repartition($"doc_id") // single-file input → also restores parallelism
-      .select($"doc_id", posexplode(words($"text")).as(Seq("pos", "word")))
-      .withColumn("w1", lead($"word", 1).over(w))
-      .filter($"w1".isNotNull)
-      .select($"doc_id", concat_ws(" ", $"word", $"w1").as("gram"))
-      .groupBy($"doc_id", $"gram")
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy($"doc_id")
-      .agg(
-        sum($"cnt").as("n_2grams"),
-        round(lit(1.0) - count(lit(1)).cast("double") / sum($"cnt"), 6)
+      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+      .select($"doc_id",
+        graft.functions.ShingleFunctions.repetitionStats(words($"text")).as("rs"))
+      .filter($"rs".isNotNull)
+      .select($"doc_id",
+        $"rs" (0).as("n_2grams"),
+        round(lit(1.0) - $"rs" (1).cast("double") / $"rs" (0), 6)
           .as("dup_2gram_frac"),
-        round(max($"cnt").cast("double") / sum($"cnt"), 6).as("top_2gram_frac"))
+        round($"rs" (2).cast("double") / $"rs" (0), 6).as("top_2gram_frac"))
       .orderBy($"doc_id")
   }
 

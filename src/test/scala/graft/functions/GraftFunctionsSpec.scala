@@ -147,6 +147,29 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(FixedPointOps.scaledLongOrNull(-12.345, 2) == -1235L) // HALF_UP away from zero
   }
 
+  test("repetition_stats counts exactly; <2 tokens → null; codegen == interpreted") {
+    import spark.implicits._
+    val rows = Seq(
+      "a b a b a",       // grams: (a b)x2 (b a)x2 → n=4, distinct=2, top=2
+      "x y z",           // all distinct → n=2, distinct=2, top=1
+      "w w w w",         // (w w)x3 → n=3, distinct=1, top=3
+      "solo",            // <2 tokens → null
+      "")                // split("") = [""] → 1 token → null
+      .toDF("text")
+      .select(ShingleFunctions.repetitionStats(split($"text", " ")).as("rs"))
+      .collect()
+    assert(rows(0).getSeq[Long](0) == Seq(4L, 2L, 2L))
+    assert(rows(1).getSeq[Long](0) == Seq(2L, 2L, 1L))
+    assert(rows(2).getSeq[Long](0) == Seq(3L, 1L, 3L))
+    assert(rows(3).isNullAt(0) && rows(4).isNullAt(0))
+    // interpreted path (no codegen) agrees
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = new GenericArrayData(
+      Array("a", "b", "a", "b", "a").map(UTF8String.fromString(_): Any))
+    assert(ShingleOps.repetitionStats(arr).toLongArray().toSeq == Seq(4L, 2L, 2L))
+  }
+
   test("dsum overflow canary raises instead of wrapping silently") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

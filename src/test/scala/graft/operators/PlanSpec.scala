@@ -153,13 +153,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
   }
 
-  test("q59/q60: the token stream crosses one exchange, keyed by doc_id") {
-    // q59: the ONE shuffle is the doc_id repartition — window, gram counts
-    // and the per-doc rollup all reuse it
+  test("q59/q60: repetition is shuffle-free; the q60 token stream is doc_id-keyed") {
+    // q59: the native repetition_stats expression does the whole job in-row
+    // — no hash exchange anywhere (only the repartition + result sort)
     val p59 = plan(TextOps.q59Repetition(spark, dir))
-    val hp59 = p59.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
-    assert(hp59.size == 1 && hp59.head.contains("doc_id"),
-      s"expected exactly one doc_id exchange:\n$p59")
+    assert(p59.contains("repetition_stats"), s"native expression absent:\n$p59")
+    assert(!p59.linesIterator.exists(_.contains("hashpartitioning(")),
+      s"unexpected shuffle in the in-row plan:\n$p59")
     // q60: tokens collapse to tf rows on the doc_id exchange; only tf rows
     // may shuffle again (by word for the corpus-count window) — nothing is
     // ever round-robin'd or collapsed to one partition besides the scalar
@@ -169,10 +169,13 @@ class PlanSpec extends AnyFunSuite {
     assert(hp60.nonEmpty &&
       hp60.forall(l => l.contains("doc_id") || l.contains("word")),
       s"unexpected exchange keys:\n$p60")
-    for (p <- Seq(p59, p60)) {
-      assert(!p.contains("RoundRobinPartitioning"), s"round-robin of the token stream:\n$p")
+    // q60's only round-robin would be of exploded tokens — its input
+    // repartition is BY doc_id; q59's round-robin is the raw-document
+    // parallelism restore, upstream of the in-row pass, and is fine
+    assert(!p60.contains("RoundRobinPartitioning"),
+      s"round-robin of the token stream:\n$p60")
+    for (p <- Seq(p59, p60))
       assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
-    }
   }
 
   test("q61: pair roles broadcast into the single shingle-set pass") {
