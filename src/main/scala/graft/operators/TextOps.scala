@@ -48,27 +48,40 @@ object TextOps {
   def q22Quality(spark: SparkSession, dir: String): DataFrame =
     qualityRaw(spark, dir).orderBy(col("doc_id"))
 
+  private def stopRatioExpr(w: Column): Column = {
+    val enStops = array(langStopwords.head._2.map(lit): _*)
+    size(filter(w, t => array_contains(enStops, t))).cast("double") / size(w)
+  }
+
+  private def meanLenExpr(w: Column): Column =
+    aggregate(transform(w, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+      .cast("double") / size(w)
+
+  /** The q22 composite quality score as a pure column expression —
+    * in-row, so it is streaming-safe by construction (shared with the
+    * streaming ingest gate).
+    */
+  private[graft] def qualityScoreExpr(text: Column, nChars: Column): Column = {
+    val w = words(text)
+    round(
+      when(nChars.between(100, 20000), lit(1.0)).otherwise(lit(0.0)) * 0.4 +
+        least(stopRatioExpr(w) * lit(5.0), lit(1.0)) * 0.3 +
+        when(meanLenExpr(w).between(3.0, 10.0), lit(1.0)).otherwise(lit(0.0)) * 0.3,
+      6)
+  }
+
   /** [[q22Quality]] without the presentation sort — reused by the q56
     * quality-survivor selection.
     */
   private[operators] def qualityRaw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = words($"text")
-    val enStops = array(langStopwords.head._2.map(lit): _*)
-    val nStop = size(filter(w, t => array_contains(enStops, t)))
-    val stopRatio = nStop.cast("double") / size(w)
-    val meanLen = aggregate(transform(w, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
-      .cast("double") / size(w)
     Tables.documents(spark, dir)
       .select(
         $"doc_id",
-        round(stopRatio, 6).as("stop_ratio"),
-        round(meanLen, 6).as("mean_token_len"),
-        round(
-          when($"n_chars".between(100, 20000), lit(1.0)).otherwise(lit(0.0)) * 0.4 +
-            least(stopRatio * lit(5.0), lit(1.0)) * 0.3 +
-            when(meanLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.0)) * 0.3,
-          6).as("quality_score"))
+        round(stopRatioExpr(w), 6).as("stop_ratio"),
+        round(meanLenExpr(w), 6).as("mean_token_len"),
+        qualityScoreExpr($"text", $"n_chars").as("quality_score"))
       .withColumn("keep", ($"quality_score" >= 0.5).cast("boolean"))
   }
 

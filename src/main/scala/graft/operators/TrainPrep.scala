@@ -73,8 +73,8 @@ object TrainPrep {
 
   // conservative regex subset shared verbatim by java.util.regex and
   // DuckDB's RE2: no lookaround, no backrefs
-  private[operators] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[operators] val phoneRe = "\\b555-[0-9]+\\b"
+  private[graft] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val phoneRe = "\\b555-[0-9]+\\b"
 
   /** q51 — PII scrub: redact emails and 555-prefixed phone numbers, count
     * the redactions. The synthetic corpus carries no PII, so the scrub

@@ -205,6 +205,33 @@ object EventStream {
     hits.groupBy(col("doc_id"))
       .agg(max(col("first_doc") =!= col("doc_id")).as("is_candidate"))
 
+  /** Streaming quality gate — the STATELESS screen an ingest stream runs
+    * before any stateful operator (dedup, sessionization): the q22
+    * composite quality score, the q59 top-2-gram repetition fraction, and
+    * the q51 PII counts, in ONE in-row projection over the document
+    * stream. No state, no watermark, no shuffle — appends flow through at
+    * wire speed on any number of executors, and because every expression
+    * is a batch operator's own column expression, the stream verdicts are
+    * EQUAL to the batch family's by construction (the spec replays both).
+    * `keep` is the ingest policy: quality ≥ 0.5, repetition below half,
+    * no PII hits.
+    */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    val rs = graft.functions.ShingleFunctions.repetitionStats(split(col("text"), " "))
+    docs.select(col("doc_id"),
+      graft.operators.TextOps.qualityScoreExpr(col("text"), col("n_chars"))
+        .as("quality_score"),
+      when(rs.isNull, lit(0.0))
+        .otherwise(round(rs(2).cast("double") / rs(0), 6)).as("top_2gram_frac"),
+      size(regexp_extract_all(col("text"),
+        lit(graft.operators.TrainPrep.emailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"),
+        lit(graft.operators.TrainPrep.phoneRe), lit(0))).as("n_phones"))
+      .withColumn("keep",
+        col("quality_score") >= 0.5 && col("top_2gram_frac") < 0.5 &&
+          col("n_emails") === 0 && col("n_phones") === 0)
+  }
+
   /** Batch-mode sessionization with identical semantics (window-based),
     * used to cross-check the stateful operator and as the at-rest variant.
     */

@@ -232,4 +232,43 @@ class EventStreamSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming quality gate verdicts equal the batch screens on full replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text", "n_chars").as[(Long, String, Long)]
+      .collect().toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, String, Long)]
+    val q = EventStream.qualityGate(source.toDF().toDF("doc_id", "text", "n_chars"))
+      .writeStream.outputMode("append").format("memory").queryName("qgate").start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      source.addData(a)
+      q.processAllAvailable()
+      source.addData(b)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM qgate").collect()
+        .map(r => r.getLong(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getInt(3), r.getInt(4), r.getBoolean(5)))
+        .toMap
+      assert(streamed.keySet == docs.map(_._1).toSet)
+
+      // batch cross-checks: quality from q22, repetition from q59 — the
+      // stream must agree with the BATCH operators, not just with itself
+      val quality = graft.operators.TextOps.q22Quality(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      val rep = graft.operators.TextOps.q59Repetition(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      streamed.foreach { case (id, (qs, topFrac, ne, np, keep)) =>
+        assert(qs == quality(id), s"doc $id quality")
+        assert(topFrac == rep.getOrElse(id, 0.0), s"doc $id repetition")
+        assert(ne == 0 && np == 0, s"doc $id: synthetic corpus has no PII")
+        assert(keep == (qs >= 0.5 && topFrac < 0.5), s"doc $id keep policy")
+      }
+      assert(streamed.values.exists(_._5) , "gate kept nothing")
+    } finally q.stop()
+  }
 }
