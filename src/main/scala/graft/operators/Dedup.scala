@@ -328,18 +328,13 @@ object Dedup {
     */
   def q28MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bands = minhashBands(spark, dir)
     // bucket docs by full band value and expand pairs WITHIN each bucket:
     // the signature pipeline (the expensive md5 shingle pass) runs ONCE —
     // the round-1 band self-join evaluated it twice, once per join side.
     // LSH buckets are small by construction (and a pathologically hot one
     // is chunked to bounded rows by boundedPairs); the value-ordered
     // chunks guarantee doc_a < doc_b without a filter.
-    boundedPairs(bands.select($"band", $"r0", $"r1", $"doc_id"),
-      Seq("band", "r0", "r1"), "doc_id")
-      .select($"a".as("doc_a"), $"b".as("doc_b"))
-      .distinct()
-      .orderBy($"doc_a", $"doc_b")
+    lshCandidatePairs(spark, dir).orderBy($"doc_a", $"doc_b")
   }
 
   /** SimHash over tokens at any width: bit j of the sketch is the sign of
@@ -548,6 +543,42 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** The distinct q28 candidate pair list (doc_a < doc_b), shared by the
+    * pair-anchored measurement operators (q61, q66) and q28 itself.
+    */
+  private def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    boundedPairs(
+      minhashBands(spark, dir).select($"band", $"r0", $"r1", $"doc_id"),
+      Seq("band", "r0", "r1"), "doc_id")
+      .select($"a".as("doc_a"), $"b".as("doc_b"))
+      .distinct()
+  }
+
+  /** Reunite a per-doc payload on a candidate pair list: the tiny pair
+    * list fans out to (pair, doc, side) roles and BROADCASTS into the
+    * payload pass (which therefore runs ONCE and never shuffles); only
+    * matched pair rows cross the one groupBy that brings the sides back
+    * together. Output: (doc_a, doc_b, va, vb) with va/vb the payload's
+    * non-key columns as structs. Payloads must have exactly one row per
+    * doc_id (first(when) would otherwise pick arbitrarily).
+    */
+  private def reunitePairs(pairs: DataFrame, payload: DataFrame): DataFrame = {
+    import payload.sparkSession.implicits._
+    val roles = pairs.select($"doc_a", $"doc_b",
+      explode(array(
+        struct($"doc_a".as("doc_id"), lit(true).as("isA")),
+        struct($"doc_b".as("doc_id"), lit(false).as("isA")))).as("r"))
+      .select($"doc_a", $"doc_b", $"r.doc_id".as("doc_id"), $"r.isA".as("isA"))
+    val v = struct(payload.columns.filterNot(_ == "doc_id").map(col): _*)
+    payload
+      .withColumn("_v", v)
+      .join(broadcast(roles), Seq("doc_id"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(first(when($"isA", $"_v"), ignoreNulls = true).as("va"),
+        first(when(!$"isA", $"_v"), ignoreNulls = true).as("vb"))
+  }
+
   /** q61 — shingle CONTAINMENT for the LSH candidate pairs: Jaccard (q26)
     * misses the "short doc pasted inside a long one" case because the
     * union in its denominator is dominated by the long side; containment
@@ -566,28 +597,14 @@ object Dedup {
     */
   def q61Containment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = boundedPairs(
-      minhashBands(spark, dir).select($"band", $"r0", $"r1", $"doc_id"),
-      Seq("band", "r0", "r1"), "doc_id")
-      .select($"a".as("doc_a"), $"b".as("doc_b"))
-      .distinct()
-    val roles = pairs.select($"doc_a", $"doc_b",
-      explode(array(
-        struct($"doc_a".as("doc_id"), lit(true).as("isA")),
-        struct($"doc_b".as("doc_id"), lit(false).as("isA")))).as("r"))
-      .select($"doc_a", $"doc_b", $"r.doc_id".as("doc_id"), $"r.isA".as("isA"))
     val docs = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism) // single-file input
       .select($"doc_id",
         graft.functions.ShingleFunctions.shingleHashes(split($"text", " ")).as("shs"))
-    docs
-      .join(broadcast(roles), Seq("doc_id"))
-      .groupBy($"doc_a", $"doc_b")
-      .agg(first(when($"isA", $"shs"), ignoreNulls = true).as("sa"),
-        first(when(!$"isA", $"shs"), ignoreNulls = true).as("sb"))
+    reunitePairs(lshCandidatePairs(spark, dir), docs)
       .select($"doc_a", $"doc_b",
-        size($"sa").cast("long").as("n_a"), size($"sb").cast("long").as("n_b"),
-        size(array_intersect($"sa", $"sb")).cast("long").as("inter"))
+        size($"va.shs").cast("long").as("n_a"), size($"vb.shs").cast("long").as("n_b"),
+        size(array_intersect($"va.shs", $"vb.shs")).cast("long").as("inter"))
       .withColumn("containment_a", round($"inter".cast("double") / $"n_a", 6))
       .withColumn("containment_b", round($"inter".cast("double") / $"n_b", 6))
       .orderBy($"doc_a", $"doc_b")
@@ -640,16 +657,6 @@ object Dedup {
     */
   def q66SketchCalibration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = boundedPairs(
-      minhashBands(spark, dir).select($"band", $"r0", $"r1", $"doc_id"),
-      Seq("band", "r0", "r1"), "doc_id")
-      .select($"a".as("doc_a"), $"b".as("doc_b"))
-      .distinct()
-    val roles = pairs.select($"doc_a", $"doc_b",
-      explode(array(
-        struct($"doc_a".as("doc_id"), lit(true).as("isA")),
-        struct($"doc_b".as("doc_id"), lit(false).as("isA")))).as("r"))
-      .select($"doc_a", $"doc_b", $"r.doc_id".as("doc_id"), $"r.isA".as("isA"))
     val w = split($"text", " ")
     val payload = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism) // single-file input
@@ -657,18 +664,12 @@ object Dedup {
         graft.functions.ShingleFunctions.shingleHashes(w).as("shs"),
         graft.functions.ShingleFunctions.minhashSig(w).as("sig"))
     val matches = (0 until 8)
-      .map(i => when($"ga" (i) === $"gb" (i), 1).otherwise(0))
+      .map(i => when($"va.sig" (i) === $"vb.sig" (i), 1).otherwise(0))
       .reduce(_ + _)
-    payload
-      .join(broadcast(roles), Seq("doc_id"))
-      .groupBy($"doc_a", $"doc_b")
-      .agg(first(when($"isA", $"shs"), ignoreNulls = true).as("sa"),
-        first(when(!$"isA", $"shs"), ignoreNulls = true).as("sb"),
-        first(when($"isA", $"sig"), ignoreNulls = true).as("ga"),
-        first(when(!$"isA", $"sig"), ignoreNulls = true).as("gb"))
+    reunitePairs(lshCandidatePairs(spark, dir), payload)
       .select($"doc_a", $"doc_b",
-        size(array_intersect($"sa", $"sb")).cast("long").as("inter"),
-        size($"sa").cast("long").as("n_a"), size($"sb").cast("long").as("n_b"),
+        size(array_intersect($"va.shs", $"vb.shs")).cast("long").as("inter"),
+        size($"va.shs").cast("long").as("n_a"), size($"vb.shs").cast("long").as("n_b"),
         (matches.cast("double") / lit(8.0)).as("est_jaccard"))
       .withColumn("jaccard",
         round($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter"), 6))

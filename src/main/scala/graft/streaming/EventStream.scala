@@ -210,11 +210,13 @@ object EventStream {
     * composite quality score, the q59 top-2-gram repetition fraction, and
     * the q51 PII counts, in ONE in-row projection over the document
     * stream. No state, no watermark, no shuffle — appends flow through at
-    * wire speed on any number of executors, and because every expression
-    * is a batch operator's own column expression, the stream verdicts are
-    * EQUAL to the batch family's by construction (the spec replays both).
-    * `keep` is the ingest policy: quality ≥ 0.5, repetition below half,
-    * no PII hits.
+    * wire speed on any number of executors. The quality and repetition
+    * legs reuse the batch operators' own column expressions, so those
+    * verdicts are EQUAL to q22/q59 by construction (the spec replays
+    * both); the PII leg shares q51's regex constants but counts over the
+    * RAW text (q51 counts over its planted test line), so the spec pins
+    * its semantics by streaming planted-PII rows instead. `keep` is the
+    * ingest policy: quality ≥ 0.5, repetition below half, no PII hits.
     */
   def qualityGate(docs: DataFrame): DataFrame = {
     val rs = graft.functions.ShingleFunctions.repetitionStats(split(col("text"), " "))

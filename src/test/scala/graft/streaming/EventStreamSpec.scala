@@ -245,16 +245,23 @@ class EventStreamSpec extends AnyFunSuite {
     val q = EventStream.qualityGate(source.toDF().toDF("doc_id", "text", "n_chars"))
       .writeStream.outputMode("append").format("memory").queryName("qgate").start()
     try {
+      // planted-PII rows prove the regex legs actually fire in the stream
+      // (the synthetic corpus itself is PII-free): ids above the corpus
+      // range, text long/clean enough that ONLY the PII veto rejects them
+      val cleanBody = Seq.fill(40)("the and of to a in is it").mkString(" ")
+      val planted = Seq(
+        (900001L, s"$cleanBody reach me at alice@example.com today", 300L),
+        (900002L, s"$cleanBody or call 555-1234 and 555-9876 now", 300L))
       val (a, b) = docs.splitAt(docs.size / 2)
       source.addData(a)
       q.processAllAvailable()
-      source.addData(b)
+      source.addData(b ++ planted)
       q.processAllAvailable()
       val streamed = spark.sql("SELECT * FROM qgate").collect()
         .map(r => r.getLong(0) ->
           (r.getDouble(1), r.getDouble(2), r.getInt(3), r.getInt(4), r.getBoolean(5)))
         .toMap
-      assert(streamed.keySet == docs.map(_._1).toSet)
+      assert(streamed.keySet == docs.map(_._1).toSet ++ planted.map(_._1))
 
       // batch cross-checks: quality from q22, repetition from q59 — the
       // stream must agree with the BATCH operators, not just with itself
@@ -262,13 +269,19 @@ class EventStreamSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getDouble(3)).toMap
       val rep = graft.operators.TextOps.q59Repetition(spark, sfDir).collect()
         .map(r => r.getLong(0) -> r.getDouble(3)).toMap
-      streamed.foreach { case (id, (qs, topFrac, ne, np, keep)) =>
+      docs.map(_._1).foreach { id =>
+        val (qs, topFrac, ne, np, keep) = streamed(id)
         assert(qs == quality(id), s"doc $id quality")
         assert(topFrac == rep.getOrElse(id, 0.0), s"doc $id repetition")
         assert(ne == 0 && np == 0, s"doc $id: synthetic corpus has no PII")
         assert(keep == (qs >= 0.5 && topFrac < 0.5), s"doc $id keep policy")
       }
-      assert(streamed.values.exists(_._5) , "gate kept nothing")
+      // the planted rows are vetoed by PII alone
+      val (q1, _, ne1, np1, keep1) = streamed(900001L)
+      val (q2, _, ne2, np2, keep2) = streamed(900002L)
+      assert(ne1 == 1 && np1 == 0 && !keep1 && q1 >= 0.5, "email veto")
+      assert(ne2 == 0 && np2 == 2 && !keep2 && q2 >= 0.5, "phone veto")
+      assert(streamed.values.exists(_._5), "gate kept nothing")
     } finally q.stop()
   }
 }
