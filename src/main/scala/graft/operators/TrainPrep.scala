@@ -271,8 +271,43 @@ object TrainPrep {
       .orderBy($"doc_id")
   }
 
+  /** q67 — corpus snapshot diff, the data-versioning primitive a managed
+    * training corpus needs between crawls: per document, whether it was
+    * ADDED, REMOVED, CHANGED, or UNCHANGED between two snapshots,
+    * decided by content fingerprint. The two snapshots are carved
+    * deterministically from the corpus (old drops doc_id ≡ 0 mod 5, new
+    * drops ≡ 0 mod 7 and revises ≡ 0 mod 11 with a planted suffix) — the
+    * q51 planting convention: the scenario is synthetic so the OPERATOR
+    * semantics, not the data, are the thing under test; a production run
+    * points the two sides at real snapshot manifests with the identical
+    * plan.
+    *
+    * Scale shape: each side is a (doc_id, fingerprint) projection — the
+    * diff joins MANIFESTS, never content; one shuffle per side on the
+    * join key, or zero when snapshots are stored bucketed by doc_id
+    * (the BucketingSpec layout).
+    */
+  def q67SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val old = docs.filter($"doc_id" % 5 =!= 0)
+      .select($"doc_id", md5($"text").as("fp_old"))
+    val neu = docs.filter($"doc_id" % 7 =!= 0)
+      .select($"doc_id",
+        md5(when($"doc_id" % 11 === 0, concat($"text", lit(" [rev2]")))
+          .otherwise($"text")).as("fp_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"fp_old".isNull, "added")
+          .when($"fp_new".isNull, "removed")
+          .when($"fp_old" =!= $"fp_new", "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_domain_mix" -> (q63DomainMix _),
+    "q67_snapshot_diff" -> (q67SnapshotDiff _),
     "q49_hash_sample" -> (q49HashSample _),
     "q50_seq_pack" -> (q50SeqPack _),
     "q51_pii_scrub" -> (q51PiiScrub _),
@@ -289,6 +324,20 @@ object TrainPrep {
     "CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q67_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, md5(text) AS fp_old FROM documents WHERE doc_id % 5 <> 0),
+        |neu AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END) AS fp_new
+        |  FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN fp_old <> fp_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q63_domain_mix" ->
       s"""WITH strata AS (
          |  SELECT lang, source,

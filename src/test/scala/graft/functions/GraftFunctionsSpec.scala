@@ -170,6 +170,24 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(ShingleOps.repetitionStats(arr).toLongArray().toSeq == Seq(4L, 2L, 2L))
   }
 
+  test("repetition_stats matches a sliding-window replay on 200 random token arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rng = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "ab", "", "ü", "xx") // repeats, empty, unicode
+    (1 to 200).foreach { trial =>
+      val toks = Vector.fill(rng.nextInt(12))(alphabet(rng.nextInt(alphabet.size)))
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString(_): Any).toArray)
+      val got = Option(ShingleOps.repetitionStats(arr)).map(_.toLongArray().toSeq)
+      val expected = if (toks.length < 2) None else {
+        val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.size)
+        Some(Seq(grams.size.toLong, counts.size.toLong, counts.values.max.toLong))
+      }
+      assert(got == expected, s"trial $trial tokens $toks")
+    }
+  }
+
   test("dsum overflow canary raises instead of wrapping silently") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -150,6 +150,28 @@ class TrainPrepSpec extends AnyFunSuite {
       s"budget drifted: $expected of $total (capped loss $cappedLoss)")
   }
 
+  test("q67: statuses replay from the snapshot membership arithmetic") {
+    import spark.implicits._
+    val ids = graft.Tables.documents(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    val out = TrainPrep.q67SnapshotDiff(spark, dir)
+      .as[(Long, String)].collect().toMap
+    val expected = ids.flatMap { id =>
+      val inOld = id % 5 != 0
+      val inNew = id % 7 != 0
+      val status =
+        if (!inOld && !inNew) None
+        else if (!inOld) Some("added")
+        else if (!inNew) Some("removed")
+        else if (id % 11 == 0) Some("changed") // the planted revision
+        else Some("unchanged")
+      status.map(id -> _)
+    }.toMap
+    assert(out == expected)
+    // all four statuses occur on this corpus
+    assert(out.values.toSet == Set("added", "removed", "changed", "unchanged"))
+  }
+
   test("q53: at most 3 terms per doc, ranks dense from 1, scores non-increasing") {
     import spark.implicits._
     val out = TrainPrep.q53Tfidf(spark, dir)
