@@ -305,9 +305,51 @@ object TrainPrep {
       .orderBy($"doc_id")
   }
 
+  /** q68 — corpus health report: per (lang, source) domain, the rollup a
+    * curation team watches between ingests — document and token counts,
+    * mean tokens, mean q22 quality, and the exact-duplicate fraction
+    * (docs whose q25 fingerprint occurs more than once ANYWHERE in the
+    * corpus). One health row per domain; feed it the q67 diff's changed
+    * set and it becomes the per-crawl regression report.
+    *
+    * Engine parity: mean_quality sums per-doc micro-unit longs exactly
+    * and divides once in double (quality scores are 1e-6 multiples, so a
+    * rounded double mean would sit exactly on half-boundaries — the q60
+    * lesson); mean_tokens and dup_frac are single IEEE divisions of
+    * exact integers.
+    *
+    * Plan shape: one projection pass (quality + fingerprint in-row), one
+    * fingerprint window (hash(fp), high cardinality), one map-side-
+    * combined rollup to |domains| rows.
+    */
+  def q68CorpusHealth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+      .select($"doc_id", $"lang", $"source",
+        size(split($"text", " ")).cast("long").as("n_toks"),
+        TextOps.qualityScoreExpr($"text", $"n_chars").as("q"),
+        md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("fp"))
+    base
+      .withColumn("fp_cnt", count(lit(1)).over(Window.partitionBy($"fp")))
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("n_tokens"),
+        (sum(round($"q" * lit(1e6)).cast("long")).cast("double") /
+          (count(lit(1)) * lit(1e6))).as("mean_quality"),
+        (sum(when($"fp_cnt" > 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("dup_frac"))
+      .withColumn("mean_tokens", $"n_tokens".cast("double") / $"n_docs")
+      .select($"lang", $"source", $"n_docs", $"n_tokens", $"mean_tokens",
+        $"mean_quality", $"dup_frac")
+      .orderBy($"lang", $"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_domain_mix" -> (q63DomainMix _),
     "q67_snapshot_diff" -> (q67SnapshotDiff _),
+    "q68_corpus_health" -> (q68CorpusHealth _),
     "q49_hash_sample" -> (q49HashSample _),
     "q50_seq_pack" -> (q50SeqPack _),
     "q51_pii_scrub" -> (q51PiiScrub _),
@@ -324,6 +366,21 @@ object TrainPrep {
     "CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q68_corpus_health" ->
+      s"""WITH ${TextOps.qualityCtes},
+         |base AS (
+         |  SELECT d.doc_id, d.lang, d.source,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+         |    q.quality_score AS q,
+         |    md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g')))) AS fp
+         |  FROM documents d JOIN qscore q USING (doc_id)),
+         |wd AS (SELECT *, count(*) OVER (PARTITION BY fp) AS fp_cnt FROM base)
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_toks) AS DOUBLE) / count(*) AS mean_tokens,
+         |  CAST(sum(CAST(round(q * 1e6) AS BIGINT)) AS DOUBLE) / (count(*) * 1e6) AS mean_quality,
+         |  CAST(sum(CASE WHEN fp_cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+         |FROM wd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q67_snapshot_diff" ->
       """WITH old AS (
         |  SELECT doc_id, md5(text) AS fp_old FROM documents WHERE doc_id % 5 <> 0),

@@ -172,6 +172,34 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out.values.toSet == Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("q68: health rollup replays from q22 quality + fingerprint counts") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "lang", "source",
+        "size(split(text, ' ')) AS n_toks",
+        "md5(lower(trim(regexp_replace(text, '\\\\s+', ' ')))) AS fp")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3).toLong, r.getString(4)))
+    val quality = TextOps.q22Quality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val fpCounts = docs.groupBy(_._5).view.mapValues(_.length).toMap
+    val out = TrainPrep.q68CorpusHealth(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val expected = docs.groupBy(d => (d._2, d._3)).map { case (k, g) =>
+      val microSum = g.map(d => math.round(quality(d._1) * 1e6)).sum
+      k -> (g.length.toLong, g.map(_._4).sum,
+        g.map(_._4).sum.toDouble / g.length,
+        microSum.toDouble / (g.length * 1e6),
+        g.count(d => fpCounts(d._5) > 1).toDouble / g.length)
+    }
+    assert(out == expected)
+    // this synthetic corpus has no exact dups (q25 = one cluster per doc),
+    // so the replay above pins dup_frac = 0 everywhere — the >0 path is
+    // exercised by the fingerprint-count arithmetic itself
+    assert(out.values.forall(_._5 == 0.0))
+  }
+
   test("q53: at most 3 terms per doc, ranks dense from 1, scores non-increasing") {
     import spark.implicits._
     val out = TrainPrep.q53Tfidf(spark, dir)
