@@ -227,7 +227,58 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Feature-hash bucket count for [[q69HashClassifier]]. */
+  val hashBuckets = 64
+
+  /** q69 — hashing-trick linear quality classifier (the fastText-style
+    * scorer curation pipelines train against a reference corpus — here
+    * with deterministic pseudo-weights so the oracle can replay it):
+    * tokens hash into [[hashBuckets]] buckets, the bucket-count vector is
+    * length-normalized, and a linear model w·x scores each document with
+    * a sigmoid on top. This is the ML-based sibling of the q22 heuristic
+    * screen — a production run swaps the md5-derived weights for trained
+    * ones; the plan is identical.
+    *
+    * Engine parity: integer weights (pmod(md5) in [-1000, 1000]) times
+    * integer counts sum EXACTLY as longs, so the logit is one IEEE
+    * division of exact integers; only the final sigmoid crosses libm,
+    * rounded at 6dp (generic irrational values — the measure-zero
+    * boundary argument).
+    *
+    * Plan shape: the q53 single-pipeline discipline — tokens collapse to
+    * (doc, bucket) counts on one hash(doc_id) exchange; the 64-weight
+    * vector is an in-plan literal array, so scoring adds no join and the
+    * per-doc rollup reuses the same partitioning.
+    */
+  def q69HashClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // w_k = pmod(md5_60("qw{k}"), 2001) - 1000 — integer weights the
+    // DuckDB oracle rebuilds from the identical formula
+    val weights: Seq[Long] = (0 until hashBuckets).map { k =>
+      graft.functions.PortableHash60.hash(s"qw$k".getBytes("UTF-8")) % 2001 - 1000
+    }
+    val wLit = typedLit(weights)
+    val bucket = pmod(graft.operators.Dedup.portableHash($"word"), lit(hashBuckets))
+    Tables.documents(spark, dir)
+      .repartition($"doc_id") // single-file input → also restores parallelism
+      .select($"doc_id", explode(words($"text")).as("word"))
+      .select($"doc_id", bucket.as("bucket"))
+      .groupBy($"doc_id", $"bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"cnt").as("n_tokens"),
+        sum($"cnt" * element_at(wLit, $"bucket".cast("int") + 1)).as("acc"))
+      .select($"doc_id", $"n_tokens",
+        ($"acc".cast("double") / ($"n_tokens".cast("double") * 1000.0)).as("logit"))
+      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-$"logit")), 6))
+      .withColumn("keep", $"score" >= 0.5)
+      .select($"doc_id", $"n_tokens", $"logit", $"score", $"keep")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_hash_classifier" -> (q69HashClassifier _),
     "q21_text_stats" -> (q21TextStats _),
     "q22_quality" -> (q22Quality _),
     "q23_langid" -> (q23LangId _),
@@ -259,6 +310,29 @@ object TextOps {
        |  FROM qf)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q69_hash_classifier" ->
+      s"""WITH w AS (
+         |  SELECT CAST(k AS INT) AS k,
+         |    CAST(('0x' || substring(md5('qw' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000 AS wt
+         |  FROM range($hashBuckets) t(k)),
+         |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substring(md5(word), 1, 15)) AS BIGINT) % $hashBuckets AS bucket
+         |  FROM words),
+         |c AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |s AS (
+         |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |    CAST(sum(cnt * wt) AS BIGINT) AS acc
+         |  FROM c JOIN w ON c.bucket = w.k GROUP BY 1),
+         |z AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(acc AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000.0) AS logit
+         |  FROM s)
+         |SELECT doc_id, n_tokens, logit,
+         |  round(1.0 / (1.0 + exp(-logit)), 6) AS score,
+         |  round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS keep
+         |FROM z ORDER BY doc_id""".stripMargin,
     "q46_bpe_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,

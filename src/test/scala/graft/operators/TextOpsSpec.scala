@@ -47,6 +47,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("q69: logits equal a plain-Scala feature-hash replay; verdicts follow the sigmoid") {
+    def h(s: String): Long =
+      graft.functions.PortableHash60.hash(s.getBytes("UTF-8"))
+    val weights = (0 until TextOps.hashBuckets).map(k => h(s"qw$k") % 2001 - 1000)
+    val out = TextOps.q69HashClassifier(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out.keySet == texts.keySet)
+    texts.foreach { case (id, toks) =>
+      val acc = toks.map(t => weights((h(t) % TextOps.hashBuckets).toInt)).sum
+      val logit = acc.toDouble / (toks.length.toDouble * 1000.0)
+      val (n, gotLogit, score, keep) = out(id)
+      assert(n == toks.length.toLong && gotLogit == logit, s"doc $id logit")
+      assert(math.abs(score - 1.0 / (1.0 + math.exp(-logit))) < 1e-6, s"doc $id score")
+      assert(keep == (score >= 0.5), s"doc $id keep")
+    }
+    // the deterministic weights actually separate: both verdicts occur
+    assert(out.values.exists(_._4) && out.values.exists(!_._4))
+  }
+
   test("q60: log-prob equals a plain-Scala corpus-MLE replay; common beats rare") {
     val corpusCw: Map[String, Long] =
       texts.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
