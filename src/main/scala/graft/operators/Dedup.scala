@@ -188,7 +188,7 @@ object Dedup {
   def q25ExactDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select($"doc_id", md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("fp"))
+      .select($"doc_id", TextOps.fingerprintExpr($"text").as("fp"))
       .groupBy($"fp")
       .agg(min($"doc_id").as("survivor_doc_id"), count(lit(1)).as("cluster_size"))
       .select($"survivor_doc_id", $"cluster_size")

@@ -110,18 +110,31 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Whitespace-normalized lower-cased text — the canonical form behind
+    * every exact-dup fingerprint in the repo.
+    */
+  private[graft] def normalizedText(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** THE exact-dup content fingerprint (md5 of [[normalizedText]]) —
+    * one definition shared by q24, q25, q68, and the streaming dedup so
+    * the four surfaces can never silently diverge.
+    */
+  private[graft] def fingerprintExpr(text: Column): Column =
+    md5(normalizedText(text))
+
   /** Document fingerprint: md5 of whitespace-normalized lower-cased text
     * (portable across engines), plus a coarse prefix fingerprint over the
     * first 8 tokens that actually clusters near-identical heads.
     */
   def q24Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val norm = lower(trim(regexp_replace($"text", "\\s+", " ")))
     Tables.documents(spark, dir)
       .select(
         $"doc_id",
-        md5(norm).as("fingerprint"),
-        md5(array_join(slice(words(norm), lit(1), lit(8)), " ")).as("prefix_fingerprint"))
+        fingerprintExpr($"text").as("fingerprint"),
+        md5(array_join(slice(words(normalizedText($"text")), lit(1), lit(8)), " "))
+          .as("prefix_fingerprint"))
       .orderBy($"doc_id")
   }
 

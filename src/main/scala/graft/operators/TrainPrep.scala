@@ -286,21 +286,30 @@ object TrainPrep {
     * diff joins MANIFESTS, never content; one shuffle per side on the
     * join key, or zero when snapshots are stored bucketed by doc_id
     * (the BucketingSpec layout).
+    *
+    * Missing-hash policy: membership comes from an explicit presence
+    * flag, and fingerprints compare null-safely — a present row with a
+    * NULL hash on either side reports 'changed' (conservative
+    * re-ingest), never 'added'/'unchanged' by accident.
     */
   def q67SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
+    // membership is decided by an explicit presence flag, NOT by
+    // fingerprint nullness — a present row whose fingerprint is NULL
+    // (a manifest with missing content hashes) must not masquerade as
+    // absent; the oracle's doc_id IS NULL test has the same semantics
     val old = docs.filter($"doc_id" % 5 =!= 0)
-      .select($"doc_id", md5($"text").as("fp_old"))
+      .select($"doc_id", md5($"text").as("fp_old"), lit(true).as("in_old"))
     val neu = docs.filter($"doc_id" % 7 =!= 0)
       .select($"doc_id",
         md5(when($"doc_id" % 11 === 0, concat($"text", lit(" [rev2]")))
-          .otherwise($"text")).as("fp_new"))
+          .otherwise($"text")).as("fp_new"), lit(true).as("in_new"))
     old.join(neu, Seq("doc_id"), "full_outer")
       .select($"doc_id",
-        when($"fp_old".isNull, "added")
-          .when($"fp_new".isNull, "removed")
-          .when($"fp_old" =!= $"fp_new", "changed")
+        when($"in_old".isNull, "added")
+          .when($"in_new".isNull, "removed")
+          .when(!($"fp_old" <=> $"fp_new"), "changed")
           .otherwise("unchanged").as("status"))
       .orderBy($"doc_id")
   }
@@ -322,15 +331,21 @@ object TrainPrep {
     * fingerprint window (hash(fp), high cardinality), one map-side-
     * combined rollup to |domains| rows.
     */
-  def q68CorpusHealth(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val base = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+  def q68CorpusHealth(spark: SparkSession, dir: String): DataFrame =
+    corpusHealth(Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)) // single-file input
+
+  /** The health rollup over any (doc_id, lang, source, text, n_chars)
+    * frame — factored so the dup_frac>0 path is testable on a frame with
+    * PLANTED duplicates (the gate corpus has none).
+    */
+  private[graft] def corpusHealth(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", $"lang", $"source",
         size(split($"text", " ")).cast("long").as("n_toks"),
         TextOps.qualityScoreExpr($"text", $"n_chars").as("q"),
-        md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("fp"))
-    base
+        TextOps.fingerprintExpr($"text").as("fp"))
       .withColumn("fp_cnt", count(lit(1)).over(Window.partitionBy($"fp")))
       .groupBy($"lang", $"source")
       .agg(
@@ -391,7 +406,7 @@ object TrainPrep {
         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'
         |       WHEN n.doc_id IS NULL THEN 'removed'
-        |       WHEN fp_old <> fp_new THEN 'changed'
+        |       WHEN fp_old IS DISTINCT FROM fp_new THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,

@@ -130,7 +130,7 @@ object EventStream {
       .schema(schema)
       .parquet(docsDir)
       .select(col("doc_id"),
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+        graft.operators.TextOps.fingerprintExpr(col("text")).as("fp"))
       .dropDuplicates("fp")
   }
 

@@ -195,9 +195,28 @@ class TrainPrepSpec extends AnyFunSuite {
     }
     assert(out == expected)
     // this synthetic corpus has no exact dups (q25 = one cluster per doc),
-    // so the replay above pins dup_frac = 0 everywhere — the >0 path is
-    // exercised by the fingerprint-count arithmetic itself
+    // so the replay above pins dup_frac = 0 everywhere; the planted test
+    // below exercises the >0 path
     assert(out.values.forall(_._5 == 0.0))
+  }
+
+  test("q68 dup_frac counts planted duplicates (whitespace-normalized, cross-domain)") {
+    import spark.implicits._
+    val body = Seq.fill(30)("the and of to a value table").mkString(" ")
+    val docs = Seq(
+      // two byte-identical docs in domain (en, web) + one cross-domain
+      // copy differing only in whitespace/case → ALL THREE are q25 dups
+      (1L, "en", "web", body, 300L),
+      (2L, "en", "web", body, 300L),
+      (3L, "de", "web", "  " + body.toUpperCase + "  ", 300L),
+      // uniques
+      (4L, "en", "web", body + " unique tail four", 300L),
+      (5L, "de", "web", body + " unique tail five", 300L))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+    val out = TrainPrep.corpusHealth(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(6))).toMap
+    assert(out(("en", "web")) == ((3L, 2.0 / 3)), "two of three en docs are dups")
+    assert(out(("de", "web")) == ((2L, 0.5)), "the normalized cross-domain copy is a dup")
   }
 
   test("q53: at most 3 terms per doc, ranks dense from 1, scores non-increasing") {
