@@ -205,6 +205,72 @@ object EventStream {
     hits.groupBy(col("doc_id"))
       .agg(max(col("first_doc") =!= col("doc_id")).as("is_candidate"))
 
+  final case class FunnelState(view: Long, click: Long, purchase: Long)
+
+  final case class FunnelRow(user_id: Long, view_us: Option[Long],
+      click_us: Option[Long], purchase_us: Option[Long], stage: Int)
+
+  /** Streaming funnel — the stateful twin of the batch q57: per user,
+    * first view → first click within an hour of it → first purchase
+    * within an hour of that, folded incrementally with
+    * flatMapGroupsWithState (state = three longs per user, monotone:
+    * a stage timestamp never changes once set). Each touched user emits
+    * its current funnel row per micro-batch; [[funnelFinal]] is the
+    * batch-side reduction to the latest row (stage only grows — the
+    * [[neardupFlags]] split).
+    *
+    * Semantics are exact vs the batch operator when each user's events
+    * arrive in event-time order (per-user ordering is the standard
+    * funnel-at-scale ingest contract — a deployment enforces it with a
+    * watermark + sort-within-batch, exactly like the sessionization
+    * path); the spec replays the event table in ordered micro-batches
+    * and pins equality with q57.
+    */
+  def funnelStream(events: Dataset[Event]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        funnelFold)
+  }
+
+  private val FunnelWindowUs = 3600L * 1000000L
+
+  private[streaming] def funnelFold(
+      userId: Long,
+      rows: Iterator[Event],
+      state: GroupState[FunnelState]): Iterator[FunnelRow] = {
+    var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+    rows.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+      val us = e.ts / 1000L
+      e.event_type match {
+        case "view" if s.view < 0 => s = s.copy(view = us)
+        case "click" if s.view >= 0 && s.click < 0 &&
+          us > s.view && us <= s.view + FunnelWindowUs => s = s.copy(click = us)
+        case "purchase" if s.click >= 0 && s.purchase < 0 &&
+          us > s.click && us <= s.click + FunnelWindowUs => s = s.copy(purchase = us)
+        case _ =>
+      }
+    }
+    state.update(s)
+    if (s.view < 0) Iterator.empty
+    else Iterator.single(FunnelRow(userId,
+      Some(s.view),
+      if (s.click >= 0) Some(s.click) else None,
+      if (s.purchase >= 0) Some(s.purchase) else None,
+      1 + (if (s.click >= 0) 1 else 0) + (if (s.purchase >= 0) 1 else 0)))
+  }
+
+  /** Batch-side reduction of [[funnelStream]] output: the latest funnel
+    * row per user (stage and the set timestamps only ever grow).
+    */
+  def funnelFinal(rows: DataFrame): DataFrame =
+    rows.groupBy(col("user_id"))
+      .agg(max(struct(col("stage"), col("view_us"), col("click_us"),
+        col("purchase_us"))).as("s"))
+      .select(col("user_id"), col("s.view_us"), col("s.click_us"),
+        col("s.purchase_us"), col("s.stage"))
+
   /** Streaming quality gate — the STATELESS screen an ingest stream runs
     * before any stateful operator (dedup, sessionization): the q22
     * composite quality score, the q59 top-2-gram repetition fraction, and

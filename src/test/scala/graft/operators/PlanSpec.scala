@@ -204,6 +204,26 @@ class PlanSpec extends AnyFunSuite {
       s"corpus shuffled on doc_id:\n$p")
   }
 
+  test("q67/q68/q69: manifest join keys on doc_id; classifier weights ride in-plan") {
+    // q67: the diff is a doc_id-keyed join of two manifest projections
+    val p67 = plan(TrainPrep.q67SnapshotDiff(spark, dir))
+    assert(p67.contains("FullOuter"), s"diff lost its full-outer join:\n$p67")
+    assert(!p67.contains("CartesianProduct"), s"cartesian product present:\n$p67")
+    // q68: one fingerprint window + rollup — exchanges key on fp or the
+    // domain columns only
+    val p68 = plan(TrainPrep.q68CorpusHealth(spark, dir))
+    val hp68 = p68.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hp68.nonEmpty && hp68.forall(l => l.contains("fp") || l.contains("lang")),
+      s"unexpected exchange keys:\n$p68")
+    // q69: no join anywhere — the weight vector is an in-plan literal,
+    // and the token stream shuffles on doc_id only
+    val p69 = plan(TextOps.q69HashClassifier(spark, dir))
+    assert(!p69.contains("Join"), s"classifier should be join-free:\n$p69")
+    val hp69 = p69.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(hp69.nonEmpty && hp69.forall(_.contains("doc_id")),
+      s"token stream not doc_id-partitioned:\n$p69")
+  }
+
   test("q64: gate joins the bucket index on fixed-width band keys") {
     val p = plan(Dedup.q64DedupGate(spark, dir))
     assert(p.linesIterator.exists(l =>

@@ -233,6 +233,36 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel equals the batch q57 on event-time-ordered replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[EventStream.Event].collect().sortBy(e => (e.ts, e.event_id)).toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[EventStream.Event]
+    val q = EventStream.funnelStream(source.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("funnel").start()
+    try {
+      // three event-time-ordered micro-batches (users span batches, so
+      // state genuinely carries across invocations)
+      events.grouped(math.max(1, events.size / 3 + 1)).foreach { batch =>
+        source.addData(batch)
+        q.processAllAvailable()
+      }
+      val streamed = EventStream.funnelFinal(spark.sql("SELECT * FROM funnel"))
+        .collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3)), r.getInt(4))).toMap
+      val batch = graft.operators.ScaleOps.q57Funnel(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3)), r.getInt(4))).toMap
+      assert(streamed == batch)
+      assert(batch.values.exists(_._4 > 1), "fixture has no multi-stage funnels")
+    } finally q.stop()
+  }
+
   test("streaming quality gate verdicts equal the batch screens on full replay") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
