@@ -361,10 +361,41 @@ object TrainPrep {
       .orderBy($"lang", $"source")
   }
 
+  /** q70 — EXACT stratified train/val/test split (90/5/5): within each
+    * (lang, source) stratum, documents rank by a salted portable hash
+    * (doc_id tie-break) and the first ⌊9n/10⌋ go to train, the next up
+    * to ⌊19n/20⌋ to val, the rest to test. Unlike q49's Bernoulli
+    * sample, the proportions are EXACT per stratum — the property an
+    * eval-set split needs so a 200-doc language still gets its 10 val
+    * docs — while staying fully deterministic and reproducible
+    * (re-ranking with the same salt reproduces the identical split;
+    * cutoffs are integer arithmetic, no float boundary exists).
+    *
+    * Scale shape: one window over (lang, source) — the q50 stream-key
+    * discipline applies (sub-bucket a giant stratum the same way); the
+    * rank and count windows share one exchange.
+    */
+  def q70Split(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = Dedup.portableHash(concat(lit("split:"), $"doc_id".cast("string")))
+    val wRank = Window.partitionBy($"lang", $"source").orderBy(h.asc, $"doc_id".asc)
+    val wAll = Window.partitionBy($"lang", $"source")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source")
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select($"doc_id", $"lang", $"source",
+        when($"rk" <= expr("(n * 9) div 10"), "train")
+          .when($"rk" <= expr("(n * 19) div 20"), "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_domain_mix" -> (q63DomainMix _),
     "q67_snapshot_diff" -> (q67SnapshotDiff _),
     "q68_corpus_health" -> (q68CorpusHealth _),
+    "q70_split" -> (q70Split _),
     "q49_hash_sample" -> (q49HashSample _),
     "q50_seq_pack" -> (q50SeqPack _),
     "q51_pii_scrub" -> (q51PiiScrub _),
@@ -380,7 +411,23 @@ object TrainPrep {
   private val mixHashSql =
     "CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 
+  private val splitHashSql =
+    "CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
   val oracles: Map[String, String] = Map(
+    "q70_split" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, source, $splitHashSql AS hv FROM documents),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang, source
+         |      ORDER BY hv ASC, doc_id ASC) AS rk,
+         |    count(*) OVER (PARTITION BY lang, source) AS n
+         |  FROM h)
+         |SELECT doc_id, lang, source,
+         |  CASE WHEN rk <= (n * 9) // 10 THEN 'train'
+         |       WHEN rk <= (n * 19) // 20 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q68_corpus_health" ->
       s"""WITH ${TextOps.qualityCtes},
          |base AS (

@@ -219,6 +219,26 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out(("de", "web")) == ((2L, 0.5)), "the normalized cross-domain copy is a dup")
   }
 
+  test("q70: exact 90/5/5 proportions per stratum; deterministic; total coverage") {
+    import spark.implicits._
+    val a = TrainPrep.q70Split(spark, dir).collect().map(_.toSeq).toSeq
+    val b = TrainPrep.q70Split(spark, dir).collect().map(_.toSeq).toSeq
+    assert(a == b, "split must be reproducible run-to-run")
+    val rows = a.map(r => (r(0).asInstanceOf[Long], r(1), r(2), r(3).asInstanceOf[String]))
+    // every document appears exactly once
+    val all = graft.Tables.documents(spark, dir).select("doc_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet == all && rows.size == all.size)
+    // EXACT floor-based proportions within each stratum
+    rows.groupBy(r => (r._2, r._3)).foreach { case (k, g) =>
+      val n = g.size.toLong
+      val byS = g.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+      assert(byS.getOrElse("train", 0L) == n * 9 / 10, s"stratum $k train")
+      assert(byS.getOrElse("val", 0L) == n * 19 / 20 - n * 9 / 10, s"stratum $k val")
+      assert(byS.getOrElse("test", 0L) == n - n * 19 / 20, s"stratum $k test")
+    }
+    assert(rows.exists(_._4 == "val") && rows.exists(_._4 == "test"))
+  }
+
   test("q53: at most 3 terms per doc, ranks dense from 1, scores non-increasing") {
     import spark.implicits._
     val out = TrainPrep.q53Tfidf(spark, dir)
