@@ -209,25 +209,30 @@ object TextOps {
     * (multiply-then-round) legitimately disagree; measured on this corpus
     * at 3 docs in 500.
     *
-    * Plan shape: corpus word counts are a sum-window over the tf stream
-    * (a joined frequency table would re-instantiate the tokenize pipeline
-    * per side — the q53 lesson); the token stream collapses to tf rows on
-    * its one hash(doc_id) exchange, and only tf rows cross the word window
-    * and the final per-doc rollup. The total-token count is a separate
-    * scalar aggregate over the raw table (scan-only, broadcast back).
+    * Plan shape: corpus word counts are a `groupBy(word)` aggregate over
+    * the tf stream joined back on `word` — NOT a sum-window over `word`.
+    * A window partitioned by a raw token column materializes every tf row
+    * of a Zipf-head word in one task (the q53 scale-killer); the aggregate
+    * combines map-side and the join back is AQE-planned (broadcast for
+    * small vocabs, skew-split shuffle otherwise). Both branches derive
+    * from the same plan fragment, so ReuseExchange evaluates the
+    * raw-document scan+shuffle once; only the in-memory tokenize +
+    * partial-agg re-runs on the cw branch. The total-token count is a
+    * separate scalar aggregate over the raw table (scan-only, broadcast
+    * back).
     */
   def q60UnigramLm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, dir)
       .repartition($"doc_id") // single-file input → also restores parallelism
       .select($"doc_id", explode(words($"text")).as("word"))
       .groupBy($"doc_id", $"word")
       .agg(count(lit(1)).as("tf"))
+    val cw = tf.groupBy($"word").agg(sum($"tf").as("cw"))
     val n = Tables.documents(spark, dir)
       .select(sum(size(words($"text")).cast("long")).cast("double").as("n_total"))
     tf
-      .withColumn("cw", sum($"tf").over(Window.partitionBy($"word")))
+      .join(cw, Seq("word"))
       .crossJoin(broadcast(n))
       .groupBy($"doc_id")
       .agg(

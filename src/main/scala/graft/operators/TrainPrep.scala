@@ -142,12 +142,18 @@ object TrainPrep {
     * rounded to 6dp BEFORE ranking so both engines rank the identical
     * value (word ascending breaks ties deterministically).
     *
-    * Single-pipeline shape: df is a count-window over `word` on the tf
-    * stream itself (df = |tf rows per word| by construction), not a
-    * groupBy-and-rejoin — a joined df table re-instantiates the whole
-    * tokenize+tf pipeline per side, the same trap as the q28 band union.
-    * The token stream crosses ONE exchange (hash(doc_id) satisfies the tf
-    * grouping); everything after moves |doc·distinct-word| rows only.
+    * Scale shape: df is a `groupBy(word)` aggregate over the tf stream
+    * (df = |tf rows per word| by construction) joined back on `word` —
+    * NOT a count-window over `word`. A window partitioned by a raw token
+    * column materializes every tf row of a Zipf-head word ("the" appears
+    * in ~every doc) inside ONE task, which dies at corpus scale; the
+    * aggregate form combines map-side (each map partition emits ≤ |local
+    * vocab| rows) and the join back is AQE-planned — broadcast when the
+    * vocab is small, skew-split shuffle when it is not. Both branches
+    * derive from the same plan fragment, so ReuseExchange evaluates the
+    * raw-document scan+shuffle ONCE; only the (cheap, in-memory) tokenize
+    * + partial-agg re-runs on the df branch — the deliberate alternative
+    * to persisting a corpus-scale tf cache. Asserted by PlanSpec.
     */
   def q53Tfidf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -155,9 +161,10 @@ object TrainPrep {
       .repartition(col("doc_id")) // single-file input → also restores parallelism
       .select($"doc_id", explode(split($"text", " ")).as("word"))
     val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir).select(countDistinct($"doc_id").as("n_docs"))
     val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy($"word")))
+      .join(df, Seq("word"))
       .crossJoin(broadcast(n))
       .select($"doc_id", $"word",
         round($"tf" * log($"n_docs".cast("double") / $"df"), 6).as("score"))

@@ -178,6 +178,23 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
   }
 
+  test("q53/q60: no window partitioned by a raw token column; raw shuffle reused") {
+    // a Window over `word` materializes every row of a Zipf-head token in
+    // one task — corpus counts must be groupBy(word) aggregates (map-side
+    // combine) joined back, with the raw-document shuffle shared via
+    // ReuseExchange (visible only in the AQE-finalized plan → collect first)
+    for ((name, df) <- Seq(
+        "q53" -> TrainPrep.q53Tfidf(spark, dir),
+        "q60" -> TextOps.q60UnigramLm(spark, dir))) {
+      df.collect()
+      val p = plan(df)
+      assert(!p.contains("windowspecdefinition(word"),
+        s"$name windows over the token column:\n$p")
+      assert(p.contains("ReusedExchange"),
+        s"$name raw-document scan+shuffle instantiated per branch (no ReusedExchange):\n$p")
+    }
+  }
+
   test("q61: pair roles broadcast into the single shingle-set pass") {
     val p = plan(Dedup.q61Containment(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"roles did not broadcast:\n$p")
