@@ -24,6 +24,40 @@ class DedupClusterSpec extends AnyFunSuite {
     es.toDF("u", "v")
   }
 
+  test("q61 shuffle-join fallback (forced-large pair list) matches the broadcast path") {
+    // gate the role broadcast off entirely: results must be identical and
+    // the roles join must NOT be planned as a broadcast of the pair list
+    val dir = "/root/testdata/sf0.001"
+    val viaBroadcast = Dedup.q61Containment(spark, dir).collect()
+    spark.conf.set("spark.graft.pairs.broadcastMaxRows", "0")
+    // at sf0.001 the planner would STILL broadcast by statistics (the tiny
+    // payload side fits the auto threshold) — turn that off too, so the
+    // doc_id join really runs as a shuffle join, the shape a too-large
+    // pair list gets at scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Dedup.q61Containment(spark, dir)
+      // no broadcast HINT may survive on any join — the gate must leave
+      // the choice to the planner when the pair list is declared large
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val hinted = df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j
+      }
+      assert(hinted.isEmpty, s"forced-large path still hints a broadcast: $hinted")
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.linesIterator.exists(l => l.contains("hashpartitioning(doc_id")),
+        s"roles join did not shuffle on doc_id:\n$p")
+      val viaShuffle = df.collect()
+      assert(viaShuffle.map(_.toString).sorted.toSeq ==
+        viaBroadcast.map(_.toString).sorted.toSeq,
+        "shuffle-join fallback diverges from the broadcast path")
+    } finally {
+      spark.conf.unset("spark.graft.pairs.broadcastMaxRows")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("two components and an isolated pair resolve to min-id labels") {
     val cc = Dedup.connectedComponents(edges(1L -> 2L, 2L -> 3L, 10L -> 11L))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
