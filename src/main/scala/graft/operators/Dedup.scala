@@ -534,12 +534,24 @@ object Dedup {
     import spark.implicits._
     val cc = membershipComponents(
       minhashBands(spark, dir), Seq("band", "r0", "r1"), "doc_id")
-    val wRep = org.apache.spark.sql.expressions.Window.partitionBy($"rep_doc_id")
-    Tables.documents(spark, dir)
+    // cluster_size is a groupBy aggregate joined back, NOT a count-window
+    // over rep_doc_id: a degenerate corpus can put half the documents in
+    // one component, and a window would materialize that entire component
+    // in a single task. The aggregate combines map-side (bounded task
+    // input) and the join back is AQE-planned — broadcast for small
+    // cluster tables, skew-split shuffle for mega-components. cc is
+    // localCheckpoint'ed inside membershipComponents, so the labeled
+    // fragment appearing on both sides re-reads cached blocks, not the
+    // band pipeline.
+    val labeled = Tables.documents(spark, dir)
       .select($"doc_id")
       .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"label", $"doc_id").as("rep_doc_id"))
-      .withColumn("cluster_size", count(lit(1)).over(wRep))
+    val sizes = labeled.groupBy($"rep_doc_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled
+      .join(sizes, Seq("rep_doc_id"))
+      .select($"doc_id", $"rep_doc_id", $"cluster_size")
       .orderBy($"doc_id")
   }
 

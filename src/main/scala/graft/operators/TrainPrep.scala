@@ -212,10 +212,13 @@ object TrainPrep {
     * dedup actually wants (keep the best copy, not the first). Cluster
     * identity stays the min-id label so q48 and q56 share vocabulary.
     *
-    * Scale shape: the cluster label table is narrow (two longs per doc);
-    * the quality table is a per-row projection; the survivor window
-    * partitions by cluster id (high cardinality — clusters are small by
-    * construction).
+    * Scale shape: the cluster label table is narrow (two longs per doc)
+    * and the quality table is a per-row projection. Survivor selection is
+    * ONE groupBy(cluster_id) aggregate — max_by over the (quality,
+    * −doc_id) ordering key plus the member count — not a row_number +
+    * count window pair: aggregates combine map-side, so even a
+    * degenerate mega-cluster (half the corpus under one label) never
+    * funnels its rows into a single window task.
     */
   def q56QualitySurvivor(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -224,16 +227,16 @@ object TrainPrep {
     val lab = Tables.documents(spark, dir).select($"doc_id")
       .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"label", $"doc_id").as("cluster_id"))
-    val w = Window.partitionBy($"cluster_id")
-      .orderBy($"quality_score".desc, $"doc_id".asc)
     lab
       .join(TextOps.qualityRaw(spark, dir).select($"doc_id", $"quality_score"),
         Seq("doc_id"))
-      .withColumn("rk", row_number().over(w))
-      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy($"cluster_id")))
-      .filter($"rk" === 1)
-      .select($"cluster_id", $"doc_id".as("survivor_doc_id"),
-        $"quality_score".as("survivor_quality"), $"cluster_size")
+      .groupBy($"cluster_id")
+      .agg(
+        max_by(struct($"doc_id", $"quality_score"),
+          struct($"quality_score", -$"doc_id")).as("_s"),
+        count(lit(1)).as("cluster_size"))
+      .select($"cluster_id", $"_s.doc_id".as("survivor_doc_id"),
+        $"_s.quality_score".as("survivor_quality"), $"cluster_size")
       .orderBy($"cluster_id")
   }
 

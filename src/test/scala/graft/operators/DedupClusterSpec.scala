@@ -58,6 +58,31 @@ class DedupClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate corpus: one bucket holding 50% of docs completes with correct sizes") {
+    import spark.implicits._
+    // 100 docs; docs 0..49 share ONE bucket (the pathological mega-bucket
+    // a duplicated-content crawl produces), the rest are singletons
+    val bands = ((0L until 50L).map(d => ("hot", 0L, 0L, d)) ++
+      (50L until 100L).map(d => (s"b$d", d, d, d)))
+      .toDF("band", "r0", "r1", "doc_id")
+    val cc = Dedup.membershipComponents(bands, Seq("band", "r0", "r1"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 50L).forall(cc(_) == 0L), "mega-bucket not fully merged")
+    // singleton-bucket docs either label themselves or are absent (q48
+    // coalesces absent nodes to their own id)
+    assert((50L until 100L).forall(d => cc.getOrElse(d, d) == d),
+      "singletons mislabeled")
+    // the q48 size aggregation over these labels: groupBy combines
+    // map-side, so the mega-cluster collapses to one row per map
+    // partition before the shuffle
+    val labeled = (0L until 100L).map(d => (d, if (d < 50) 0L else d))
+      .toDF("doc_id", "rep_doc_id")
+    val sizes = labeled.groupBy($"rep_doc_id").agg(count(lit(1)).as("cluster_size"))
+    val out = labeled.join(sizes, Seq("rep_doc_id")).collect()
+    assert(out.length == 100 &&
+      out.forall(r => r.getLong(2) == (if (r.getLong(0) == 0L) 50L else 1L)))
+  }
+
   test("two components and an isolated pair resolve to min-id labels") {
     val cc = Dedup.connectedComponents(edges(1L -> 2L, 2L -> 3L, 10L -> 11L))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -241,6 +241,19 @@ class PlanSpec extends AnyFunSuite {
       s"token stream not doc_id-partitioned:\n$p69")
   }
 
+  test("q48/q56: no window partitioned by the cluster key (mega-component safety)") {
+    // cluster_size / survivor selection must be map-side-combining
+    // aggregates joined back — a window over rep_doc_id/cluster_id puts a
+    // degenerate half-corpus component into one task
+    val p48 = plan(Dedup.q48NeardupClusters(spark, dir))
+    assert(!p48.contains("windowspecdefinition(rep_doc_id") &&
+      !p48.contains("windowspecdefinition(label"),
+      s"q48 windows over the cluster key:\n$p48")
+    val p56 = plan(TrainPrep.q56QualitySurvivor(spark, dir))
+    assert(!p56.contains("windowspecdefinition(cluster_id"),
+      s"q56 windows over the cluster key:\n$p56")
+  }
+
   test("q64: gate joins the bucket index on fixed-width band keys") {
     val p = plan(Dedup.q64DedupGate(spark, dir))
     assert(p.linesIterator.exists(l =>
