@@ -70,6 +70,19 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Round-robin parallelism restore, GATED on the input's actual split
+    * count. The local test tables are single parquet files (1–2 scan
+    * partitions), where fanning out to the session's core count is what
+    * makes the downstream per-row work (shingling, signatures, decode)
+    * parallel at all. A production multi-split input already scans wide —
+    * there the extra exchange is pure waste, so it is skipped. The split
+    * count comes from physical planning only; no job runs.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")

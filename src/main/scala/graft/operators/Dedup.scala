@@ -224,8 +224,7 @@ object Dedup {
     // 60-bit hash keeps fixed-width shuffle keys, and the oracle applies
     // the same hash so any (vanishingly unlikely) collision changes both
     // sides identically. n_sh = |distinct shingle hashes| per doc.
-    val hashed = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+    val hashed = Tables.spread(Tables.documents(spark, dir)) // parallelism restore, gated on split count
       .select($"doc_id", $"lang", $"source",
         graft.functions.ShingleFunctions.shingleHashes(split($"text", " ")).as("shs"))
       .select($"doc_id", $"lang", $"source", size($"shs").as("n_sh"),
@@ -277,8 +276,7 @@ object Dedup {
     * doesn't need it).
     */
   private[operators] def minhashSigRaw(spark: SparkSession, dir: String): DataFrame =
-    sigRows(Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)) // single-file input
+    sigRows(Tables.spread(Tables.documents(spark, dir))) // parallelism restore, gated
 
   /** MinHash signature columns (h0..h7) for any (doc_id, text, ...) frame
     * — batch or streaming (the signature is one in-row native expression,
@@ -347,8 +345,7 @@ object Dedup {
     */
   def simhashSketch(spark: SparkSession, dir: String, bits: Int): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+    Tables.spread(Tables.documents(spark, dir)) // parallelism restore, gated on split count
       .select($"doc_id",
         graft.functions.SimHash.simhash(split($"text", " "), bits).as("simhash"))
   }
@@ -634,8 +631,7 @@ object Dedup {
     */
   def q61Containment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+    val docs = Tables.spread(Tables.documents(spark, dir)) // parallelism restore, gated on split count
       .select($"doc_id",
         graft.functions.ShingleFunctions.shingleHashes(split($"text", " ")).as("shs"))
     reunitePairs(lshCandidatePairs(spark, dir), docs)
@@ -695,8 +691,7 @@ object Dedup {
   def q66SketchCalibration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = split($"text", " ")
-    val payload = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+    val payload = Tables.spread(Tables.documents(spark, dir)) // parallelism restore, gated on split count
       .select($"doc_id",
         graft.functions.ShingleFunctions.shingleHashes(w).as("shs"),
         graft.functions.ShingleFunctions.minhashSig(w).as("sig"))

@@ -80,9 +80,8 @@ object Multimodal {
     */
   def jpegTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id")
-      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+    Tables.spread(Tables.documents(spark, dir)
+        .select($"doc_id")) // parallelism restore, gated on split count
       .as[Long]
       .mapPartitions(_.map { id =>
         (id, Multimodal.syntheticJpeg(id))
@@ -276,9 +275,8 @@ object Multimodal {
     */
   def wavTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"))
-      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+    Tables.spread(Tables.documents(spark, dir)
+        .select(col("doc_id"))) // parallelism restore, gated on split count
       .as[Long]
       .mapPartitions(_.map(id => (id, syntheticWav(id))))
       .toDF("doc_id", "content")

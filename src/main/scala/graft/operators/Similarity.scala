@@ -74,8 +74,7 @@ object Similarity {
     */
   def q30CosineTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+    val emb = Tables.spread(Tables.embeddings(spark, dir)) // parallelism restore, gated on split count
       .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"embedding".as("qe"), $"nn".as("qn"))
@@ -105,8 +104,7 @@ object Similarity {
     */
   def q31EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+    val emb = Tables.spread(Tables.embeddings(spark, dir)) // parallelism restore, gated on split count
       .select($"vec_id", $"label", $"embedding", dnorm2($"embedding").as("nn"))
     val a = emb.select($"label", $"vec_id".as("vec_a"), $"embedding".as("ea"), $"nn".as("na"))
     val b = emb.select($"label", $"vec_id".as("vec_b"), $"embedding".as("eb"), $"nn".as("nb"))
@@ -165,8 +163,7 @@ object Similarity {
 
   def q32IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+    val emb = Tables.spread(Tables.embeddings(spark, dir)) // parallelism restore, gated on split count
       .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
     val centroids = emb.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nn".as("cn"))
@@ -308,8 +305,7 @@ object Similarity {
 
   def q40LshAnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+    val emb = Tables.spread(Tables.embeddings(spark, dir)) // parallelism restore, gated on split count
       .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
     val sigs = buildLshSignatures(emb, bands = 2, bits = 6, dim = 64)
     probeLsh(sigs, emb, _ < 10, k = 5)
@@ -325,8 +321,7 @@ object Similarity {
     */
   def q45LshNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+    val emb = Tables.spread(Tables.embeddings(spark, dir)) // parallelism restore, gated on split count
       .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
     val sigs = buildLshSignatures(emb, bands = 2, bits = 6, dim = 64)
     val cand = graft.operators.Dedup.boundedPairs(
@@ -402,8 +397,7 @@ object Similarity {
     */
   def q58Kmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+    val emb = Tables.spread(Tables.embeddings(spark, dir)) // parallelism restore, gated on split count
       .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
     val c0 = emb.filter($"vec_id" < kmeansK)
       .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nn".as("cn"))
@@ -463,8 +457,7 @@ object Similarity {
     */
   def q62Semdedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+    val emb = Tables.spread(Tables.embeddings(spark, dir)) // parallelism restore, gated on split count
       .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
     val c0 = emb.filter($"vec_id" < kmeansK)
       .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nn".as("cn"))

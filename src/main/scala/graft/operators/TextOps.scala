@@ -179,8 +179,7 @@ object TextOps {
     */
   def q59Repetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism) // single-file input
+    Tables.spread(Tables.documents(spark, dir)) // parallelism restore, gated on split count
       .select($"doc_id",
         graft.functions.ShingleFunctions.repetitionStats(words($"text")).as("rs"))
       .filter($"rs".isNotNull)

@@ -342,8 +342,7 @@ object TrainPrep {
     * combined rollup to |domains| rows.
     */
   def q68CorpusHealth(spark: SparkSession, dir: String): DataFrame =
-    corpusHealth(Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)) // single-file input
+    corpusHealth(Tables.spread(Tables.documents(spark, dir))) // parallelism restore, gated
 
   /** The health rollup over any (doc_id, lang, source, text, n_chars)
     * frame — factored so the dup_frac>0 path is testable on a frame with

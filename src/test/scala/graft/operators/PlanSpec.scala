@@ -254,6 +254,25 @@ class PlanSpec extends AnyFunSuite {
       s"q56 windows over the cluster key:\n$p56")
   }
 
+  test("spread: round-robin parallelism restore is skipped for multi-split inputs") {
+    // single parquet file → fan out to the core count (the local test
+    // shape); an input that already scans wide must NOT get the extra
+    // exchange (the production shape — 100 TB arrives in thousands of
+    // splits)
+    val single = graft.Tables.documents(spark, dir)
+    val pSingle = plan(graft.Tables.spread(single))
+    assert(pSingle.contains("RoundRobinPartitioning"),
+      s"single-split input must fan out:\n$pSingle")
+    val multiPath = "target/planspec_multisplit"
+    graft.Tables.documents(spark, dir).repartition(16)
+      .write.mode("overwrite").parquet(multiPath)
+    val multi = spark.read.parquet(multiPath)
+    assert(multi.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism)
+    val pMulti = plan(graft.Tables.spread(multi))
+    assert(!pMulti.contains("RoundRobinPartitioning"),
+      s"multi-split input still round-robins:\n$pMulti")
+  }
+
   test("q64: gate joins the bucket index on fixed-width band keys") {
     val p = plan(Dedup.q64DedupGate(spark, dir))
     assert(p.linesIterator.exists(l =>
