@@ -651,29 +651,57 @@ object Dedup {
     * unoccupied by the reference cannot be a candidate near-dup of
     * anything ingested (the exact q28 candidate semantics) and is
     * admitted. Output is the per-batch-doc verdict (doc_id, n_hot_bands,
-    * admitted). This is the operator a production pipeline runs daily:
+    * admitted) — EVERY batch doc gets a row, including <3-token docs that
+    * produce no shingles/bands (they cannot collide and are admitted with
+    * 0 hot bands). This is the operator a production pipeline runs daily:
     * dedup the increment against the corpus WITHOUT re-clustering the
-    * corpus.
-    *
-    * Scale shape: the reference side collapses to its DISTINCT occupied
-    * buckets (narrow fixed-width rows — at 100 TB this is the persisted
-    * "bucket index", refreshed by appending each admitted batch); the
-    * batch's band rows equi-join that index on the bucket key and roll up
-    * per doc. Signatures are in-row native expressions, so each side costs
-    * a scan + one narrow shuffle — nothing quadratic anywhere.
+    * corpus — composed here from the persistable [[buildBandIndex]] /
+    * [[gateAgainst]] pair (the spec round-trips the index through parquet
+    * and matches this inline query row-for-row).
     */
   def q64DedupGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bands = minhashBands(spark, dir)
-    val refIndex = bands.filter($"doc_id" % 3 =!= 0)
-      .select($"band", $"r0", $"r1").distinct()
-      .withColumn("hot", lit(1L))
-    bands.filter($"doc_id" % 3 === 0)
-      .join(refIndex, Seq("band", "r0", "r1"), "left")
+    val docs = Tables.spread(Tables.documents(spark, dir)) // parallelism restore, gated on split count
+    val index = buildBandIndex(docs.filter($"doc_id" % 3 =!= 0))
+    gateAgainst(index, docs.filter($"doc_id" % 3 === 0)).orderBy($"doc_id")
+  }
+
+  /** BUILD-ONCE band index for the incremental dedup gate: the DISTINCT
+    * occupied MinHash band buckets of a reference corpus as narrow
+    * fixed-width rows (band, r0, r1). This is the artifact a daily-ingest
+    * deployment PERSISTS (plain parquet — spec round-trips it) and
+    * refreshes by appending each admitted batch's bands + re-distincting,
+    * so the 100 TB corpus is never re-sketched per increment.
+    */
+  def buildBandIndex(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    bandRowsFromSigs(sigRows(docs)).select($"band", $"r0", $"r1").distinct()
+  }
+
+  /** PROBE: admit a batch of (doc_id, text, ...) documents against a
+    * prebuilt [[buildBandIndex]] artifact — the q28 candidate semantics
+    * (any shared band bucket → possible near-dup → held back). Emits one
+    * verdict per batch document INCLUDING signature-less docs (<3 tokens →
+    * no shingles, hence no bands): they cannot collide with anything and
+    * are admitted with 0 hot bands via the left join from the batch doc
+    * list.
+    *
+    * Scale shape: the batch sketches in-row (zero shuffles), equi-joins
+    * the index on the fixed-width bucket key, and rolls up per doc —
+    * linear in |batch| + |index|, independent of corpus size.
+    */
+  def gateAgainst(index: DataFrame, batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    val hits = bandRowsFromSigs(sigRows(batch))
+      .join(index.select($"band", $"r0", $"r1").withColumn("hot", lit(1L)),
+        Seq("band", "r0", "r1"), "left")
       .groupBy($"doc_id")
       .agg(sum(coalesce($"hot", lit(0L))).as("n_hot_bands"))
-      .select($"doc_id", $"n_hot_bands", ($"n_hot_bands" === 0).as("admitted"))
-      .orderBy($"doc_id")
+    batch.select($"doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_hot_bands", lit(0L)).as("n_hot_bands"),
+        (coalesce($"n_hot_bands", lit(0L)) === 0).as("admitted"))
   }
 
   /** q66 — sketch calibration: for every q28 candidate pair, the MinHash
@@ -810,12 +838,17 @@ object Dedup {
       s"""WITH $minhashBandsCtes,
          |refb AS (
          |  SELECT DISTINCT band, r0, r1 FROM bands WHERE doc_id % 3 <> 0),
-         |batch AS (SELECT * FROM bands WHERE doc_id % 3 = 0)
-         |SELECT b.doc_id, count(r.band) AS n_hot_bands,
-         |  count(r.band) = 0 AS admitted
-         |FROM batch b LEFT JOIN refb r
-         |  ON b.band = r.band AND b.r0 = r.r0 AND b.r1 = r.r1
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+         |batch AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+         |hits AS (
+         |  SELECT b.doc_id, count(r.band) AS n_hot
+         |  FROM batch b LEFT JOIN refb r
+         |    ON b.band = r.band AND b.r0 = r.r0 AND b.r1 = r.r1
+         |  GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(h.n_hot, 0) AS BIGINT) AS n_hot_bands,
+         |  coalesce(h.n_hot, 0) = 0 AS admitted
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+         |LEFT JOIN hits h ON h.doc_id = d.doc_id
+         |ORDER BY 1""".stripMargin,
     "q25_exact_dedup" ->
       """SELECT min(doc_id) AS survivor_doc_id, count(*) AS cluster_size
         |FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents)

@@ -83,6 +83,36 @@ class DedupClusterSpec extends AnyFunSuite {
       out.forall(r => r.getLong(2) == (if (r.getLong(0) == 0L) 50L else 1L)))
   }
 
+  test("q64 == gateAgainst(parquet round-trip of buildBandIndex)") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    val idx = Dedup.buildBandIndex(docs.filter(col("doc_id") % 3 =!= 0))
+    val path = "target/band_index_rt"
+    idx.write.mode("overwrite").parquet(path)
+    val viaIndex = Dedup
+      .gateAgainst(spark.read.parquet(path), docs.filter(col("doc_id") % 3 === 0))
+      .orderBy("doc_id").collect()
+    val inline = Dedup.q64DedupGate(spark, dir).collect()
+    assert(viaIndex.map(_.toString).toSeq == inline.map(_.toString).toSeq,
+      "persisted-index gate diverges from the inline q64")
+    assert(inline.nonEmpty)
+  }
+
+  test("gateAgainst admits signature-less (<3 token) batch docs explicitly") {
+    import spark.implicits._
+    val ref = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val batch = Seq(
+      (2L, "tiny doc"), // <3 tokens → no shingles, no bands
+      (3L, "alpha beta gamma delta epsilon"), // exact near-dup of ref
+      (4L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val out = Dedup.gateAgainst(Dedup.buildBandIndex(ref), batch)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(2L) == ((0L, true)), "signature-less doc must be admitted with 0 hot bands")
+    assert(out(3L)._1 > 0L && !out(3L)._2, "near-dup of the reference must be held back")
+    assert(out(4L) == ((0L, true)), "novel doc must be admitted")
+  }
+
   test("two components and an isolated pair resolve to min-id labels") {
     val cc = Dedup.connectedComponents(edges(1L -> 2L, 2L -> 3L, 10L -> 11L))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
