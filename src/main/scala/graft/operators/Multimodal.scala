@@ -9,15 +9,15 @@ import graft.Tables
   * `binary` columns with a typed metadata struct; decode / feature-extract /
   * frame-sample run as batch functions over the binary column.
   *
-  * The IMAGE modality decodes for real via in-JVM `javax.imageio`
-  * ([[decodeImages]] / `q43_image_decode`), and the AUDIO modality via
-  * in-JVM `javax.sound.sampled` WAV/PCM ([[decodeWavScalar]] /
-  * `q47_audio_decode`). Video codec libraries are not in this container,
-  * so that one decode step is STUBBED with a deterministic fake (clearly
-  * marked below). The Spark-side plumbing — schema, binary handling,
-  * partitioning, batch shape — is real and oracle-tested: stub payload
-  * bytes come from the documents' text (deterministic), so both engines
-  * see identical binaries.
+  * ALL THREE modalities decode for real in the JVM, zero external codec
+  * deps: IMAGE via `javax.imageio` ([[decodeImages]] / `q43_image_decode`),
+  * AUDIO via `javax.sound.sampled` WAV/PCM ([[decodeWavScalar]] /
+  * `q47_audio_decode`), and VIDEO via a RIFF/AVI container parser over
+  * MJPEG streams ([[decodeAviScalar]] / `q71_video_decode`) — frame
+  * payloads are genuine JPEGs, so the per-frame pixel decode is the same
+  * `javax.imageio` path as the image modality. An H.264 deployment swaps
+  * [[decodeAviScalar]]'s frame step for a codec-equipped worker; the
+  * container walk, batch shape, and Spark-side plumbing are identical.
   *
   * Scale notes: binary payloads stay columnar (parquet binary) end-to-end;
   * per-record work is a narrow map (no shuffle); at 100 TB the only knob is
@@ -40,12 +40,11 @@ object Multimodal {
         col("n_chars").as("declared_bytes"),
         col("lang").as("tag")))
 
-  /** ??? STUB (video only — images decode for real in [[decodeImages]],
-    * audio in [[decodeWavScalar]]) — the full deployment decodes H.264 via
-    * a codec-equipped worker. Here the "decoded features" are
-    * deterministic functions of the raw bytes so the plumbing is
-    * verifiable: byte length, a content digest, and a fake width/height
-    * derived from the payload.
+  /** Metadata-only pass for [[q34MultimodalMeta]]: byte length, content
+    * digest, and payload-derived placeholder dimensions — the cheap
+    * manifest row a pipeline records per blob BEFORE any real decode runs
+    * (the real decodes are [[decodeImages]], [[decodeWavScalar]], and
+    * [[decodeAviScalar]]).
     */
   def decodeStub(media: DataFrame): DataFrame =
     media
@@ -56,7 +55,7 @@ object Multimodal {
 
   /** Frame sampling: every k-th byte-window of the payload surfaced as a
     * hex "frame" — the binary-slicing shape video pipelines need. Real
-    * frames would come from the stubbed decoder.
+    * frames come from [[decodeAviScalar]]'s container walk (q71).
     */
   def frameSample(media: DataFrame, frames: Int = 4, frameBytes: Int = 8): DataFrame =
     media
@@ -71,8 +70,8 @@ object Multimodal {
     * `javax.imageio` (in the JVM, zero external codec deps). Payloads are
     * genuine JPEGs synthesized deterministically per doc_id (solid-color
     * `BufferedImage` → JPEG bytes), then decoded back to width / height /
-    * mean 8-bit luma. Audio/video remain behind the [[decodeStub]] until a
-    * codec library exists in the deployment image.
+    * mean 8-bit luma. Audio decodes via the JDK sound stack (q47), video
+    * via the RIFF/AVI walk (q71).
     *
     * Scale shape: encode and decode are both narrow `mapPartitions` over
     * the binary column — no shuffle, no driver involvement; identical to
@@ -286,7 +285,7 @@ object Multimodal {
     * and feature-extracted via `javax.sound.sampled` in a narrow map; the
     * decode state is periodic in doc_id with period lcm(4, 7, 11, 5) =
     * 1540, so the oracle joins a 1540-row golden VALUES table on
-    * `doc_id % 1540`. Video remains the one honestly-stubbed modality.
+    * `doc_id % 1540`. Video decodes for real too — see [[q71VideoDecode]].
     */
   def q47AudioDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -298,6 +297,151 @@ object Multimodal {
         (id, sr, ch, nf, rms)
       })
       .toDF("doc_id", "sample_rate", "channels", "n_frames", "rms_r")
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- video modality (REAL container decode: RIFF/AVI over MJPEG) ----
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  private def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** One MJPEG frame: a solid-color JPEG whose color derives from
+    * (id, frame index) — the video sibling of [[syntheticJpeg]].
+    */
+  private def jpegFrame(id: Long, k: Int, w: Int, h: Int): Array[Byte] = {
+    imageIoNoCache
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(
+      ((id * 37 + k * 11) % 256).toInt,
+      ((id * 57 + k * 13) % 256).toInt,
+      ((id * 77 + k * 17) % 256).toInt))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic MJPEG-in-AVI payload per doc id: a REAL RIFF/AVI
+    * container (hdrl with avih + one 'vids'/'MJPG' stream, movi with one
+    * '00dc' chunk per JPEG frame) that any AVI demuxer can open. Frame
+    * count, frame rate, geometry, and per-frame colors all derive from the
+    * id; every field is periodic in id with period lcm(8,5,5,3,256) =
+    * 3840, which the golden-VALUES oracle exploits.
+    */
+  def syntheticMjpegAvi(id: Long): Array[Byte] = {
+    val nf = 2 + (id % 5).toInt
+    val fps = 10 + (id % 3).toInt * 5
+    val w = 16 + (id % 8).toInt
+    val h = 16 + (id % 5).toInt
+    val frames = (0 until nf).map(k => jpegFrame(id, k, w, h))
+    val maxFrame = frames.map(_.length).max
+    def chunk(id4: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      fcc(id4) ++ le32(body.length) ++ body ++ pad
+    }
+    def list(type4: String, body: Array[Byte]): Array[Byte] =
+      fcc("LIST") ++ le32(body.length + 4) ++ fcc(type4) ++ body
+    val avih = chunk("avih",
+      le32(1000000 / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(nf) ++ le32(0) ++ le32(1) ++ le32(maxFrame) ++
+        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strh = chunk("strh",
+      fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+        le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++ le32(nf) ++
+        le32(maxFrame) ++ le32(-1) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    val strf = chunk("strf",
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        fcc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    fcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** Scalar AVI/MJPEG decode — a real RIFF walk, no codec libs: verify the
+    * RIFF/'AVI ' magic, read fps (rate/scale) from the 'strh' stream
+    * header, collect the 'NNdc' frame chunks from the 'movi' list, pixel-
+    * decode the FIRST frame through `javax.imageio` for geometry + mean
+    * luma (same path as [[decodeJpegScalar]]), and digest every frame
+    * payload (md5 over their concatenation). Returns (n_frames, fps,
+    * width, height, first_luma, frames_digest); any malformed payload
+    * degrades to the (-1, -1, -1, -1, -1.0, "") sentinel instead of
+    * failing the partition.
+    */
+  def decodeAviScalar(bytes: Array[Byte]): (Int, Int, Int, Int, Double, String) = {
+    val bad = (-1, -1, -1, -1, -1.0, "")
+    def u32(p: Int): Int =
+      (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
+        ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 3) & 0xff) << 24)
+    def tag(p: Int): String = new String(bytes, p, 4, "US-ASCII")
+    try {
+      if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") return bad
+      var fps = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
+      def walk(from: Int, until: Int): Unit = {
+        var p = from
+        while (p + 8 <= until) {
+          val id = tag(p); val sz = u32(p + 4)
+          if (id == "LIST") walk(p + 12, p + 8 + sz)
+          else if (id == "strh" && tag(p + 8) == "vids") {
+            val scale = u32(p + 8 + 20); val rate = u32(p + 8 + 24)
+            if (scale > 0) fps = rate / scale
+          } else if (id.endsWith("dc")) frames += ((p + 8, sz))
+          p += 8 + sz + (sz % 2) // chunks are even-aligned
+        }
+      }
+      walk(12, 8 + u32(4))
+      if (frames.isEmpty) return bad
+      val md = java.security.MessageDigest.getInstance("MD5")
+      frames.foreach { case (off, len) => md.update(bytes, off, len) }
+      val digest = md.digest().map("%02x".format(_)).mkString
+      val first = java.util.Arrays.copyOfRange(bytes, frames.head._1,
+        frames.head._1 + frames.head._2)
+      val (w, h, luma) = decodeJpegScalar(first)
+      (frames.length, fps, w, h, luma, digest)
+    } catch { case _: Throwable => bad }
+  }
+
+  /** The AVI table: one synthesized MJPEG container per document, encoded
+    * in executors (narrow mapPartitions — the [[jpegTable]] fan-out shape).
+    */
+  def aviTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.documents(spark, dir)
+        .select(col("doc_id"))) // parallelism restore, gated on split count
+      .as[Long]
+      .mapPartitions(_.map(id => (id, syntheticMjpegAvi(id))))
+      .toDF("doc_id", "content")
+  }
+
+  /** q71 — REAL video decode, no stub: every document's AVI payload
+    * demuxed by the RIFF walk and its first frame pixel-decoded, in one
+    * narrow map. Decode state is periodic in doc_id with period 3840, so
+    * the oracle joins a golden VALUES table on `doc_id % 3840` — the q43/
+    * q47 construction.
+    */
+  def q71VideoDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    aviTable(spark, dir)
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (nf, fps, w, h, luma, digest) = decodeAviScalar(bytes)
+        val lumaR = if (luma < 0) -1.0
+          else java.math.BigDecimal.valueOf(luma)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        (id, nf, fps, w, h, lumaR, digest)
+      })
+      .toDF("doc_id", "n_frames", "fps", "width", "height", "first_luma_r", "frames_digest")
       .orderBy(col("doc_id"))
   }
 
@@ -314,7 +458,8 @@ object Multimodal {
     "q34_multimodal_meta" -> (q34MultimodalMeta _),
     "q35_frame_sample" -> (q35FrameSample _),
     "q43_image_decode" -> (q43ImageDecode _),
-    "q47_audio_decode" -> (q47AudioDecode _)
+    "q47_audio_decode" -> (q47AudioDecode _),
+    "q71_video_decode" -> (q71VideoDecode _)
   )
 
   /** Emit a double so DuckDB parses it DIRECTLY as DOUBLE (an exponent
@@ -348,6 +493,28 @@ object Multimodal {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Golden VALUES oracle for q71, same construction (period 3840): each
+    * residue's row is produced by the SAME in-JVM AVI encode + RIFF/MJPEG
+    * decode the query distributes. Lazy: ~15k JPEG round trips, paid once
+    * when the oracle map is first read.
+    */
+  private lazy val q71OracleSql: String = {
+    val rows = (0 until 3840).map { k =>
+      val (nf, fps, w, h, luma, digest) = decodeAviScalar(syntheticMjpegAvi(k.toLong))
+      val lumaR = java.math.BigDecimal.valueOf(luma)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (k == 0)
+        s"(CAST($k AS BIGINT), CAST($nf AS INTEGER), CAST($fps AS INTEGER), " +
+          s"CAST($w AS INTEGER), CAST($h AS INTEGER), CAST(${dlit(lumaR)} AS DOUBLE), '$digest')"
+      else s"($k, $nf, $fps, $w, $h, ${dlit(lumaR)}, '$digest')"
+    }
+    s"""SELECT d.doc_id, v.n_frames, v.fps, v.width, v.height, v.first_luma_r, v.frames_digest
+       |FROM documents d JOIN (VALUES ${rows.mkString(",\n")})
+       |  AS v(k, n_frames, fps, width, height, first_luma_r, frames_digest)
+       |  ON v.k = d.doc_id % 3840
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Golden VALUES oracle for q47, same construction (period 1540). */
   private lazy val q47OracleSql: String = {
     val rows = (0 until 1540).map { k =>
@@ -365,6 +532,7 @@ object Multimodal {
   lazy val oracles: Map[String, String] = Map(
     "q43_image_decode" -> q43OracleSql,
     "q47_audio_decode" -> q47OracleSql,
+    "q71_video_decode" -> q71OracleSql,
     "q34_multimodal_meta" ->
       """SELECT doc_id,
         |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,

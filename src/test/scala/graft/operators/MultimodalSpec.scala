@@ -82,4 +82,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(0) == ((1L, -1, -1, -1.0)))
     assert(out(1)._2 == 18 && out(1)._3 == 18) // 16 + 2%8, 16 + 2%5
   }
+
+  test("AVI/MJPEG: container round-trips through the RIFF walk with real frame decode") {
+    for (id <- Seq(0L, 5L, 17L, 123L, 3839L)) {
+      val (nf, fps, w, h, luma, digest) = Multimodal.decodeAviScalar(
+        Multimodal.syntheticMjpegAvi(id))
+      assert(nf == 2 + (id % 5).toInt, s"n_frames for $id")
+      assert(fps == 10 + (id % 3).toInt * 5, s"fps for $id")
+      assert(w == 16 + (id % 8).toInt && h == 16 + (id % 5).toInt,
+        s"decoded first-frame geometry for $id")
+      assert(luma >= 0.0 && luma <= 255.0, s"luma for $id")
+      assert(digest.length == 32, s"digest for $id")
+      // the first frame is a REAL JPEG: its solid color's luma must match
+      // the encoded color within JPEG quantization error
+      val expected = 0.299 * ((id * 37) % 256) + 0.587 * ((id * 57) % 256) +
+        0.114 * ((id * 77) % 256)
+      assert(math.abs(luma - expected) <= 3.5, s"luma for $id: $luma vs $expected")
+    }
+  }
+
+  test("AVI decode state is periodic with period 3840 (the oracle contract)") {
+    for (id <- Seq(1L, 42L, 1000L)) {
+      val a = Multimodal.decodeAviScalar(Multimodal.syntheticMjpegAvi(id))
+      val b = Multimodal.decodeAviScalar(Multimodal.syntheticMjpegAvi(id + 3840L))
+      assert(a == b, s"period violated at $id")
+    }
+  }
+
+  test("a corrupt AVI payload degrades to a sentinel row, not a task failure") {
+    val bad = (-1, -1, -1, -1, -1.0, "")
+    assert(Multimodal.decodeAviScalar(Array[Byte](9, 9, 9)) == bad)
+    // right magic, truncated body
+    val truncated = Multimodal.syntheticMjpegAvi(7L).take(40)
+    assert(Multimodal.decodeAviScalar(truncated) == bad)
+    // a WAV is RIFF but not AVI
+    assert(Multimodal.decodeAviScalar(Multimodal.syntheticWav(3L)) == bad)
+  }
 }
