@@ -208,7 +208,8 @@ object EventStream {
   final case class FunnelState(view: Long, click: Long, purchase: Long)
 
   final case class FunnelRow(user_id: Long, view_us: Option[Long],
-      click_us: Option[Long], purchase_us: Option[Long], stage: Int)
+      click_us: Option[Long], purchase_us: Option[Long], stage: Int,
+      late_dropped: Int)
 
   /** Streaming funnel — the stateful twin of the batch q57: per user,
     * first view → first click within an hour of it → first purchase
@@ -219,12 +220,16 @@ object EventStream {
     * batch-side reduction to the latest row (stage only grows — the
     * [[neardupFlags]] split).
     *
-    * Semantics are exact vs the batch operator when each user's events
-    * arrive in event-time order (per-user ordering is the standard
-    * funnel-at-scale ingest contract — a deployment enforces it with a
-    * watermark + sort-within-batch, exactly like the sessionization
-    * path); the spec replays the event table in ordered micro-batches
-    * and pins equality with q57.
+    * Semantics are exact vs the batch operator ONLY when each user's
+    * events arrive in event-time order across micro-batches (within a
+    * batch the fold sorts). When the ingest cannot guarantee that,
+    * use [[funnelStreamWatermarked]], which buffers out-of-order
+    * arrivals in state and folds them in event-time order once the
+    * watermark passes — exact vs q57 for any arrival order within the
+    * lateness bound. This raw variant detects contract violations
+    * instead of silently diverging: an event arriving at or before the
+    * user's already-folded event-time high-water mark is counted in
+    * `late_dropped` (monotone per user), never folded.
     */
   def funnelStream(events: Dataset[Event]): Dataset[FunnelRow] = {
     import events.sparkSession.implicits._
@@ -236,40 +241,136 @@ object EventStream {
 
   private val FunnelWindowUs = 3600L * 1000000L
 
+  /** One funnel step: fold event `(us, type)` into monotone state `s`. */
+  private def funnelStep(s: FunnelState, us: Long, eventType: String): FunnelState =
+    eventType match {
+      case "view" if s.view < 0 => s.copy(view = us)
+      case "click" if s.view >= 0 && s.click < 0 &&
+        us > s.view && us <= s.view + FunnelWindowUs => s.copy(click = us)
+      case "purchase" if s.click >= 0 && s.purchase < 0 &&
+        us > s.click && us <= s.click + FunnelWindowUs => s.copy(purchase = us)
+      case _ => s
+    }
+
+  private def funnelRow(userId: Long, s: FunnelState, late: Int): Iterator[FunnelRow] =
+    if (s.view < 0 && late == 0) Iterator.empty
+    else Iterator.single(FunnelRow(userId,
+      if (s.view >= 0) Some(s.view) else None,
+      if (s.click >= 0) Some(s.click) else None,
+      if (s.purchase >= 0) Some(s.purchase) else None,
+      (if (s.view >= 0) 1 else 0) + (if (s.click >= 0) 1 else 0) +
+        (if (s.purchase >= 0) 1 else 0),
+      late))
+
+  /** Raw-fold state: funnel plus the event-time high-water mark already
+    * folded (us) and the count of contract-violating late arrivals.
+    */
+  final case class FunnelRawState(f: FunnelState, folded_max_us: Long,
+      late_dropped: Int)
+
   private[streaming] def funnelFold(
       userId: Long,
       rows: Iterator[Event],
-      state: GroupState[FunnelState]): Iterator[FunnelRow] = {
-    var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+      state: GroupState[FunnelRawState]): Iterator[FunnelRow] = {
+    var b = state.getOption.getOrElse(
+      FunnelRawState(FunnelState(-1L, -1L, -1L), Long.MinValue, 0))
     rows.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
       val us = e.ts / 1000L
-      e.event_type match {
-        case "view" if s.view < 0 => s = s.copy(view = us)
-        case "click" if s.view >= 0 && s.click < 0 &&
-          us > s.view && us <= s.view + FunnelWindowUs => s = s.copy(click = us)
-        case "purchase" if s.click >= 0 && s.purchase < 0 &&
-          us > s.click && us <= s.click + FunnelWindowUs => s = s.copy(purchase = us)
-        case _ =>
-      }
+      if (us < b.folded_max_us)
+        // arrived after a later event was already folded: the ordered-
+        // ingest contract is broken for this user — count, don't fold
+        b = b.copy(late_dropped = b.late_dropped + 1)
+      else
+        b = FunnelRawState(funnelStep(b.f, us, e.event_type),
+          math.max(b.folded_max_us, us), b.late_dropped)
     }
-    state.update(s)
-    if (s.view < 0) Iterator.empty
-    else Iterator.single(FunnelRow(userId,
-      Some(s.view),
-      if (s.click >= 0) Some(s.click) else None,
-      if (s.purchase >= 0) Some(s.purchase) else None,
-      1 + (if (s.click >= 0) 1 else 0) + (if (s.purchase >= 0) 1 else 0)))
+    state.update(b)
+    funnelRow(userId, b.f, b.late_dropped)
   }
 
-  /** Batch-side reduction of [[funnelStream]] output: the latest funnel
-    * row per user (stage and the set timestamps only ever grow).
+  /** Event with the extracted event-time column the watermark rides on. */
+  final case class TimedEvent(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double, props: String,
+      event_time: java.sql.Timestamp)
+
+  /** A buffered not-yet-foldable arrival (event-time still above the
+    * watermark): the minimal fields the fold needs.
+    */
+  final case class PendingEvent(ts: Long, event_id: Long, event_type: String)
+
+  /** Watermarked-fold state: funnel + pending buffer + folded high-water
+    * mark (us) + beyond-bound late count.
+    */
+  final case class FunnelWmState(f: FunnelState, pending: Seq[PendingEvent],
+      folded_max_us: Long, late_dropped: Int)
+
+  /** Order-correct streaming funnel: the watermark + sort ingest contract
+    * IMPLEMENTED rather than assumed. Arrivals are buffered in state until
+    * the event-time watermark passes them, then folded in (ts, event_id)
+    * order — so the result equals the batch q57 for ANY arrival order
+    * within the `lateness` bound (the spec replays deliberately scrambled
+    * micro-batches and pins equality). An event older than the user's
+    * folded high-water mark that still reaches the operator (beyond-bound
+    * straggler not already filtered by the watermark) is counted in
+    * `late_dropped`, never folded — divergence is visible, not silent.
+    *
+    * Scale notes: state is the funnel triple plus only the events inside
+    * the lateness window (bounded by lateness × per-user arrival rate);
+    * EventTimeTimeout re-invokes idle users exactly when the watermark
+    * reaches their oldest pending event, so buffers drain without new
+    * per-user traffic.
+    */
+  def funnelStreamWatermarked(
+      events: Dataset[Event], lateness: String): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .as[TimedEvent]
+      .withWatermark("event_time", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        funnelFoldWatermarked)
+  }
+
+  private[streaming] def funnelFoldWatermarked(
+      userId: Long,
+      rows: Iterator[TimedEvent],
+      state: GroupState[FunnelWmState]): Iterator[FunnelRow] = {
+    var b = state.getOption.getOrElse(
+      FunnelWmState(FunnelState(-1L, -1L, -1L), Vector.empty, Long.MinValue, 0))
+    val incoming = rows.map(e => PendingEvent(e.ts, e.event_id, e.event_type)).toVector
+    // a straggler below the folded high-water mark can no longer be folded
+    // in order: count it as dropped (usually the watermark filters these
+    // before they reach the operator; this is the defense-in-depth count)
+    val (lost, fresh) = incoming.partition(_.ts / 1000L < b.folded_max_us)
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val (ready, wait) = (b.pending ++ fresh).partition(_.ts / 1000L <= wmUs)
+    var f = b.f
+    var foldedMax = b.folded_max_us
+    ready.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+      f = funnelStep(f, e.ts / 1000L, e.event_type)
+      foldedMax = math.max(foldedMax, e.ts / 1000L)
+    }
+    b = FunnelWmState(f, wait, foldedMax, b.late_dropped + lost.size)
+    state.update(b)
+    if (wait.nonEmpty)
+      // wake this user when the watermark reaches its oldest pending event
+      state.setTimeoutTimestamp(
+        math.max(wait.map(_.ts / 1000000L).min, state.getCurrentWatermarkMs() + 1L))
+    funnelRow(userId, f, b.late_dropped)
+  }
+
+  /** Batch-side reduction of [[funnelStream]] /
+    * [[funnelStreamWatermarked]] output: the latest funnel row per user
+    * (stage, the set timestamps, and the late count only ever grow).
     */
   def funnelFinal(rows: DataFrame): DataFrame =
     rows.groupBy(col("user_id"))
       .agg(max(struct(col("stage"), col("view_us"), col("click_us"),
-        col("purchase_us"))).as("s"))
+        col("purchase_us"))).as("s"),
+        max(col("late_dropped")).as("late_dropped"))
       .select(col("user_id"), col("s.view_us"), col("s.click_us"),
-        col("s.purchase_us"), col("s.stage"))
+        col("s.purchase_us"), col("s.stage"), col("late_dropped"))
 
   /** Streaming quality gate — the STATELESS screen an ingest stream runs
     * before any stateful operator (dedup, sessionization): the q22
@@ -283,20 +384,26 @@ object EventStream {
     * RAW text (q51 counts over its planted test line), so the spec pins
     * its semantics by streaming planted-PII rows instead. `keep` is the
     * ingest policy: quality ≥ 0.5, repetition below half, no PII hits.
+    *
+    * Degenerate docs (< 2 tokens, so no 2-grams): `top_2gram_frac` is
+    * NULL — q59 has no repetition signal for them, and pretending 0.0
+    * would wave them through the repetition leg. The keep policy treats
+    * the NULL explicitly as reject (`coalesce(frac < 0.5, false)`): a
+    * one-token document is never training-corpus material.
     */
   def qualityGate(docs: DataFrame): DataFrame = {
     val rs = graft.functions.ShingleFunctions.repetitionStats(split(col("text"), " "))
     docs.select(col("doc_id"),
       graft.operators.TextOps.qualityScoreExpr(col("text"), col("n_chars"))
         .as("quality_score"),
-      when(rs.isNull, lit(0.0))
-        .otherwise(round(rs(2).cast("double") / rs(0), 6)).as("top_2gram_frac"),
+      round(rs(2).cast("double") / rs(0), 6).as("top_2gram_frac"),
       size(regexp_extract_all(col("text"),
         lit(graft.operators.TrainPrep.emailRe), lit(0))).as("n_emails"),
       size(regexp_extract_all(col("text"),
         lit(graft.operators.TrainPrep.phoneRe), lit(0))).as("n_phones"))
       .withColumn("keep",
-        col("quality_score") >= 0.5 && col("top_2gram_frac") < 0.5 &&
+        col("quality_score") >= 0.5 &&
+          coalesce(col("top_2gram_frac") < 0.5, lit(false)) &&
           col("n_emails") === 0 && col("n_phones") === 0)
   }
 

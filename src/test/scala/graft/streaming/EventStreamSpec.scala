@@ -263,6 +263,50 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked funnel equals the batch q57 on scrambled (reverse-time) replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[EventStream.Event].collect().toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[EventStream.Event]
+    // lateness covers the corpus' full ~30-day span, so NOTHING is beyond
+    // bound: the operator must reconstruct event-time order entirely from
+    // its pending buffer
+    val q = EventStream.funnelStreamWatermarked(source.toDS(), "35 days")
+      .writeStream.outputMode("append").format("memory").queryName("wfunnel").start()
+    try {
+      // worst-case arrival order: newest events first, across three
+      // micro-batches — every user's funnel order is inverted
+      val reversed = events.sortBy(e => (-e.ts, e.event_id))
+      reversed.grouped(math.max(1, reversed.size / 3 + 1)).foreach { batch =>
+        source.addData(batch)
+        q.processAllAvailable()
+      }
+      // a single far-future sentinel advances the GLOBAL watermark past
+      // every real event; EventTimeTimeout then drains each user's buffer
+      val maxTs = events.map(_.ts).max
+      val fortyDaysNs = 40L * 24 * 3600 * 1000000000L
+      source.addData(EventStream.Event(-1L, maxTs + fortyDaysNs,
+        events.head.user_id, "flush", 0.0, ""))
+      q.processAllAvailable()
+      val streamed = EventStream.funnelFinal(spark.sql("SELECT * FROM wfunnel"))
+        .collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3)), r.getInt(4))).toMap
+      val batch = graft.operators.ScaleOps.q57Funnel(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3)), r.getInt(4))).toMap
+      assert(streamed == batch)
+      assert(batch.values.exists(_._4 > 1), "fixture has no multi-stage funnels")
+      // nothing was beyond the lateness bound, so nothing may be dropped
+      val lateCounts = spark.sql("SELECT max(late_dropped) FROM wfunnel").collect()
+      assert(lateCounts.head.getInt(0) == 0)
+    } finally q.stop()
+  }
+
   test("streaming quality gate verdicts equal the batch screens on full replay") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -281,7 +325,10 @@ class EventStreamSpec extends AnyFunSuite {
       val cleanBody = Seq.fill(40)("the and of to a in is it").mkString(" ")
       val planted = Seq(
         (900001L, s"$cleanBody reach me at alice@example.com today", 300L),
-        (900002L, s"$cleanBody or call 555-1234 and 555-9876 now", 300L))
+        (900002L, s"$cleanBody or call 555-1234 and 555-9876 now", 300L),
+        // degenerate one-token doc: no 2-grams, so no repetition signal —
+        // the gate must surface NULL (not a fake 0.0) and reject explicitly
+        (900003L, "solo", 4L))
       val (a, b) = docs.splitAt(docs.size / 2)
       source.addData(a)
       q.processAllAvailable()
@@ -289,7 +336,8 @@ class EventStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
       val streamed = spark.sql("SELECT * FROM qgate").collect()
         .map(r => r.getLong(0) ->
-          (r.getDouble(1), r.getDouble(2), r.getInt(3), r.getInt(4), r.getBoolean(5)))
+          (r.getDouble(1), Option(r.get(2)).map(_.asInstanceOf[Double]).getOrElse(-1.0),
+            r.getInt(3), r.getInt(4), r.getBoolean(5)))
         .toMap
       assert(streamed.keySet == docs.map(_._1).toSet ++ planted.map(_._1))
 
@@ -311,6 +359,10 @@ class EventStreamSpec extends AnyFunSuite {
       val (q2, _, ne2, np2, keep2) = streamed(900002L)
       assert(ne1 == 1 && np1 == 0 && !keep1 && q1 >= 0.5, "email veto")
       assert(ne2 == 0 && np2 == 2 && !keep2 && q2 >= 0.5, "phone veto")
+      // the degenerate doc: NULL repetition fraction, explicit reject
+      val (_, frac3, _, _, keep3) = streamed(900003L)
+      assert(frac3 == -1.0, "one-token doc must surface NULL top_2gram_frac")
+      assert(!keep3, "one-token doc must be rejected explicitly")
       assert(streamed.values.exists(_._5), "gate kept nothing")
     } finally q.stop()
   }
