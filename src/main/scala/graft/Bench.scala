@@ -76,12 +76,16 @@ object Bench {
     }
     // measured per-query harness constant: a trivial one-row plan through
     // the same noop sink — scheduling + planning + sink overhead that every
-    // query pays regardless of its actual work
-    val overhead = {
+    // query pays regardless of its actual work. Min over individually-timed
+    // reps, not the mean: this point sits right after the heavy passes, and
+    // a single GC pause there inflated a 5-rep mean 3x between rounds
+    // (OverheadProbe shows the true floor SHRINKS with session age as JIT
+    // warms — ~0.15s fresh to ~0.03s after three suite passes).
+    val overhead = (0 until 10).map { _ =>
       val t0 = System.nanoTime()
-      (0 until 5).foreach(_ => force(spark.range(1).toDF("x")))
-      (System.nanoTime() - t0) / 5e9
-    }
+      force(spark.range(1).toDF("x"))
+      (System.nanoTime() - t0) / 1e9
+    }.min
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
