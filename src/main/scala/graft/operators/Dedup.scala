@@ -195,6 +195,52 @@ object Dedup {
       .orderBy($"survivor_doc_id")
   }
 
+  /** Passage-level exact dedup (the CCNet/C4 "line dedup" move
+    * re-expressed for token streams — cf. chess-pipeline has no analogue;
+    * this is part of the LLM-corpus extension family): each document is
+    * cut into consecutive 16-token passages (ragged tail kept as its own
+    * passage), every passage is fingerprinted, only the globally-FIRST
+    * occurrence of each fingerprint survives (order = (doc_id,
+    * passage_idx)), and each document is rebuilt from its surviving
+    * passages. Output: per document, the passage count, the survivor
+    * count, and the deduplicated text.
+    *
+    * Scale shape: the passage explode is map-side (~tokens/16 rows/doc);
+    * first-occurrence is a groupBy(fp) min — map-side combine collapses a
+    * boilerplate passage that occurs a million times to one row per map
+    * partition BEFORE the shuffle, where a window over fp would drag the
+    * entire million-row group into one task (the q53/q60 Zipf lesson);
+    * the keep test joins back on fp (same shuffle key → co-partitioned,
+    * no extra exchange); the rebuild is a groupBy(doc_id) with an
+    * in-group sort_array, not a window. First-occurrence order rides the
+    * scalar doc_id * 2^20 + passage_idx (exact while documents stay under
+    * 2^20 = 1M passages ≈ 16M tokens) so the oracle compares the same
+    * key with plain integer min.
+    */
+  def q72PassageDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val P = 16
+    val toks = split($"text", " ")
+    val nP = floor((size(toks) + lit(P - 1)) / lit(P)).cast("int")
+    val passages = Tables.documents(spark, dir)
+      .select($"doc_id",
+        posexplode(transform(sequence(lit(0), nP - 1),
+          i => concat_ws(" ", slice(toks, i * P + 1, lit(P))))).as(Seq("pidx", "ptext")))
+      .withColumn("fp", md5($"ptext"))
+      .withColumn("pos_key", $"doc_id" * lit(1048576L) + $"pidx")
+    val firsts = passages.groupBy($"fp").agg(min($"pos_key").as("first_key"))
+    passages.join(firsts, "fp")
+      .withColumn("kept", $"pos_key" === $"first_key")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_passages"),
+        count(when($"kept", lit(1))).as("n_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when($"kept", struct($"pidx", $"ptext")))),
+          s => s.getField("ptext"))).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
   /** N-gram Jaccard near-dup pairs, blocked by (lang, source): inverted
     * index on shingle → pair intersection counts → |∩| / (|A|+|B|−|∩|).
     * The block keys bound the candidate set; the shingle join shuffles on
@@ -743,6 +789,7 @@ object Dedup {
     "q64_dedup_gate" -> (q64DedupGate _),
     "q66_sketch_calibration" -> (q66SketchCalibration _),
     "q25_exact_dedup" -> (q25ExactDedup _),
+    "q72_passage_dedup" -> (q72PassageDedup _),
     "q26_shingle_jaccard" -> (q26ShingleJaccard _),
     "q27_minhash_sig" -> (q27MinhashSig _),
     "q28_minhash_pairs" -> (q28MinhashPairs _),
@@ -853,6 +900,27 @@ object Dedup {
       """SELECT min(doc_id) AS survivor_doc_id, count(*) AS cluster_size
         |FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents)
         |GROUP BY fp ORDER BY survivor_doc_id""".stripMargin,
+    "q72_passage_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ps AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(CAST(ceil(len(t) / 16.0) AS BIGINT))) AS pidx
+        |  FROM toks),
+        |p AS (
+        |  SELECT doc_id, pidx,
+        |    array_to_string(t[CAST(pidx * 16 + 1 AS BIGINT):CAST(pidx * 16 + 16 AS BIGINT)], ' ') AS ptext,
+        |    doc_id * 1048576 + pidx AS pos_key
+        |  FROM ps),
+        |f AS (SELECT md5(ptext) AS fp, min(pos_key) AS first_key
+        |      FROM p GROUP BY 1),
+        |sel AS (
+        |  SELECT p.doc_id, p.pidx, p.ptext, p.pos_key = f.first_key AS kept
+        |  FROM p JOIN f ON md5(p.ptext) = f.fp)
+        |SELECT doc_id,
+        |  count(*) AS n_passages,
+        |  count(*) FILTER (WHERE kept) AS n_kept,
+        |  coalesce(string_agg(ptext, ' ' ORDER BY pidx) FILTER (WHERE kept), '') AS clean_text
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q26_shingle_jaccard" ->
       s"""WITH docs AS ($shinglesSql),
          |raw AS (SELECT doc_id, lang, source, unnest(sh) AS shingle FROM docs),

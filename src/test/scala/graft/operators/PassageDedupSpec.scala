@@ -1,0 +1,80 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q72 passage-level exact dedup: the CCNet/C4 line-dedup move on 16-token
+  * passages — the globally-first occurrence of each passage survives,
+  * documents are rebuilt in passage order, and the plan stays window-free
+  * (first-occurrence is a groupBy(fp) min, not a window over a
+  * content-derived key).
+  */
+class PassageDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  private def toks(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  // doc 0: 3 passages (two full + ragged tail), all novel
+  // doc 1: first passage repeats doc 0's p0; novel ragged tail
+  // doc 2: exact copy of doc 0 — every passage already seen
+  // doc 3: the same 16-token passage twice — within-doc repeat
+  private lazy val corpusDir: String = {
+    import spark.implicits._
+    val d0 = toks("a", 35)
+    val d1 = toks("a", 16) + " " + toks("b", 5)
+    val d2 = d0
+    val d3 = toks("c", 16) + " " + toks("c", 16)
+    val dir = Files.createTempDirectory("passage_docs").toString
+    Seq((0L, d0, "en", "s0"), (1L, d1, "en", "s0"),
+        (2L, d2, "en", "s0"), (3L, d3, "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("global first occurrence survives; documents rebuild in passage order") {
+    val rows = Dedup.q72PassageDedup(spark, corpusDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(rows(0L) == ((3L, 3L, toks("a", 35))))
+    assert(rows(1L) == ((2L, 1L, toks("b", 5))))
+    assert(rows(2L) == ((3L, 0L, "")))
+    assert(rows(3L) == ((2L, 1L, toks("c", 16))))
+  }
+
+  test("every distinct passage is kept exactly once across the corpus") {
+    val out = Dedup.q72PassageDedup(spark, corpusDir).collect()
+    val totalKept = out.map(_.getLong(2)).sum
+    val totalPassages = out.map(_.getLong(1)).sum
+    // distinct passages in the corpus: d0 p0/p1/tail, d1 tail, d3 p0
+    assert(totalKept == 5L)
+    assert(totalPassages == 10L)
+  }
+
+  test("plan: window-free, no cartesian; first-occurrence shuffles on fp") {
+    val df = Dedup.q72PassageDedup(spark, corpusDir)
+    val plan = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window, Join}
+    assert(plan.collect { case w: Window => w }.isEmpty,
+      "passage dedup must not window over a content-derived key")
+    assert(plan.collect {
+      case j: Join if j.condition.isEmpty => j
+    }.isEmpty, "no cartesian product")
+    val physical = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(physical.contains("hashpartitioning(fp"),
+      s"first-occurrence aggregate should shuffle on fp:\n$physical")
+  }
+}
