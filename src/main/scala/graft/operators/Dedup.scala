@@ -217,16 +217,23 @@ object Dedup {
     * 2^20 = 1M passages ≈ 16M tokens) so the oracle compares the same
     * key with plain integer min.
     */
-  def q72PassageDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** doc_id × (pidx, ptext, fp) 16-token passage explode — the in-row,
+    * stateless front half of q72, shared with the streaming twin
+    * [[graft.streaming.EventStream.passageDedupStream]].
+    */
+  def passages(docs: DataFrame): DataFrame = {
     val P = 16
-    val toks = split($"text", " ")
+    val toks = split(col("text"), " ")
     val nP = floor((size(toks) + lit(P - 1)) / lit(P)).cast("int")
-    val passages = Tables.documents(spark, dir)
-      .select($"doc_id",
+    docs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), nP - 1),
           i => concat_ws(" ", slice(toks, i * P + 1, lit(P))))).as(Seq("pidx", "ptext")))
-      .withColumn("fp", md5($"ptext"))
+      .withColumn("fp", md5(col("ptext")))
+  }
+
+  def q72PassageDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val passages = Dedup.passages(Tables.documents(spark, dir))
       .withColumn("pos_key", $"doc_id" * lit(1048576L) + $"pidx")
     val firsts = passages.groupBy($"fp").agg(min($"pos_key").as("first_key"))
     passages.join(firsts, "fp")

@@ -147,6 +147,30 @@ object EventStream {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming passage-level dedup — the online twin of the batch q72:
+    * incoming documents are cut into 16-token passages with the SAME
+    * in-row explode the batch operator uses ([[graft.operators.Dedup
+    * .passages]]), and the first arrival of each passage fingerprint
+    * survives. As with [[dedupStream]], which (doc_id, pidx) claims a
+    * fingerprint depends on arrival order, so the engine-independent
+    * facts (spec-asserted against batch q72) are the surviving
+    * fingerprint SET and its size; the per-document text REBUILD is a
+    * second stateful aggregation and stays batch-side — the same
+    * stream/batch split as [[neardupGate]]'s per-doc ANY.
+    *
+    * Scale notes: state is one entry per distinct passage fingerprint
+    * (~tokens/16 entries per novel document); an unbounded deployment
+    * bounds it exactly as [[dedupStreamBounded]] documents for
+    * whole-document fingerprints — watermark-scoped state, or the J7
+    * anti-join against the at-rest fingerprint store.
+    */
+  def passageDedupStream(spark: SparkSession, docsDir: String): DataFrame = {
+    val schema = spark.read.parquet(docsDir).schema
+    graft.operators.Dedup.passages(
+      spark.readStream.schema(schema).parquet(docsDir))
+      .dropDuplicates("fp")
+  }
+
   final case class BandMembership(doc_id: Long, band: Int, r0: Long, r1: Long)
 
   final case class BucketClaim(first_doc: Long)

@@ -83,6 +83,36 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming passage dedup agrees with the batch q72 keep set on full replay") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target/stream_docs_p"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val q = EventStream.passageDedupStream(spark, dir.toString)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("pdedup")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamedFps = spark.sql("SELECT fp FROM pdedup")
+        .collect().map(_.getString(0)).toSet
+      // batch q72 keeps exactly one passage instance per distinct fp, so
+      // its survivor count is the distinct-fingerprint count — and the
+      // streaming survivor SET must be that fingerprint set
+      val keptTotal = Dedup.q72PassageDedup(spark, sfDir)
+        .agg(org.apache.spark.sql.functions.sum("n_kept")).collect()(0).getLong(0)
+      val batchFps = Dedup.passages(spark.read.parquet(s"$sfDir/documents.parquet"))
+        .select("fp").distinct().collect().map(_.getString(0)).toSet
+      assert(streamedFps.size.toLong == keptTotal)
+      assert(streamedFps == batchFps)
+    } finally q.stop()
+  }
+
   test("bounded-state dedup: within-watermark duplicates drop, expired state re-emits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
