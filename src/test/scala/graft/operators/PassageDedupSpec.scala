@@ -63,6 +63,28 @@ class PassageDedupSpec extends AnyFunSuite {
     assert(totalPassages == 10L)
   }
 
+  test("passages partition the token stream: full reassembly equals the original text") {
+    import spark.implicits._
+    // random corpora: tokens of varied length incl. the 16-boundary edges;
+    // concatenating ALL passages in order must reproduce every document
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 64).map { id =>
+      val n = Seq(1, 15, 16, 17, 31, 32, 33, rnd.nextInt(120) + 1)(id % 8)
+      (id.toLong, (0 until n).map(i => s"t${rnd.nextInt(9)}_$i").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val rebuilt = Dedup.passages(df)
+      .groupBy($"doc_id")
+      .agg(org.apache.spark.sql.functions.concat_ws(" ",
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.sort_array(
+            org.apache.spark.sql.functions.collect_list(
+              org.apache.spark.sql.functions.struct($"pidx", $"ptext"))),
+          s => s.getField("ptext"))).as("rebuilt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, text) => assert(rebuilt(id) == text, s"doc $id") }
+  }
+
   test("plan: window-free, no cartesian; first-occurrence shuffles on fp") {
     val df = Dedup.q72PassageDedup(spark, corpusDir)
     val plan = df.queryExecution.optimizedPlan
