@@ -176,6 +176,65 @@ object TrainPrep {
       .orderBy($"doc_id", $"rk")
   }
 
+  /** q73 — DSIR-style importance resampling (data selection via importance
+    * reweighting, Xie et al. 2023): score every document by how much more
+    * likely its tokens are under a TARGET-domain unigram LM (here the
+    * `source = 'src0'` slice) than under the raw-pool LM, then keep the
+    * top decile per language. Per-token log-ratio uses add-one smoothing
+    * over the joint vocabulary; a document's score is its mean per-token
+    * log-ratio.
+    *
+    * Engine parity: one libm `ln` per DISTINCT word, rounded to a
+    * micro-fixed-point long (the q60/q69 measure-zero boundary argument);
+    * per-document sums are then exact integer arithmetic, and the single
+    * per-doc division is one IEEE op. The per-language cutoff is the exact
+    * interpolated 0.9 percentile (the q41 cross-engine pair), compared at
+    * 6 dp on both sides.
+    *
+    * Scale shape: tokens collapse to (doc, word) tf on one exchange; word
+    * statistics are a groupBy(word) aggregate (map-side combine — NO
+    * window over the Zipfian word key, the q53/q60 lesson) joined back on
+    * the same word key; corpus totals ride a broadcast crossJoin; the
+    * 4-row per-language threshold broadcast-joins back. Exact
+    * `percentile` buffers each language's score vector during the 4-group
+    * aggregate — at 100 TB swap it for `approx_percentile` (mergeable
+    * sketch, the q41 pattern pins the within-5% contract) or a
+    * count-below-threshold binary search; the plan is otherwise linear.
+    */
+  def q73DsirSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .repartition($"doc_id") // single-file input → also restores parallelism
+      .select($"doc_id", $"lang", $"source", explode(split($"text", " ")).as("word"))
+    val tf = toks.groupBy($"doc_id", $"lang", $"word").agg(count(lit(1)).as("tf"))
+    val ws = toks.groupBy($"word").agg(
+      sum(when($"source" === "src0", 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val totals = toks.agg(
+      sum(when($"source" === "src0", 1L).otherwise(0L)).as("nt"),
+      count(lit(1)).as("nr"))
+    val vocab = ws.agg(count(lit(1)).as("v"))
+    val lr = ws.crossJoin(broadcast(totals)).crossJoin(broadcast(vocab))
+      .select($"word",
+        round(log((($"ct" + lit(1.0)) / ($"nt" + $"v")) /
+                  (($"cr" + lit(1.0)) / ($"nr" + $"v"))) * lit(1e6))
+          .cast("long").as("lr"))
+    val scored = tf
+      .join(lr, Seq("word"))
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"tf").as("n_tokens"),
+        sum($"tf" * $"lr").as("s_micro"))
+      .withColumn("avg_raw",
+        $"s_micro".cast("double") / ($"n_tokens".cast("double") * lit(1e6)))
+    val thr = scored.groupBy($"lang")
+      .agg(expr("percentile(avg_raw, 0.9)").as("thr"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .select($"doc_id", $"lang", $"n_tokens",
+        round($"avg_raw", 6).as("avg_logratio"),
+        (round($"avg_raw", 6) >= round($"thr", 6)).as("selected"))
+      .orderBy($"doc_id")
+  }
+
   /** q54 — the training-corpus pipeline END TO END, composed from the
     * family's own operators in one plan: (1) drop benchmark (eval-set)
     * documents from the corpus; (2) keep only near-dup cluster survivors
@@ -410,6 +469,7 @@ object TrainPrep {
     "q51_pii_scrub" -> (q51PiiScrub _),
     "q52_contamination" -> (q52Contamination _),
     "q53_tfidf" -> (q53Tfidf _),
+    "q73_dsir_sample" -> (q73DsirSample _),
     "q54_corpus_pipeline" -> (q54CorpusPipeline _),
     "q56_quality_survivor" -> (q56QualitySurvivor _)
   )
@@ -424,6 +484,29 @@ object TrainPrep {
     "CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q73_dsir_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, lang, word, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+        |ws AS (SELECT word,
+        |         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+        |         count(*) AS cr
+        |       FROM toks GROUP BY 1),
+        |n AS (SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS nt, count(*) AS nr FROM toks),
+        |v AS (SELECT count(*) AS v FROM ws),
+        |lr AS (SELECT word,
+        |         CAST(round(ln(((ct + 1.0) / (nt + v)) / ((cr + 1.0) / (nr + v))) * 1e6) AS BIGINT) AS lr
+        |       FROM ws, n, v),
+        |sc AS (SELECT tf.doc_id, tf.lang,
+        |         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |         CAST(sum(tf.tf * lr.lr) AS DOUBLE) / (CAST(sum(tf.tf) AS DOUBLE) * 1e6) AS avg_raw
+        |       FROM tf JOIN lr USING (word) GROUP BY 1, 2),
+        |t AS (SELECT lang, quantile_cont(avg_raw, 0.9) AS thr FROM sc GROUP BY 1)
+        |SELECT sc.doc_id, sc.lang, sc.n_tokens,
+        |  round(sc.avg_raw, 6) AS avg_logratio,
+        |  round(sc.avg_raw, 6) >= round(t.thr, 6) AS selected
+        |FROM sc JOIN t USING (lang)
+        |ORDER BY sc.doc_id""".stripMargin,
     "q70_split" ->
       s"""WITH h AS (
          |  SELECT doc_id, lang, source, $splitHashSql AS hv FROM documents),

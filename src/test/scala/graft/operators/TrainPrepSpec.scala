@@ -239,6 +239,37 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(rows.exists(_._4 == "val") && rows.exists(_._4 == "test"))
   }
 
+  test("q73: top decile per language selected; target slice outscores the pool; window-free plan") {
+    import spark.implicits._
+    val df = TrainPrep.q73DsirSample(spark, dir)
+    val out = df.as[(Long, String, Long, Double, Boolean)].collect()
+    assert(out.length == 500)
+    // selection is the >= 0.9-percentile gate: ~10% per language, with
+    // slack only for ties at the cutoff
+    out.groupBy(_._2).foreach { case (lang, g) =>
+      val sel = g.count(_._5)
+      val want = math.ceil(g.length * 0.1).toInt
+      assert(sel >= want && sel <= want + math.max(2, g.length / 20),
+        s"$lang: $sel selected of ${g.length}")
+      // every selected doc outscores every unselected one (threshold gate)
+      val minSel = g.filter(_._5).map(_._4).min
+      val maxUnsel = g.filterNot(_._5).map(_._4).max
+      assert(minSel >= maxUnsel || math.abs(minSel - maxUnsel) < 1e-9,
+        s"$lang: selection is not a score threshold")
+    }
+    // the importance construction must favor the target domain: src0 docs
+    // score higher on average than the rest of the pool
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val (t, p) = out.partition(r => src(r._1) == "src0")
+    assert(t.map(_._4).sum / t.length > p.map(_._4).sum / p.length,
+      "target-domain docs do not outscore the raw pool")
+    // no window anywhere: thresholds are aggregates joined back
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    assert(df.queryExecution.optimizedPlan.collect { case w: Window => w }.isEmpty,
+      "q73 must not use a window (Zipf word key / lang skew)")
+  }
+
   test("q53: at most 3 terms per doc, ranks dense from 1, scores non-increasing") {
     import spark.implicits._
     val out = TrainPrep.q53Tfidf(spark, dir)
