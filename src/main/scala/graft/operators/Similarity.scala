@@ -461,7 +461,25 @@ object Similarity {
       .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
     val c0 = emb.filter($"vec_id" < kmeansK)
       .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nn".as("cn"))
-    val assign = assignToCentroids(emb, c0).select($"vec_id", $"cid")
+    semdedup(emb, c0, semdedupTau)
+  }
+
+  /** SemDeDup over ANY centroid set — the parameterized surface behind
+    * q62 (which pins `kmeansK` deterministic seeds for the oracle). The
+    * centroid count k is the caller's SCALE LEVER: expected cell size is
+    * N/k, within-cell pair work is ~N²/k, so a deployment holds N/k
+    * constant as the corpus grows (k ∝ N, e.g. √N·c cells from a cheap
+    * k-means|| pass) and per-row work stays flat — the sf3 stress in
+    * SCALE.md measures exactly the fixed-k=8 worst case where cells
+    * densify with the corpus. More cells trade recall for work the way
+    * SemDeDup defines it (pairs are only examined within a cell).
+    *
+    * `emb` must carry (vec_id, embedding, nn); `centroids`
+    * (cid, ce, cn).
+    */
+  def semdedup(emb: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
+    import emb.sparkSession.implicits._
+    val assign = assignToCentroids(emb, centroids).select($"vec_id", $"cid")
     // re-attach arrays, then expand within-cell pairs in-row from bounded
     // posting lists (struct ordering is by leading vec_id → a < b for free)
     val cand = graft.operators.Dedup.boundedPairs(
@@ -469,11 +487,11 @@ object Similarity {
         .select($"cid", struct($"vec_id", $"embedding", $"nn").as("v")),
       Seq("cid"), "v")
     val dups = cand
-      // cheap double prefilter at 0.29; exact decimal sim only for survivors
+      // cheap double prefilter at tau-0.01; exact decimal sim only for survivors
       .filter(fdot($"a.embedding", $"b.embedding") /
-        (sqrt($"a.nn") * sqrt($"b.nn")) >= semdedupTau - 0.01)
+        (sqrt($"a.nn") * sqrt($"b.nn")) >= tau - 0.01)
       .filter(round(ddot($"a.embedding", $"b.embedding") /
-        (sqrt($"a.nn") * sqrt($"b.nn")), 6) >= semdedupTau)
+        (sqrt($"a.nn") * sqrt($"b.nn")), 6) >= tau)
       .select($"b.vec_id".as("vec_id"))
       .distinct()
       .withColumn("is_dup", lit(true))

@@ -143,4 +143,57 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(out.exists(_._3) && out.exists(!_._3), "both verdicts should occur")
   }
+  test("semdedup k-lever: single-cell equals brute force; oracle k unchanged; more cells never add dups") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding",
+        graft.functions.DotProduct.ddot($"embedding", $"embedding").as("nn"))
+    // k = 1: one cell holds the whole corpus, so the cell blocking is a
+    // no-op and the flags must equal the brute-force definition — a doc is
+    // a dup iff ANY other doc pairs with it at sim >= tau with the doc on
+    // the higher-vec_id side of the pair
+    val one = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nn".as("cn"))
+    val got = Similarity.semdedup(emb, one, Similarity.semdedupTau)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    def sim(a: Array[Float], b: Array[Float]): Double = {
+      var d = BigDecimal(0); var na = BigDecimal(0); var nb = BigDecimal(0)
+      var i = 0
+      while (i < a.length) {
+        d += BigDecimal(a(i).toDouble) * BigDecimal(b(i).toDouble)
+        na += BigDecimal(a(i).toDouble) * BigDecimal(a(i).toDouble)
+        nb += BigDecimal(b(i).toDouble) * BigDecimal(b(i).toDouble)
+        i += 1
+      }
+      val num = d.toDouble
+      BigDecimal(num / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val brute = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      if sim(vecs(i)._2, vecs(j)._2) >= Similarity.semdedupTau
+    } yield vecs(j)._1).toSet
+    assert(got.size == vecs.length)
+    assert(got.filter(_._2).keySet == brute, "k=1 semdedup != brute force")
+
+    // the oracled q62 path is byte-identical to semdedup with the pinned seeds
+    val c0 = emb.filter($"vec_id" < Similarity.kmeansK)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nn".as("cn"))
+    val viaSurface = Similarity.semdedup(emb, c0, Similarity.semdedupTau)
+      .collect().map(_.toString).sorted.toSeq
+    val viaQ62 = Similarity.q62Semdedup(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaSurface == viaQ62)
+
+    // scaling k up can only SHRINK the dup set (pairs only form within a
+    // cell) — the recall-for-work trade the scaladoc documents
+    val many = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nn".as("cn"))
+    val gotMany = Similarity.semdedup(emb, many, Similarity.semdedupTau)
+      .collect().filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(gotMany.subsetOf(got.filter(_._2).keySet),
+      "denser centroid grid added dups that the single cell did not have")
+  }
 }
