@@ -231,9 +231,15 @@ object Dedup {
       .withColumn("fp", md5(col("ptext")))
   }
 
-  def q72PassageDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val passages = Dedup.passages(Tables.documents(spark, dir))
+  def q72PassageDedup(spark: SparkSession, dir: String): DataFrame =
+    passageDedupFrame(Tables.documents(spark, dir))
+
+  /** The q72 engine over any (doc_id, text, ...) frame — also a stage of
+    * the [[TrainPrep.q74CorpusPipelineV2]] composition.
+    */
+  def passageDedupFrame(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val passages = Dedup.passages(docs)
       .withColumn("pos_key", $"doc_id" * lit(1048576L) + $"pidx")
     val firsts = passages.groupBy($"fp").agg(min($"pos_key").as("first_key"))
     passages.join(firsts, "fp")

@@ -203,8 +203,16 @@ object TrainPrep {
     */
   def q73DsirSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.documents(spark, dir)
-      .repartition($"doc_id") // single-file input → also restores parallelism
+    dsirSample(Tables.documents(spark, dir)
+      .repartition($"doc_id")) // single-file input → also restores parallelism
+  }
+
+  /** The q73 engine over any (doc_id, lang, source, text) frame — also a
+    * stage of the [[q74CorpusPipelineV2]] composition.
+    */
+  def dsirSample(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs
       .select($"doc_id", $"lang", $"source", explode(split($"text", " ")).as("word"))
     val tf = toks.groupBy($"doc_id", $"lang", $"word").agg(count(lit(1)).as("tf"))
     val ws = toks.groupBy($"word").agg(
@@ -263,6 +271,36 @@ object TrainPrep {
       .join(nonReps, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
     pack(kept).orderBy($"doc_id")
+  }
+
+  /** q74 — the v2 corpus pipeline, composing the round-6 family end to end
+    * in ONE plan: (1) passage-level exact dedup rebuilds every document
+    * from its globally-first passages (q72), dropping documents left with
+    * nothing; (2) DSIR importance resampling over the REBUILT corpus keeps
+    * the top decile per language (q73 — note the LM statistics are
+    * recomputed on deduplicated text, which is exactly why a real pipeline
+    * orders dedup before selection: duplicated boilerplate would otherwise
+    * dominate the pool LM); (3) the survivors sequence-pack (q50's
+    * concat-then-split convention). Every stage is individually oracled;
+    * the composition is oracled as one CTE chain.
+    *
+    * Scale shape: q72's fp-keyed aggregate+join, q73's word-keyed
+    * aggregate+join and 4-row threshold broadcast, one doc_id semi join,
+    * then the packing window — nothing quadratic, no window over a
+    * content-derived key.
+    */
+  def q74CorpusPipelineV2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .repartition($"doc_id") // single-file input → also restores parallelism
+    val cleaned = Dedup.passageDedupFrame(docs)
+      .filter($"n_kept" > 0)
+      .select($"doc_id", $"clean_text")
+    val rebuilt = docs.select($"doc_id", $"lang", $"source")
+      .join(cleaned, Seq("doc_id"))
+      .select($"doc_id", $"lang", $"source", $"clean_text".as("text"))
+    val picked = dsirSample(rebuilt).filter($"selected").select($"doc_id")
+    pack(rebuilt.join(picked, Seq("doc_id"), "left_semi")).orderBy($"doc_id")
   }
 
   /** q56 — survivor selection by QUALITY: one row per near-dup cluster,
@@ -471,6 +509,7 @@ object TrainPrep {
     "q53_tfidf" -> (q53Tfidf _),
     "q73_dsir_sample" -> (q73DsirSample _),
     "q54_corpus_pipeline" -> (q54CorpusPipeline _),
+    "q74_corpus_pipeline_v2" -> (q74CorpusPipelineV2 _),
     "q56_quality_survivor" -> (q56QualitySurvivor _)
   )
 
@@ -484,6 +523,59 @@ object TrainPrep {
     "CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q74_corpus_pipeline_v2" ->
+      s"""WITH ptoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |pps AS (
+         |  SELECT doc_id, t,
+         |    unnest(range(CAST(ceil(len(t) / 16.0) AS BIGINT))) AS pidx
+         |  FROM ptoks),
+         |pp AS (
+         |  SELECT doc_id, pidx,
+         |    array_to_string(t[CAST(pidx * 16 + 1 AS BIGINT):CAST(pidx * 16 + 16 AS BIGINT)], ' ') AS ptext,
+         |    doc_id * 1048576 + pidx AS pos_key
+         |  FROM pps),
+         |pf AS (SELECT md5(ptext) AS fp, min(pos_key) AS first_key FROM pp GROUP BY 1),
+         |psel AS (
+         |  SELECT pp.doc_id, pp.pidx, pp.ptext, pp.pos_key = pf.first_key AS kept
+         |  FROM pp JOIN pf ON md5(pp.ptext) = pf.fp),
+         |cleaned AS (
+         |  SELECT doc_id,
+         |    count(*) FILTER (WHERE kept) AS n_kept,
+         |    coalesce(string_agg(ptext, ' ' ORDER BY pidx) FILTER (WHERE kept), '') AS clean_text
+         |  FROM psel GROUP BY doc_id),
+         |docs2 AS (
+         |  SELECT d.doc_id, d.lang, d.source, c.clean_text AS text
+         |  FROM documents d JOIN cleaned c USING (doc_id) WHERE c.n_kept > 0),
+         |toks AS (SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS word FROM docs2),
+         |tf AS (SELECT doc_id, lang, word, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+         |ws AS (SELECT word,
+         |         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+         |         count(*) AS cr
+         |       FROM toks GROUP BY 1),
+         |n AS (SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS nt, count(*) AS nr FROM toks),
+         |v AS (SELECT count(*) AS v FROM ws),
+         |lr AS (SELECT word,
+         |         CAST(round(ln(((ct + 1.0) / (nt + v)) / ((cr + 1.0) / (nr + v))) * 1e6) AS BIGINT) AS lr
+         |       FROM ws, n, v),
+         |sc AS (SELECT tf.doc_id, tf.lang,
+         |         CAST(sum(tf.tf) AS BIGINT) AS n_toks,
+         |         CAST(sum(tf.tf * lr.lr) AS DOUBLE) / (CAST(sum(tf.tf) AS DOUBLE) * 1e6) AS avg_raw
+         |       FROM tf JOIN lr USING (word) GROUP BY 1, 2),
+         |thr AS (SELECT lang, quantile_cont(avg_raw, 0.9) AS thr FROM sc GROUP BY 1),
+         |picked AS (SELECT sc.doc_id FROM sc JOIN thr USING (lang)
+         |           WHERE round(sc.avg_raw, 6) >= round(thr.thr, 6)),
+         |surv AS (
+         |  SELECT d2.doc_id, d2.lang, d2.source,
+         |    CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM docs2 d2 JOIN picked USING (doc_id)),
+         |packed AS (
+         |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang, source
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+         |  FROM surv)
+         |SELECT doc_id, lang, source, n_tokens,
+         |  CAST(floor(start_off / ${packBudget}.0) AS BIGINT) AS bin_id,
+         |  start_off % $packBudget AS bin_offset
+         |FROM packed ORDER BY doc_id""".stripMargin,
     "q73_dsir_sample" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -270,6 +270,36 @@ class TrainPrepSpec extends AnyFunSuite {
       "q73 must not use a window (Zipf word key / lang skew)")
   }
 
+  test("q74: composed pipeline equals its stages run separately; pack invariants hold") {
+    import spark.implicits._
+    val out = TrainPrep.q74CorpusPipelineV2(spark, dir)
+      .as[(Long, String, String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // pack invariants: offsets stay inside the budget, bins non-negative
+    out.foreach { case (id, _, _, n, bin, off) =>
+      assert(bin >= 0 && off >= 0 && off < TrainPrep.packBudget, s"doc $id")
+      assert(n > 0, s"doc $id packed with no tokens")
+    }
+    // stage-by-stage replay through the public surfaces must select the
+    // same documents with the same rebuilt token counts
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val rebuilt = docs.select($"doc_id", $"lang", $"source")
+      .join(Dedup.passageDedupFrame(docs).filter($"n_kept" > 0)
+        .select($"doc_id", $"clean_text".as("text")), Seq("doc_id"))
+    val picked = TrainPrep.dsirSample(rebuilt).filter($"selected")
+      .select($"doc_id", $"n_tokens").as[(Long, Long)].collect().toMap
+    assert(out.map(_._1).toSet == picked.keySet, "composed selection diverges")
+    out.foreach { case (id, _, _, n, _, _) =>
+      assert(picked(id) == n, s"doc $id token count diverges from the rebuilt text")
+    }
+    // plan hygiene: no cartesian product anywhere in the composition
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val plan = TrainPrep.q74CorpusPipelineV2(spark, dir).queryExecution.optimizedPlan
+    assert(plan.collect { case j: Join if j.condition.isEmpty => j }
+      .forall(_.children.exists(_.stats.sizeInBytes < 1000000)),
+      "cartesian join without a tiny side (the scalar-totals crossJoin is the only allowed shape)")
+  }
+
   test("q53: at most 3 terms per doc, ranks dense from 1, scores non-increasing") {
     import spark.implicits._
     val out = TrainPrep.q53Tfidf(spark, dir)
