@@ -236,21 +236,38 @@ object Dedup {
 
   /** The q72 engine over any (doc_id, text, ...) frame — also a stage of
     * the [[TrainPrep.q74CorpusPipelineV2]] composition.
+    *
+    * Single-pass algebra: the survivor per fingerprint is `min_by` over
+    * the passage stream — ONE instantiation of the explode (an
+    * aggregate-then-rejoin on fp would re-run the scan+explode for the
+    * probe side; identical-subtree exchange reuse cannot save it because
+    * the two branches differ below the exchange). The per-document
+    * passage count never needs the explode at all — it is
+    * ceil(tokens/16) computed scan-side — so the left join back to
+    * documents is the only second read, and it reads no exploded rows.
     */
   def passageDedupFrame(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val passages = Dedup.passages(docs)
+    val kept = Dedup.passages(docs)
       .withColumn("pos_key", $"doc_id" * lit(1048576L) + $"pidx")
-    val firsts = passages.groupBy($"fp").agg(min($"pos_key").as("first_key"))
-    passages.join(firsts, "fp")
-      .withColumn("kept", $"pos_key" === $"first_key")
-      .groupBy($"doc_id")
+      .groupBy($"fp")
+      .agg(min_by(struct($"doc_id", $"pidx", $"ptext"), $"pos_key").as("first"))
+      .select($"first.doc_id".as("doc_id"), $"first.pidx".as("pidx"),
+        $"first.ptext".as("ptext"))
+    val perDoc = kept.groupBy($"doc_id")
       .agg(
-        count(lit(1)).as("n_passages"),
-        count(when($"kept", lit(1))).as("n_kept"),
+        count(lit(1)).as("n_kept"),
         concat_ws(" ", transform(
-          sort_array(collect_list(when($"kept", struct($"pidx", $"ptext")))),
+          sort_array(collect_list(struct($"pidx", $"ptext"))),
           s => s.getField("ptext"))).as("clean_text"))
+    docs
+      .select($"doc_id",
+        floor((size(split($"text", " ")) + lit(15)) / lit(16))
+          .cast("long").as("n_passages"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_passages",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
       .orderBy($"doc_id")
   }
 

@@ -212,17 +212,21 @@ object TrainPrep {
     */
   def dsirSample(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val toks = docs
+    // Everything derives from ONE (doc, word) tf stream: the word stats
+    // are sums of tf (identical values to counting raw tokens), and the
+    // corpus totals / vocabulary size are sums over the word stats — so
+    // the corpus is scanned once (the tf exchange is the same subtree on
+    // both its consumers and reuses), instead of once per statistic.
+    val tf = docs
       .select($"doc_id", $"lang", $"source", explode(split($"text", " ")).as("word"))
-    val tf = toks.groupBy($"doc_id", $"lang", $"word").agg(count(lit(1)).as("tf"))
-    val ws = toks.groupBy($"word").agg(
-      sum(when($"source" === "src0", 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
-    val totals = toks.agg(
-      sum(when($"source" === "src0", 1L).otherwise(0L)).as("nt"),
-      count(lit(1)).as("nr"))
-    val vocab = ws.agg(count(lit(1)).as("v"))
-    val lr = ws.crossJoin(broadcast(totals)).crossJoin(broadcast(vocab))
+      .groupBy($"doc_id", $"lang", $"source", $"word")
+      .agg(count(lit(1)).as("tf"))
+    val ws = tf.groupBy($"word").agg(
+      sum(when($"source" === "src0", $"tf").otherwise(0L)).as("ct"),
+      sum($"tf").as("cr"))
+    val stats = ws.agg(
+      sum($"ct").as("nt"), sum($"cr").as("nr"), count(lit(1)).as("v"))
+    val lr = ws.crossJoin(broadcast(stats))
       .select($"word",
         round(log((($"ct" + lit(1.0)) / ($"nt" + $"v")) /
                   (($"cr" + lit(1.0)) / ($"nr" + $"v"))) * lit(1e6))
