@@ -212,6 +212,21 @@ object TrainPrep {
     */
   def dsirSample(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    val scored = dsirScores(docs)
+    val thr = scored.groupBy($"lang")
+      .agg(expr("percentile(avg_raw, 0.9)").as("thr"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .select($"doc_id", $"lang", $"n_tokens",
+        round($"avg_raw", 6).as("avg_logratio"),
+        (round($"avg_raw", 6) >= round($"thr", 6)).as("selected"))
+      .orderBy($"doc_id")
+  }
+
+  /** The per-document DSIR score stream (doc_id, lang, n_tokens, avg_raw)
+    * behind [[dsirSample]] and the q75 threshold contract.
+    */
+  private[operators] def dsirScores(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     // Everything derives from ONE (doc, word) tf stream: the word stats
     // are sums of tf (identical values to counting raw tokens), and the
     // corpus totals / vocabulary size are sums over the word stats — so
@@ -238,13 +253,29 @@ object TrainPrep {
         sum($"tf" * $"lr").as("s_micro"))
       .withColumn("avg_raw",
         $"s_micro".cast("double") / ($"n_tokens".cast("double") * lit(1e6)))
-    val thr = scored.groupBy($"lang")
-      .agg(expr("percentile(avg_raw, 0.9)").as("thr"))
-    scored.join(broadcast(thr), Seq("lang"))
-      .select($"doc_id", $"lang", $"n_tokens",
-        round($"avg_raw", 6).as("avg_logratio"),
-        (round($"avg_raw", 6) >= round($"thr", 6)).as("selected"))
-      .orderBy($"doc_id")
+    scored
+  }
+
+  /** q75 — the DSIR threshold contract at scale: per language, the exact
+    * interpolated 0.9-percentile cutoff next to the mergeable-sketch
+    * `approx_percentile` a 100 TB run would use instead (exact
+    * `percentile` buffers every score of a group in one aggregate
+    * buffer). The q41 pattern: the oracle-checked facts are the exact
+    * threshold and the CONTRACT that each engine's own sketch lands
+    * within 5% of it — the sketches themselves differ between engines by
+    * construction.
+    */
+  def q75DsirThresholds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dsirScores(Tables.documents(spark, dir).repartition($"doc_id"))
+      .groupBy($"lang")
+      .agg(
+        expr("percentile(avg_raw, 0.9)").as("thr_exact"),
+        expr("approx_percentile(avg_raw, 0.9)").as("thr_approx"))
+      .select($"lang", round($"thr_exact", 6).as("thr"),
+        (abs($"thr_approx" - $"thr_exact") /
+          greatest(abs($"thr_exact"), lit(1e-9)) <= 0.05).as("approx_within_tol"))
+      .orderBy($"lang")
   }
 
   /** q54 — the training-corpus pipeline END TO END, composed from the
@@ -512,6 +543,7 @@ object TrainPrep {
     "q52_contamination" -> (q52Contamination _),
     "q53_tfidf" -> (q53Tfidf _),
     "q73_dsir_sample" -> (q73DsirSample _),
+    "q75_dsir_thresholds" -> (q75DsirThresholds _),
     "q54_corpus_pipeline" -> (q54CorpusPipeline _),
     "q74_corpus_pipeline_v2" -> (q74CorpusPipelineV2 _),
     "q56_quality_survivor" -> (q56QualitySurvivor _)
@@ -580,6 +612,27 @@ object TrainPrep {
          |  CAST(floor(start_off / ${packBudget}.0) AS BIGINT) AS bin_id,
          |  start_off % $packBudget AS bin_offset
          |FROM packed ORDER BY doc_id""".stripMargin,
+    "q75_dsir_thresholds" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, lang, word, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+        |ws AS (SELECT word,
+        |         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+        |         count(*) AS cr
+        |       FROM toks GROUP BY 1),
+        |n AS (SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS nt, count(*) AS nr FROM toks),
+        |v AS (SELECT count(*) AS v FROM ws),
+        |lr AS (SELECT word,
+        |         CAST(round(ln(((ct + 1.0) / (nt + v)) / ((cr + 1.0) / (nr + v))) * 1e6) AS BIGINT) AS lr
+        |       FROM ws, n, v),
+        |sc AS (SELECT tf.doc_id, tf.lang,
+        |         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |         CAST(sum(tf.tf * lr.lr) AS DOUBLE) / (CAST(sum(tf.tf) AS DOUBLE) * 1e6) AS avg_raw
+        |       FROM tf JOIN lr USING (word) GROUP BY 1, 2)
+        |SELECT lang, round(quantile_cont(avg_raw, 0.9), 6) AS thr,
+        |  (abs(approx_quantile(avg_raw, 0.9) - quantile_cont(avg_raw, 0.9))
+        |     / greatest(abs(quantile_cont(avg_raw, 0.9)), 1e-9) <= 0.05) AS approx_within_tol
+        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
     "q73_dsir_sample" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS word FROM documents),
