@@ -271,6 +271,47 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** q76 — incremental passage-dedup gate (the daily-ingest twin of q72,
+    * the same pattern as the q64 band gate): new documents are admitted
+    * by how much of their content already exists PASSAGE-wise in the
+    * reference corpus — a doc that is half boilerplate-by-passage is held
+    * back even when its whole-document fingerprint is novel. Index side =
+    * `doc_id % 3 != 0`, batch side = `% 3 == 0` (the q64 split
+    * convention, so the oracle replays it).
+    */
+  def q76PassageGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.spread(Tables.documents(spark, dir)) // parallelism restore, gated on split count
+    val index = buildPassageIndex(docs.filter($"doc_id" % 3 =!= 0))
+    gatePassages(index, docs.filter($"doc_id" % 3 === 0))
+  }
+
+  /** BUILD-ONCE passage-fingerprint index: the distinct 16-token passage
+    * fingerprints of a reference corpus as one narrow column — the
+    * at-rest artifact an incremental pipeline persists and probes daily
+    * (J7 anti-join pattern; [[buildBandIndex]] is the near-dup sibling).
+    */
+  def buildPassageIndex(docs: DataFrame): DataFrame =
+    passages(docs).select(col("fp")).distinct()
+
+  /** PROBE: per batch document, its passage count, how many of those
+    * passages already exist in the index, and the admission verdict
+    * (duplicated fraction < 0.5). Every batch doc gets a verdict — any
+    * text yields at least one passage, so there is no signature-less
+    * case here (contrast [[gateAgainst]]'s <3-token band gap).
+    */
+  def gatePassages(index: DataFrame, batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    passages(batch)
+      .join(index.select($"fp").withColumn("hit", lit(1L)), Seq("fp"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(coalesce($"hit", lit(0L))).as("n_dup_passages"))
+      .select($"doc_id", $"n_passages", $"n_dup_passages",
+        (($"n_dup_passages".cast("double") / $"n_passages") < 0.5).as("admitted"))
+      .orderBy($"doc_id")
+  }
+
   /** N-gram Jaccard near-dup pairs, blocked by (lang, source): inverted
     * index on shingle → pair intersection counts → |∩| / (|A|+|B|−|∩|).
     * The block keys bound the candidate set; the shingle join shuffles on
@@ -820,6 +861,7 @@ object Dedup {
     "q66_sketch_calibration" -> (q66SketchCalibration _),
     "q25_exact_dedup" -> (q25ExactDedup _),
     "q72_passage_dedup" -> (q72PassageDedup _),
+    "q76_passage_gate" -> (q76PassageGate _),
     "q26_shingle_jaccard" -> (q26ShingleJaccard _),
     "q27_minhash_sig" -> (q27MinhashSig _),
     "q28_minhash_pairs" -> (q28MinhashPairs _),
@@ -930,6 +972,25 @@ object Dedup {
       """SELECT min(doc_id) AS survivor_doc_id, count(*) AS cluster_size
         |FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents)
         |GROUP BY fp ORDER BY survivor_doc_id""".stripMargin,
+    "q76_passage_gate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ps AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(CAST(ceil(len(t) / 16.0) AS BIGINT))) AS pidx
+        |  FROM toks),
+        |p AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(t[CAST(pidx * 16 + 1 AS BIGINT):CAST(pidx * 16 + 16 AS BIGINT)], ' ')) AS fp
+        |  FROM ps),
+        |refp AS (SELECT DISTINCT fp FROM p WHERE doc_id % 3 <> 0),
+        |b AS (SELECT doc_id, fp FROM p WHERE doc_id % 3 = 0),
+        |hits AS (
+        |  SELECT b.doc_id, count(*) AS n_passages, count(r.fp) AS n_dup
+        |  FROM b LEFT JOIN refp r ON b.fp = r.fp
+        |  GROUP BY 1)
+        |SELECT doc_id, n_passages, n_dup AS n_dup_passages,
+        |  (CAST(n_dup AS DOUBLE) / n_passages) < 0.5 AS admitted
+        |FROM hits ORDER BY doc_id""".stripMargin,
     "q72_passage_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |ps AS (

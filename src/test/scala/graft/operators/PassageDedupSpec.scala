@@ -85,6 +85,28 @@ class PassageDedupSpec extends AnyFunSuite {
     docs.foreach { case (id, text) => assert(rebuilt(id) == text, s"doc $id") }
   }
 
+  test("q76 gate: persisted index probes like inline; self-index rejects all; empty index admits all") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$corpusDir/documents.parquet")
+    // round trip: the index written to parquet and reloaded gates identically
+    val inline = Dedup.gatePassages(Dedup.buildPassageIndex(docs), docs)
+      .collect().map(_.toString).sorted.toSeq
+    val path = java.nio.file.Files.createTempDirectory("pidx").toString + "/index"
+    Dedup.buildPassageIndex(docs).write.parquet(path)
+    val reloaded = Dedup.gatePassages(spark.read.parquet(path), docs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(inline == reloaded)
+    // self-index: every passage is a duplicate, nothing is admitted
+    Dedup.gatePassages(Dedup.buildPassageIndex(docs), docs).collect().foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) && !r.getBoolean(3), r.toString)
+    }
+    // empty index: zero duplicates, everything is admitted
+    val empty = Dedup.buildPassageIndex(docs.filter($"doc_id" < 0))
+    Dedup.gatePassages(empty, docs).collect().foreach { r =>
+      assert(r.getLong(2) == 0L && r.getBoolean(3), r.toString)
+    }
+  }
+
   test("plan: window-free, no cartesian; first-occurrence shuffles on fp") {
     val df = Dedup.q72PassageDedup(spark, corpusDir)
     val plan = df.queryExecution.optimizedPlan
