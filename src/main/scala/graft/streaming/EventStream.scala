@@ -177,6 +177,37 @@ object EventStream {
 
   final case class BucketHit(doc_id: Long, band: Int, first_doc: Long)
 
+  /** Streaming incremental passage gate — the online twin of the batch
+    * q76, and the catalog's STREAM-STATIC JOIN surface: incoming
+    * documents explode to passages in-row, LEFT-join the at-rest
+    * fingerprint index ([[graft.operators.Dedup.buildPassageIndex]]'s
+    * parquet artifact), and per-document verdicts aggregate in update
+    * mode. Spark re-plans the static side per micro-batch, so a
+    * nightly-refreshed index file is picked up without restarting the
+    * query — exactly the daily-increment deployment the batch gate
+    * documents.
+    *
+    * Scale notes: the static side joins however the planner prefers
+    * (broadcast under the threshold, shuffle-hash otherwise — same
+    * plan space as batch); aggregation state is one triple per
+    * in-flight document, and a production run bounds it with an
+    * ingest-time watermark (documents arrive whole, so state is
+    * droppable one watermark after arrival).
+    */
+  def passageGateStream(spark: SparkSession, docsDir: String,
+      index: DataFrame): DataFrame = {
+    val schema = spark.read.parquet(docsDir).schema
+    graft.operators.Dedup.passages(
+      spark.readStream.schema(schema).parquet(docsDir))
+      .join(index.select(col("fp")).withColumn("hit", lit(1L)), Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_dup_passages"))
+      .select(col("doc_id"), col("n_passages"), col("n_dup_passages"),
+        ((col("n_dup_passages").cast("double") / col("n_passages")) < 0.5)
+          .as("admitted"))
+  }
+
   /** Streaming NEAR-dup gate — the online counterpart of the batch
     * q28/q48 MinHash-LSH family: an incoming document is a near-dup
     * CANDIDATE when any of its LSH band buckets was already claimed by an

@@ -113,6 +113,34 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming passage gate (stream-static join) equals the batch q76 verdicts") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val batchDir = java.nio.file.Files.createTempDirectory("gate_docs").toString
+    docs.filter($"doc_id" % 3 === 0).write.mode("overwrite").parquet(batchDir)
+    val index = Dedup.buildPassageIndex(docs.filter($"doc_id" % 3 =!= 0))
+    val q = EventStream.passageGateStream(spark, batchDir, index)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("pgate")
+      .start()
+    try {
+      q.processAllAvailable()
+      // update mode may emit a doc more than once across micro-batches;
+      // the LAST update per doc carries the complete verdict
+      val streamed = spark.sql(
+        "SELECT doc_id, n_passages, n_dup_passages, admitted FROM pgate")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      val batch = Dedup.q76PassageGate(spark, sfDir)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      assert(streamed == batch, "streaming gate diverges from batch q76")
+    } finally q.stop()
+  }
+
   test("bounded-state dedup: within-watermark duplicates drop, expired state re-emits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
