@@ -286,6 +286,55 @@ object Dedup {
     gatePassages(index, docs.filter($"doc_id" % 3 === 0))
   }
 
+  /** q77 — duplicate-substring profile (the exact-substring dedup
+    * diagnostic of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", expressed over token windows): every
+    * OVERLAPPING 16-token window of every document is fingerprinted, a
+    * window is duplicated when it appears in MORE THAN ONE document, and
+    * each document reports its window count, duplicated-window count,
+    * and duplicated fraction. Where q72's disjoint passages cut on fixed
+    * boundaries (and so miss shifted copies), the overlapping windows
+    * catch a duplicated span at ANY alignment — the detection half of
+    * suffix-array ExactSubstr, with the cut/rewrite half being q72's
+    * rebuild applied to whatever span policy a pipeline picks.
+    *
+    * Plan shape (the one-subtree lesson): windows collapse to
+    * (fp, doc_id, w_in_doc) in ONE aggregation; the per-fp document
+    * count is a second groupBy OVER THAT RESULT, so both sides of the
+    * join back share the identical (fp, doc_id) exchange subtree and
+    * runtime reuse evaluates the explode once. Rows are ~1 per token
+    * (linear); the fp shuffle is high-cardinality and uniform.
+    */
+  def q77DupSubstrings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = 16
+    val docs = Tables.documents(spark, dir)
+    val toks = split($"text", " ")
+    val nW = (size(toks) - lit(W - 1)).cast("int")
+    val dw = docs
+      .select($"doc_id",
+        explode(when(nW > 0,
+            transform(sequence(lit(0), nW - 1),
+              i => md5(concat_ws(" ", slice(toks, i + 1, lit(W))))))
+          .otherwise(array().cast("array<string>"))).as("fp"))
+      .groupBy($"fp", $"doc_id")
+      .agg(count(lit(1)).as("w_in_doc"))
+    val fps = dw.groupBy($"fp").agg(count(lit(1)).as("n_docs"))
+    val perDoc = dw.join(fps, Seq("fp"))
+      .groupBy($"doc_id")
+      .agg(sum($"w_in_doc").as("n_windows"),
+        sum(when($"n_docs" > 1, $"w_in_doc").otherwise(0L)).as("n_dup_windows"))
+    docs.select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_windows", lit(0L)).as("n_windows"),
+        coalesce($"n_dup_windows", lit(0L)).as("n_dup_windows"),
+        when(coalesce($"n_windows", lit(0L)) === 0, lit(0.0))
+          .otherwise(round($"n_dup_windows".cast("double") / $"n_windows", 6))
+          .as("dup_fraction"))
+      .orderBy($"doc_id")
+  }
+
   /** BUILD-ONCE passage-fingerprint index: the distinct 16-token passage
     * fingerprints of a reference corpus as one narrow column — the
     * at-rest artifact an incremental pipeline persists and probes daily
@@ -862,6 +911,7 @@ object Dedup {
     "q25_exact_dedup" -> (q25ExactDedup _),
     "q72_passage_dedup" -> (q72PassageDedup _),
     "q76_passage_gate" -> (q76PassageGate _),
+    "q77_dup_substrings" -> (q77DupSubstrings _),
     "q26_shingle_jaccard" -> (q26ShingleJaccard _),
     "q27_minhash_sig" -> (q27MinhashSig _),
     "q28_minhash_pairs" -> (q28MinhashPairs _),
@@ -972,6 +1022,29 @@ object Dedup {
       """SELECT min(doc_id) AS survivor_doc_id, count(*) AS cluster_size
         |FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents)
         |GROUP BY fp ORDER BY survivor_doc_id""".stripMargin,
+    "q77_dup_substrings" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |win AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(CAST(greatest(len(t) - 15, 0) AS BIGINT))) AS i
+        |  FROM toks),
+        |w AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(t[CAST(i + 1 AS BIGINT):CAST(i + 16 AS BIGINT)], ' ')) AS fp
+        |  FROM win),
+        |dw AS (SELECT fp, doc_id, count(*) AS w_in_doc FROM w GROUP BY 1, 2),
+        |fps AS (SELECT fp, count(*) AS n_docs FROM dw GROUP BY 1),
+        |pd AS (
+        |  SELECT dw.doc_id,
+        |    CAST(sum(dw.w_in_doc) AS BIGINT) AS n_windows,
+        |    CAST(sum(CASE WHEN fps.n_docs > 1 THEN dw.w_in_doc ELSE 0 END) AS BIGINT) AS n_dup_windows
+        |  FROM dw JOIN fps USING (fp) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(pd.n_windows, 0) AS n_windows,
+        |  coalesce(pd.n_dup_windows, 0) AS n_dup_windows,
+        |  CASE WHEN coalesce(pd.n_windows, 0) = 0 THEN 0.0
+        |       ELSE round(CAST(pd.n_dup_windows AS DOUBLE) / pd.n_windows, 6) END AS dup_fraction
+        |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q76_passage_gate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |ps AS (

@@ -107,6 +107,30 @@ class PassageDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q77: overlapping windows catch whole-copy, shifted-prefix, within-doc and sub-window cases") {
+    import spark.implicits._
+    val d0 = toks("a", 35)                       // 20 windows, all duplicated by d2
+    val d1 = toks("a", 16) + " " + toks("b", 5)  // 6 windows, only w0 (= d0's w0) duplicated
+    val d2 = d0                                   // exact copy
+    val d3 = toks("c", 16) + " " + toks("c", 16) // within-doc repeats only: NOT cross-doc dups
+    val d4 = toks("d", 7)                        // shorter than one window: 0 windows
+    val dir = java.nio.file.Files.createTempDirectory("dupsub_docs").toString
+    Seq((0L, d0), (1L, d1), (2L, d2), (3L, d3), (4L, d4))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s0"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.q77DupSubstrings(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows(0L) == ((20L, 20L, 1.0)))
+    assert(rows(1L) == ((6L, 1L, 0.166667)))
+    assert(rows(2L) == ((20L, 20L, 1.0)))
+    assert(rows(3L) == ((17L, 0L, 0.0)))
+    assert(rows(4L) == ((0L, 0L, 0.0)))
+  }
+
   test("plan: window-free, no cartesian; first-occurrence shuffles on fp") {
     val df = Dedup.q72PassageDedup(spark, corpusDir)
     val plan = df.queryExecution.optimizedPlan
