@@ -212,10 +212,9 @@ object Dedup {
     * entire million-row group into one task (the q53/q60 Zipf lesson);
     * the keep test joins back on fp (same shuffle key → co-partitioned,
     * no extra exchange); the rebuild is a groupBy(doc_id) with an
-    * in-group sort_array, not a window. First-occurrence order rides the
-    * scalar doc_id * 2^20 + passage_idx (exact while documents stay under
-    * 2^20 = 1M passages ≈ 16M tokens) so the oracle compares the same
-    * key with plain integer min.
+    * in-group sort_array, not a window. First-occurrence order is the
+    * (doc_id, passage_idx) struct (exact at any document length); the
+    * oracle compares the same order as a HUGEINT doc_id·2^64 + pidx key.
     */
   /** doc_id × (pidx, ptext, fp) 16-token passage explode — the in-row,
     * stateless front half of q72, shared with the streaming twin
@@ -248,10 +247,14 @@ object Dedup {
     */
   def passageDedupFrame(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    // first-occurrence order is the (doc_id, pidx) struct itself
+    // (lexicographic, exact at ANY document length — an arithmetic
+    // doc_id*K + pidx key silently corrupts order past K passages);
+    // the oracle replays it as a HUGEINT doc_id*2^64 + pidx key
     val kept = Dedup.passages(docs)
-      .withColumn("pos_key", $"doc_id" * lit(1048576L) + $"pidx")
       .groupBy($"fp")
-      .agg(min_by(struct($"doc_id", $"pidx", $"ptext"), $"pos_key").as("first"))
+      .agg(min_by(struct($"doc_id", $"pidx", $"ptext"),
+        struct($"doc_id", $"pidx")).as("first"))
       .select($"first.doc_id".as("doc_id"), $"first.pidx".as("pidx"),
         $"first.ptext".as("ptext"))
     val perDoc = kept.groupBy($"doc_id")
@@ -308,15 +311,23 @@ object Dedup {
   def q77DupSubstrings(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val W = 16
+    val C = 1024 // windows per generation chunk
     val docs = Tables.documents(spark, dir)
     val toks = split($"text", " ")
     val nW = (size(toks) - lit(W - 1)).cast("int")
+    // two-stage explode bounds per-row memory: one row per 1024-window
+    // CHUNK first, then the hashes within a chunk — a single 10M-token
+    // document would otherwise materialize its ~10M 32-char hashes as
+    // ONE in-row array (gigabytes) before posexplode could stream it
     val dw = docs
-      .select($"doc_id",
+      .select($"doc_id", toks.as("t"), nW.as("nw"),
         explode(when(nW > 0,
-            transform(sequence(lit(0), nW - 1),
-              i => md5(concat_ws(" ", slice(toks, i + 1, lit(W))))))
-          .otherwise(array().cast("array<string>"))).as("fp"))
+            sequence(lit(0), ceil(nW.cast("double") / C).cast("int") - 1))
+          .otherwise(array().cast("array<int>"))).as("chunk"))
+      .select($"doc_id",
+        explode(transform(
+          sequence($"chunk" * C, least(($"chunk" + 1) * C, $"nw") - 1),
+          i => md5(concat_ws(" ", slice($"t", i + 1, lit(W)))))).as("fp"))
       .groupBy($"fp", $"doc_id")
       .agg(count(lit(1)).as("w_in_doc"))
     val fps = dw.groupBy($"fp").agg(count(lit(1)).as("n_docs"))
@@ -349,16 +360,28 @@ object Dedup {
     * text yields at least one passage, so there is no signature-less
     * case here (contrast [[gateAgainst]]'s <3-token band gap).
     */
-  def gatePassages(index: DataFrame, batch: DataFrame): DataFrame = {
+  def gatePassages(index: DataFrame, batch: DataFrame): DataFrame =
+    gatePassagesCore(index, batch).orderBy(col("doc_id"))
+
+  /** The un-ordered gate core, shared VERBATIM by the batch q76 and the
+    * streaming twin [[graft.streaming.EventStream.passageGateStream]]
+    * (a streaming plan cannot global-sort; the batch wrapper adds the
+    * orderBy) — one definition of the hit semantics and the admission
+    * threshold, so the two surfaces cannot drift. The index is
+    * re-distinct'ed defensively: unioned nightly index writes with a
+    * repeated fingerprint would otherwise emit one joined row per
+    * duplicate, double-counting BOTH n_passages and n_dup_passages and
+    * flipping verdicts.
+    */
+  private[graft] def gatePassagesCore(index: DataFrame, batch: DataFrame): DataFrame = {
     import batch.sparkSession.implicits._
     passages(batch)
-      .join(index.select($"fp").withColumn("hit", lit(1L)), Seq("fp"), "left")
+      .join(index.select($"fp").distinct().withColumn("hit", lit(1L)), Seq("fp"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_passages"),
         sum(coalesce($"hit", lit(0L))).as("n_dup_passages"))
       .select($"doc_id", $"n_passages", $"n_dup_passages",
         (($"n_dup_passages".cast("double") / $"n_passages") < 0.5).as("admitted"))
-      .orderBy($"doc_id")
   }
 
   /** N-gram Jaccard near-dup pairs, blocked by (lang, source): inverted
@@ -920,6 +943,23 @@ object Dedup {
     "q48_neardup_clusters" -> (q48NeardupClusters _)
   )
 
+  /** Shared oracle SQL: the 16-token passage chain (token split →
+    * passage index range → passage text + HUGEINT first-occurrence key
+    * doc_id·2^64 + pidx, exact for any int64 doc_id / passage count) —
+    * replayed by the q72/q76 oracles and TrainPrep's q74 composition.
+    */
+  private[operators] val passageCtesSql: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ps AS (
+      |  SELECT doc_id, t,
+      |    unnest(range(CAST(ceil(len(t) / 16.0) AS BIGINT))) AS pidx
+      |  FROM toks),
+      |pp AS (
+      |  SELECT doc_id, pidx,
+      |    array_to_string(t[CAST(pidx * 16 + 1 AS BIGINT):CAST(pidx * 16 + 16 AS BIGINT)], ' ') AS ptext,
+      |    doc_id::HUGEINT * 18446744073709551616 + pidx AS pos_key
+      |  FROM ps)""".stripMargin
+
   /** Shared SQL fragment: distinct word 3-gram shingles per doc. */
   private val shinglesSql =
     """SELECT doc_id, lang, source,
@@ -1046,45 +1086,28 @@ object Dedup {
         |       ELSE round(CAST(pd.n_dup_windows AS DOUBLE) / pd.n_windows, 6) END AS dup_fraction
         |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q76_passage_gate" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |ps AS (
-        |  SELECT doc_id, t,
-        |    unnest(range(CAST(ceil(len(t) / 16.0) AS BIGINT))) AS pidx
-        |  FROM toks),
-        |p AS (
-        |  SELECT doc_id,
-        |    md5(array_to_string(t[CAST(pidx * 16 + 1 AS BIGINT):CAST(pidx * 16 + 16 AS BIGINT)], ' ')) AS fp
-        |  FROM ps),
-        |refp AS (SELECT DISTINCT fp FROM p WHERE doc_id % 3 <> 0),
-        |b AS (SELECT doc_id, fp FROM p WHERE doc_id % 3 = 0),
-        |hits AS (
-        |  SELECT b.doc_id, count(*) AS n_passages, count(r.fp) AS n_dup
-        |  FROM b LEFT JOIN refp r ON b.fp = r.fp
-        |  GROUP BY 1)
-        |SELECT doc_id, n_passages, n_dup AS n_dup_passages,
-        |  (CAST(n_dup AS DOUBLE) / n_passages) < 0.5 AS admitted
-        |FROM hits ORDER BY doc_id""".stripMargin,
+      s"""WITH $passageCtesSql,
+         |refp AS (SELECT DISTINCT md5(ptext) AS fp FROM pp WHERE doc_id % 3 <> 0),
+         |b AS (SELECT doc_id, md5(ptext) AS fp FROM pp WHERE doc_id % 3 = 0),
+         |hits AS (
+         |  SELECT b.doc_id, count(*) AS n_passages, count(r.fp) AS n_dup
+         |  FROM b LEFT JOIN refp r ON b.fp = r.fp
+         |  GROUP BY 1)
+         |SELECT doc_id, n_passages, n_dup AS n_dup_passages,
+         |  (CAST(n_dup AS DOUBLE) / n_passages) < 0.5 AS admitted
+         |FROM hits ORDER BY doc_id""".stripMargin,
     "q72_passage_dedup" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |ps AS (
-        |  SELECT doc_id, t,
-        |    unnest(range(CAST(ceil(len(t) / 16.0) AS BIGINT))) AS pidx
-        |  FROM toks),
-        |p AS (
-        |  SELECT doc_id, pidx,
-        |    array_to_string(t[CAST(pidx * 16 + 1 AS BIGINT):CAST(pidx * 16 + 16 AS BIGINT)], ' ') AS ptext,
-        |    doc_id * 1048576 + pidx AS pos_key
-        |  FROM ps),
-        |f AS (SELECT md5(ptext) AS fp, min(pos_key) AS first_key
-        |      FROM p GROUP BY 1),
-        |sel AS (
-        |  SELECT p.doc_id, p.pidx, p.ptext, p.pos_key = f.first_key AS kept
-        |  FROM p JOIN f ON md5(p.ptext) = f.fp)
-        |SELECT doc_id,
-        |  count(*) AS n_passages,
-        |  count(*) FILTER (WHERE kept) AS n_kept,
-        |  coalesce(string_agg(ptext, ' ' ORDER BY pidx) FILTER (WHERE kept), '') AS clean_text
-        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $passageCtesSql,
+         |f AS (SELECT md5(ptext) AS fp, min(pos_key) AS first_key
+         |      FROM pp GROUP BY 1),
+         |sel AS (
+         |  SELECT pp.doc_id, pp.pidx, pp.ptext, pp.pos_key = f.first_key AS kept
+         |  FROM pp JOIN f ON md5(pp.ptext) = f.fp)
+         |SELECT doc_id,
+         |  count(*) AS n_passages,
+         |  count(*) FILTER (WHERE kept) AS n_kept,
+         |  coalesce(string_agg(ptext, ' ' ORDER BY pidx) FILTER (WHERE kept), '') AS clean_text
+         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q26_shingle_jaccard" ->
       s"""WITH docs AS ($shinglesSql),
          |raw AS (SELECT doc_id, lang, source, unnest(sh) AS shingle FROM docs),

@@ -558,18 +558,31 @@ object TrainPrep {
   private val splitHashSql =
     "CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 
+  /** Shared oracle SQL: the DSIR score chain (word explode → tf → word
+    * stats → smoothed log-ratio → per-doc mean, ending at `sc`) over the
+    * given source relation — replayed by the q73/q75 oracles and the q74
+    * composition (which runs it over the passage-rebuilt corpus).
+    */
+  private def dsirScoreCtesSql(src: String): String =
+    s"""wtoks AS (SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS word FROM $src),
+       |tf AS (SELECT doc_id, lang, word, count(*) AS tf FROM wtoks GROUP BY 1, 2, 3),
+       |ws AS (SELECT word,
+       |         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+       |         count(*) AS cr
+       |       FROM wtoks GROUP BY 1),
+       |n AS (SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS nt, count(*) AS nr FROM wtoks),
+       |v AS (SELECT count(*) AS v FROM ws),
+       |lr AS (SELECT word,
+       |         CAST(round(ln(((ct + 1.0) / (nt + v)) / ((cr + 1.0) / (nr + v))) * 1e6) AS BIGINT) AS lr
+       |       FROM ws, n, v),
+       |sc AS (SELECT tf.doc_id, tf.lang,
+       |         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       |         CAST(sum(tf.tf * lr.lr) AS DOUBLE) / (CAST(sum(tf.tf) AS DOUBLE) * 1e6) AS avg_raw
+       |       FROM tf JOIN lr USING (word) GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q74_corpus_pipeline_v2" ->
-      s"""WITH ptoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |pps AS (
-         |  SELECT doc_id, t,
-         |    unnest(range(CAST(ceil(len(t) / 16.0) AS BIGINT))) AS pidx
-         |  FROM ptoks),
-         |pp AS (
-         |  SELECT doc_id, pidx,
-         |    array_to_string(t[CAST(pidx * 16 + 1 AS BIGINT):CAST(pidx * 16 + 16 AS BIGINT)], ' ') AS ptext,
-         |    doc_id * 1048576 + pidx AS pos_key
-         |  FROM pps),
+      s"""WITH ${graft.operators.Dedup.passageCtesSql},
          |pf AS (SELECT md5(ptext) AS fp, min(pos_key) AS first_key FROM pp GROUP BY 1),
          |psel AS (
          |  SELECT pp.doc_id, pp.pidx, pp.ptext, pp.pos_key = pf.first_key AS kept
@@ -582,21 +595,7 @@ object TrainPrep {
          |docs2 AS (
          |  SELECT d.doc_id, d.lang, d.source, c.clean_text AS text
          |  FROM documents d JOIN cleaned c USING (doc_id) WHERE c.n_kept > 0),
-         |toks AS (SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS word FROM docs2),
-         |tf AS (SELECT doc_id, lang, word, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
-         |ws AS (SELECT word,
-         |         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
-         |         count(*) AS cr
-         |       FROM toks GROUP BY 1),
-         |n AS (SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS nt, count(*) AS nr FROM toks),
-         |v AS (SELECT count(*) AS v FROM ws),
-         |lr AS (SELECT word,
-         |         CAST(round(ln(((ct + 1.0) / (nt + v)) / ((cr + 1.0) / (nr + v))) * 1e6) AS BIGINT) AS lr
-         |       FROM ws, n, v),
-         |sc AS (SELECT tf.doc_id, tf.lang,
-         |         CAST(sum(tf.tf) AS BIGINT) AS n_toks,
-         |         CAST(sum(tf.tf * lr.lr) AS DOUBLE) / (CAST(sum(tf.tf) AS DOUBLE) * 1e6) AS avg_raw
-         |       FROM tf JOIN lr USING (word) GROUP BY 1, 2),
+         |${dsirScoreCtesSql("docs2")},
          |thr AS (SELECT lang, quantile_cont(avg_raw, 0.9) AS thr FROM sc GROUP BY 1),
          |picked AS (SELECT sc.doc_id FROM sc JOIN thr USING (lang)
          |           WHERE round(sc.avg_raw, 6) >= round(thr.thr, 6)),
@@ -613,49 +612,19 @@ object TrainPrep {
          |  start_off % $packBudget AS bin_offset
          |FROM packed ORDER BY doc_id""".stripMargin,
     "q75_dsir_thresholds" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS word FROM documents),
-        |tf AS (SELECT doc_id, lang, word, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
-        |ws AS (SELECT word,
-        |         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
-        |         count(*) AS cr
-        |       FROM toks GROUP BY 1),
-        |n AS (SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS nt, count(*) AS nr FROM toks),
-        |v AS (SELECT count(*) AS v FROM ws),
-        |lr AS (SELECT word,
-        |         CAST(round(ln(((ct + 1.0) / (nt + v)) / ((cr + 1.0) / (nr + v))) * 1e6) AS BIGINT) AS lr
-        |       FROM ws, n, v),
-        |sc AS (SELECT tf.doc_id, tf.lang,
-        |         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
-        |         CAST(sum(tf.tf * lr.lr) AS DOUBLE) / (CAST(sum(tf.tf) AS DOUBLE) * 1e6) AS avg_raw
-        |       FROM tf JOIN lr USING (word) GROUP BY 1, 2)
-        |SELECT lang, round(quantile_cont(avg_raw, 0.9), 6) AS thr,
-        |  (abs(approx_quantile(avg_raw, 0.9) - quantile_cont(avg_raw, 0.9))
-        |     / greatest(abs(quantile_cont(avg_raw, 0.9)), 1e-9) <= 0.05) AS approx_within_tol
-        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
+      s"""WITH ${dsirScoreCtesSql("documents")}
+         |SELECT lang, round(quantile_cont(avg_raw, 0.9), 6) AS thr,
+         |  (abs(approx_quantile(avg_raw, 0.9) - quantile_cont(avg_raw, 0.9))
+         |     / greatest(abs(quantile_cont(avg_raw, 0.9)), 1e-9) <= 0.05) AS approx_within_tol
+         |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
     "q73_dsir_sample" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS word FROM documents),
-        |tf AS (SELECT doc_id, lang, word, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
-        |ws AS (SELECT word,
-        |         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
-        |         count(*) AS cr
-        |       FROM toks GROUP BY 1),
-        |n AS (SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS nt, count(*) AS nr FROM toks),
-        |v AS (SELECT count(*) AS v FROM ws),
-        |lr AS (SELECT word,
-        |         CAST(round(ln(((ct + 1.0) / (nt + v)) / ((cr + 1.0) / (nr + v))) * 1e6) AS BIGINT) AS lr
-        |       FROM ws, n, v),
-        |sc AS (SELECT tf.doc_id, tf.lang,
-        |         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
-        |         CAST(sum(tf.tf * lr.lr) AS DOUBLE) / (CAST(sum(tf.tf) AS DOUBLE) * 1e6) AS avg_raw
-        |       FROM tf JOIN lr USING (word) GROUP BY 1, 2),
-        |t AS (SELECT lang, quantile_cont(avg_raw, 0.9) AS thr FROM sc GROUP BY 1)
-        |SELECT sc.doc_id, sc.lang, sc.n_tokens,
-        |  round(sc.avg_raw, 6) AS avg_logratio,
-        |  round(sc.avg_raw, 6) >= round(t.thr, 6) AS selected
-        |FROM sc JOIN t USING (lang)
-        |ORDER BY sc.doc_id""".stripMargin,
+      s"""WITH ${dsirScoreCtesSql("documents")},
+         |t AS (SELECT lang, quantile_cont(avg_raw, 0.9) AS thr FROM sc GROUP BY 1)
+         |SELECT sc.doc_id, sc.lang, sc.n_tokens,
+         |  round(sc.avg_raw, 6) AS avg_logratio,
+         |  round(sc.avg_raw, 6) >= round(t.thr, 6) AS selected
+         |FROM sc JOIN t USING (lang)
+         |ORDER BY sc.doc_id""".stripMargin,
     "q70_split" ->
       s"""WITH h AS (
          |  SELECT doc_id, lang, source, $splitHashSql AS hv FROM documents),

@@ -197,15 +197,10 @@ object EventStream {
   def passageGateStream(spark: SparkSession, docsDir: String,
       index: DataFrame): DataFrame = {
     val schema = spark.read.parquet(docsDir).schema
-    graft.operators.Dedup.passages(
+    // the hit semantics and admission threshold live in ONE place —
+    // the un-ordered core shared with the batch q76
+    graft.operators.Dedup.gatePassagesCore(index,
       spark.readStream.schema(schema).parquet(docsDir))
-      .join(index.select(col("fp")).withColumn("hit", lit(1L)), Seq("fp"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_passages"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_dup_passages"))
-      .select(col("doc_id"), col("n_passages"), col("n_dup_passages"),
-        ((col("n_dup_passages").cast("double") / col("n_passages")) < 0.5)
-          .as("admitted"))
   }
 
   /** Streaming NEAR-dup gate — the online counterpart of the batch
