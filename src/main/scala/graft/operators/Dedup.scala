@@ -79,6 +79,16 @@ object Dedup {
     */
   val hotBucketCap = 256
 
+  /** Token width of a passage / exact-substring window — the ONE
+    * definition behind [[passages]] (disjoint cut), the scan-side
+    * n_passages recompute in [[passageDedupFrame]], q77's overlapping
+    * windows, [[q78ExactSubstrRewrite]]'s span merge, and (interpolated)
+    * the [[passageCtesSql]] / q77 oracles. A width change that missed one
+    * of those sites would corrupt results silently; now there is only
+    * this site.
+    */
+  val PassageTokens = 16
+
   /** All unordered value pairs within each key group, with every
     * materialized array bounded by `cap` elements (cross-chunk rows carry
     * two arrays ≤ cap).
@@ -221,7 +231,7 @@ object Dedup {
     * [[graft.streaming.EventStream.passageDedupStream]].
     */
   def passages(docs: DataFrame): DataFrame = {
-    val P = 16
+    val P = PassageTokens
     val toks = split(col("text"), " ")
     val nP = floor((size(toks) + lit(P - 1)) / lit(P)).cast("int")
     docs.select(col("doc_id"),
@@ -265,7 +275,7 @@ object Dedup {
           s => s.getField("ptext"))).as("clean_text"))
     docs
       .select($"doc_id",
-        floor((size(split($"text", " ")) + lit(15)) / lit(16))
+        floor((size(split($"text", " ")) + lit(PassageTokens - 1)) / lit(PassageTokens))
           .cast("long").as("n_passages"))
       .join(perDoc, Seq("doc_id"), "left")
       .select($"doc_id", $"n_passages",
@@ -310,7 +320,7 @@ object Dedup {
     */
   def q77DupSubstrings(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val W = 16
+    val W = PassageTokens
     val C = 1024 // windows per generation chunk
     val docs = Tables.documents(spark, dir)
     val toks = split($"text", " ")
@@ -949,16 +959,16 @@ object Dedup {
     * replayed by the q72/q76 oracles and TrainPrep's q74 composition.
     */
   private[operators] val passageCtesSql: String =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |ps AS (
-      |  SELECT doc_id, t,
-      |    unnest(range(CAST(ceil(len(t) / 16.0) AS BIGINT))) AS pidx
-      |  FROM toks),
-      |pp AS (
-      |  SELECT doc_id, pidx,
-      |    array_to_string(t[CAST(pidx * 16 + 1 AS BIGINT):CAST(pidx * 16 + 16 AS BIGINT)], ' ') AS ptext,
-      |    doc_id::HUGEINT * 18446744073709551616 + pidx AS pos_key
-      |  FROM ps)""".stripMargin
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |ps AS (
+       |  SELECT doc_id, t,
+       |    unnest(range(CAST(ceil(len(t) / ${PassageTokens}.0) AS BIGINT))) AS pidx
+       |  FROM toks),
+       |pp AS (
+       |  SELECT doc_id, pidx,
+       |    array_to_string(t[CAST(pidx * $PassageTokens + 1 AS BIGINT):CAST(pidx * $PassageTokens + $PassageTokens AS BIGINT)], ' ') AS ptext,
+       |    doc_id::HUGEINT * 18446744073709551616 + pidx AS pos_key
+       |  FROM ps)""".stripMargin
 
   /** Shared SQL fragment: distinct word 3-gram shingles per doc. */
   private val shinglesSql =
@@ -1063,15 +1073,15 @@ object Dedup {
         |FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents)
         |GROUP BY fp ORDER BY survivor_doc_id""".stripMargin,
     "q77_dup_substrings" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |win AS (
-        |  SELECT doc_id, t,
-        |    unnest(range(CAST(greatest(len(t) - 15, 0) AS BIGINT))) AS i
-        |  FROM toks),
-        |w AS (
-        |  SELECT doc_id,
-        |    md5(array_to_string(t[CAST(i + 1 AS BIGINT):CAST(i + 16 AS BIGINT)], ' ')) AS fp
-        |  FROM win),
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |win AS (
+         |  SELECT doc_id, t,
+         |    unnest(range(CAST(greatest(len(t) - ${PassageTokens - 1}, 0) AS BIGINT))) AS i
+         |  FROM toks),
+         |w AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(t[CAST(i + 1 AS BIGINT):CAST(i + $PassageTokens AS BIGINT)], ' ')) AS fp
+         |  FROM win),
         |dw AS (SELECT fp, doc_id, count(*) AS w_in_doc FROM w GROUP BY 1, 2),
         |fps AS (SELECT fp, count(*) AS n_docs FROM dw GROUP BY 1),
         |pd AS (

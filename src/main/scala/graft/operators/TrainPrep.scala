@@ -195,31 +195,54 @@ object TrainPrep {
     * statistics are a groupBy(word) aggregate (map-side combine — NO
     * window over the Zipfian word key, the q53/q60 lesson) joined back on
     * the same word key; corpus totals ride a broadcast crossJoin; the
-    * 4-row per-language threshold broadcast-joins back. Exact
-    * `percentile` buffers each language's score vector during the 4-group
-    * aggregate — at 100 TB swap it for `approx_percentile` (mergeable
-    * sketch, the q41 pattern pins the within-5% contract) or a
-    * count-below-threshold binary search; the plan is otherwise linear.
+    * 4-row per-language threshold broadcast-joins back. The oracle pins
+    * the EXACT interpolated percentile (cross-engine determinism); the
+    * production default of [[dsirSample]] is the mergeable
+    * `approx_percentile` sketch — see the threshold-mode note there and
+    * the q79 contract that oracles the sketch path.
     */
   def q73DsirSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     dsirSample(Tables.documents(spark, dir)
-      .repartition($"doc_id")) // single-file input → also restores parallelism
+      .repartition($"doc_id"), // single-file input → also restores parallelism
+      exactThreshold = true)   // oracle pin; production default is the sketch
   }
 
   /** The q73 engine over any (doc_id, lang, source, text) frame — also a
     * stage of the [[q74CorpusPipelineV2]] composition.
+    *
+    * Threshold mode: the per-language 0.9 cutoff defaults to the
+    * MERGEABLE `approx_percentile` sketch (`exactThreshold = false`) —
+    * each partition contributes a bounded-size quantile summary that
+    * combines map-side, so a 100 TB `en` stratum never buffers its score
+    * vector in one aggregation task. `exactThreshold = true` switches to
+    * the exact interpolated `percentile` (one buffered array per
+    * language) — kept ONLY for the cross-engine oracle pin (q73/q74),
+    * where bit-determinism matters more than the buffer; the q79 contract
+    * oracles the sketch path itself (threshold within 5% of exact,
+    * selection agreement ≥ 95%).
     */
-  def dsirSample(docs: DataFrame): DataFrame = {
+  def dsirSample(docs: DataFrame, exactThreshold: Boolean = false): DataFrame = {
     import docs.sparkSession.implicits._
     val scored = dsirScores(docs)
-    val thr = scored.groupBy($"lang")
-      .agg(expr("percentile(avg_raw, 0.9)").as("thr"))
+    val thr = dsirThreshold(scored, exactThreshold)
     scored.join(broadcast(thr), Seq("lang"))
       .select($"doc_id", $"lang", $"n_tokens",
         round($"avg_raw", 6).as("avg_logratio"),
         (round($"avg_raw", 6) >= round($"thr", 6)).as("selected"))
       .orderBy($"doc_id")
+  }
+
+  /** Per-language 0.9-percentile cutoff over a [[dsirScores]] stream —
+    * the single site where the exact/sketch choice lives, shared by
+    * [[dsirSample]] and the q79 sketch contract.
+    */
+  private[graft] def dsirThreshold(scored: DataFrame, exact: Boolean): DataFrame = {
+    import scored.sparkSession.implicits._
+    val agg =
+      if (exact) expr("percentile(avg_raw, 0.9)")
+      else expr("approx_percentile(avg_raw, 0.9)")
+    scored.groupBy($"lang").agg(agg.as("thr"))
   }
 
   /** The per-document DSIR score stream (doc_id, lang, n_tokens, avg_raw)
@@ -275,6 +298,42 @@ object TrainPrep {
       .select($"lang", round($"thr_exact", 6).as("thr"),
         (abs($"thr_approx" - $"thr_exact") /
           greatest(abs($"thr_exact"), lit(1e-9)) <= 0.05).as("approx_within_tol"))
+      .orderBy($"lang")
+  }
+
+  /** q79 — the SKETCH-mode DSIR selection contract: q75 pins that the
+    * mergeable threshold lands within 5% of exact; q79 pins what that
+    * means for the SELECTION ITSELF — the operator a 100 TB run ships
+    * (the [[dsirSample]] default). Per language: exact doc/selection
+    * counts (cross-engine deterministic) plus three contract booleans
+    * each engine checks against its OWN sketch — threshold within 5% of
+    * exact, sketch-selected fraction inside [0.05, 0.2] around the 0.1
+    * target, and ≥ 95% per-document agreement between sketch and exact
+    * selection. The sketches differ between engines by construction
+    * (t-digest vs Greenwald-Khanna); the booleans do not.
+    */
+  def q79DsirSketchContract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = dsirScores(Tables.documents(spark, dir).repartition($"doc_id"))
+    val thr = dsirThreshold(scored, exact = true).withColumnRenamed("thr", "te")
+      .join(dsirThreshold(scored, exact = false).withColumnRenamed("thr", "ts"),
+        Seq("lang"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .withColumn("se", round($"avg_raw", 6) >= round($"te", 6))
+      .withColumn("ss", round($"avg_raw", 6) >= round($"ts", 6))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"se", 1L).otherwise(0L)).as("n_sel_exact"),
+        sum(when($"ss", 1L).otherwise(0L)).as("n_ss"),
+        sum(when($"se" === $"ss", 1L).otherwise(0L)).as("n_agree"),
+        first($"te").as("te"), first($"ts").as("ts"))
+      .select($"lang", $"n_docs", $"n_sel_exact",
+        (abs($"ts" - $"te") /
+          greatest(abs($"te"), lit(1e-9)) <= 0.05).as("sketch_within_tol"),
+        ($"n_ss".cast("double") / $"n_docs" >= 0.05 &&
+          $"n_ss".cast("double") / $"n_docs" <= 0.2).as("sel_rate_ok"),
+        ($"n_agree".cast("double") / $"n_docs" >= 0.95).as("agree_ok"))
       .orderBy($"lang")
   }
 
@@ -334,7 +393,8 @@ object TrainPrep {
     val rebuilt = docs.select($"doc_id", $"lang", $"source")
       .join(cleaned, Seq("doc_id"))
       .select($"doc_id", $"lang", $"source", $"clean_text".as("text"))
-    val picked = dsirSample(rebuilt).filter($"selected").select($"doc_id")
+    val picked = dsirSample(rebuilt, exactThreshold = true) // oracle pin
+      .filter($"selected").select($"doc_id")
     pack(rebuilt.join(picked, Seq("doc_id"), "left_semi")).orderBy($"doc_id")
   }
 
@@ -544,6 +604,7 @@ object TrainPrep {
     "q53_tfidf" -> (q53Tfidf _),
     "q73_dsir_sample" -> (q73DsirSample _),
     "q75_dsir_thresholds" -> (q75DsirThresholds _),
+    "q79_dsir_sketch_contract" -> (q79DsirSketchContract _),
     "q54_corpus_pipeline" -> (q54CorpusPipeline _),
     "q74_corpus_pipeline_v2" -> (q74CorpusPipelineV2 _),
     "q56_quality_survivor" -> (q56QualitySurvivor _)
@@ -617,6 +678,26 @@ object TrainPrep {
          |  (abs(approx_quantile(avg_raw, 0.9) - quantile_cont(avg_raw, 0.9))
          |     / greatest(abs(quantile_cont(avg_raw, 0.9)), 1e-9) <= 0.05) AS approx_within_tol
          |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
+    "q79_dsir_sketch_contract" ->
+      s"""WITH ${dsirScoreCtesSql("documents")},
+         |t AS (SELECT lang, quantile_cont(avg_raw, 0.9) AS te,
+         |             approx_quantile(avg_raw, 0.9) AS ts
+         |      FROM sc GROUP BY 1),
+         |j AS (SELECT sc.lang,
+         |        round(sc.avg_raw, 6) >= round(t.te, 6) AS se,
+         |        round(sc.avg_raw, 6) >= round(t.ts, 6) AS ss
+         |      FROM sc JOIN t USING (lang)),
+         |a AS (SELECT lang, count(*) AS n_docs,
+         |        CAST(sum(CASE WHEN se THEN 1 ELSE 0 END) AS BIGINT) AS n_sel_exact,
+         |        CAST(sum(CASE WHEN ss THEN 1 ELSE 0 END) AS BIGINT) AS n_ss,
+         |        CAST(sum(CASE WHEN se = ss THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+         |      FROM j GROUP BY 1)
+         |SELECT a.lang, a.n_docs, a.n_sel_exact,
+         |  (abs(t.ts - t.te) / greatest(abs(t.te), 1e-9) <= 0.05) AS sketch_within_tol,
+         |  (CAST(n_ss AS DOUBLE) / n_docs >= 0.05
+         |     AND CAST(n_ss AS DOUBLE) / n_docs <= 0.2) AS sel_rate_ok,
+         |  (CAST(n_agree AS DOUBLE) / n_docs >= 0.95) AS agree_ok
+         |FROM a JOIN t USING (lang) ORDER BY lang""".stripMargin,
     "q73_dsir_sample" ->
       s"""WITH ${dsirScoreCtesSql("documents")},
          |t AS (SELECT lang, quantile_cont(avg_raw, 0.9) AS thr FROM sc GROUP BY 1)

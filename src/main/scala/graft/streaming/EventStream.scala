@@ -407,7 +407,12 @@ object EventStream {
       // wake this user when the watermark reaches its oldest pending event
       state.setTimeoutTimestamp(
         math.max(wait.map(_.ts / 1000000L).min, state.getCurrentWatermarkMs() + 1L))
-    funnelRow(userId, f, b.late_dropped)
+    // a timeout armed for a buffer that later drained via normal arrivals
+    // cannot be un-registered (the GroupState API has no clearTimeout);
+    // it fires once more as an empty invocation — nothing arrived, nothing
+    // became ready — which must NOT re-emit the user's unchanged row
+    if (incoming.isEmpty && ready.isEmpty) Iterator.empty
+    else funnelRow(userId, f, b.late_dropped)
   }
 
   /** Batch-side reduction of [[funnelStream]] /

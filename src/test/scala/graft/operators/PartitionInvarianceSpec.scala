@@ -42,9 +42,16 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   )
 
   private def runAt(parts: Int, fn: () => org.apache.spark.sql.DataFrame): Seq[String] = {
+    // AQE off: its partition coalescing would converge the 3- and 17-
+    // partition runs to near-identical physical layouts at sf0.001,
+    // hollowing out the property this spec exists to pin
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try fn().collect().map(_.toString).sorted.toSeq
-    finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   for ((name, fn) <- probes)

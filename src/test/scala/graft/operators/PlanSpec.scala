@@ -273,6 +273,20 @@ class PlanSpec extends AnyFunSuite {
       s"multi-split input still round-robins:\n$pMulti")
   }
 
+  test("dsirSample: scale default thresholds via mergeable sketch, exact only for the oracle pin") {
+    val docs = graft.Tables.documents(spark, dir)
+    // production default: the per-language cutoff is a mergeable
+    // approx_percentile sketch — no aggregate buffers a full stratum
+    val p = plan(TrainPrep.dsirSample(docs))
+    assert(p.contains("approx_percentile"), s"sketch aggregate absent:\n$p")
+    assert(!p.replace("approx_percentile", "").contains("percentile("),
+      s"exact percentile (full-stratum buffer) in the scale path:\n$p")
+    // oracle mode keeps the exact interpolated percentile
+    val pe = plan(TrainPrep.dsirSample(docs, exactThreshold = true))
+    assert(pe.replace("approx_percentile", "").contains("percentile("),
+      s"oracle pin lost the exact percentile:\n$pe")
+  }
+
   test("q64: gate joins the bucket index on fixed-width band keys") {
     val p = plan(Dedup.q64DedupGate(spark, dir))
     assert(p.linesIterator.exists(l =>

@@ -286,7 +286,8 @@ class TrainPrepSpec extends AnyFunSuite {
     val rebuilt = docs.select($"doc_id", $"lang", $"source")
       .join(Dedup.passageDedupFrame(docs).filter($"n_kept" > 0)
         .select($"doc_id", $"clean_text".as("text")), Seq("doc_id"))
-    val picked = TrainPrep.dsirSample(rebuilt).filter($"selected")
+    val picked = TrainPrep.dsirSample(rebuilt, exactThreshold = true) // q74's oracle-pinned mode
+      .filter($"selected")
       .select($"doc_id", $"n_tokens").as[(Long, Long)].collect().toMap
     assert(out.map(_._1).toSet == picked.keySet, "composed selection diverges")
     out.foreach { case (id, _, _, n, _, _) =>
