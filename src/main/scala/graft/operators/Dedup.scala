@@ -308,8 +308,8 @@ object Dedup {
     * and duplicated fraction. Where q72's disjoint passages cut on fixed
     * boundaries (and so miss shifted copies), the overlapping windows
     * catch a duplicated span at ANY alignment — the detection half of
-    * suffix-array ExactSubstr, with the cut/rewrite half being q72's
-    * rebuild applied to whatever span policy a pipeline picks.
+    * suffix-array ExactSubstr; [[q78ExactSubstrRewrite]] is the
+    * cut/rewrite half that consumes the same window stream.
     *
     * Plan shape (the one-subtree lesson): windows collapse to
     * (fp, doc_id, w_in_doc) in ONE aggregation; the per-fp document
@@ -320,24 +320,8 @@ object Dedup {
     */
   def q77DupSubstrings(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val W = PassageTokens
-    val C = 1024 // windows per generation chunk
     val docs = Tables.documents(spark, dir)
-    val toks = split($"text", " ")
-    val nW = (size(toks) - lit(W - 1)).cast("int")
-    // two-stage explode bounds per-row memory: one row per 1024-window
-    // CHUNK first, then the hashes within a chunk — a single 10M-token
-    // document would otherwise materialize its ~10M 32-char hashes as
-    // ONE in-row array (gigabytes) before posexplode could stream it
-    val dw = docs
-      .select($"doc_id", toks.as("t"), nW.as("nw"),
-        explode(when(nW > 0,
-            sequence(lit(0), ceil(nW.cast("double") / C).cast("int") - 1))
-          .otherwise(array().cast("array<int>"))).as("chunk"))
-      .select($"doc_id",
-        explode(transform(
-          sequence($"chunk" * C, least(($"chunk" + 1) * C, $"nw") - 1),
-          i => md5(concat_ws(" ", slice($"t", i + 1, lit(W)))))).as("fp"))
+    val dw = substrWindows(docs)
       .groupBy($"fp", $"doc_id")
       .agg(count(lit(1)).as("w_in_doc"))
     val fps = dw.groupBy($"fp").agg(count(lit(1)).as("n_docs"))
@@ -353,6 +337,103 @@ object Dedup {
         when(coalesce($"n_windows", lit(0L)) === 0, lit(0.0))
           .otherwise(round($"n_dup_windows".cast("double") / $"n_windows", 6))
           .as("dup_fraction"))
+      .orderBy($"doc_id")
+  }
+
+  /** The overlapping [[PassageTokens]]-token window stream (doc_id, widx,
+    * fp) — the shared front half of q77 (profile) and q78 (cut/rewrite).
+    *
+    * Two-stage explode bounds per-row memory: one row per 1024-window
+    * CHUNK first, then the (widx, hash) structs within a chunk — a single
+    * 10M-token document would otherwise materialize its ~10M 32-char
+    * hashes as ONE in-row array (gigabytes) before posexplode could
+    * stream it.
+    */
+  private[graft] def substrWindows(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val W = PassageTokens
+    val C = 1024 // windows per generation chunk
+    val toks = split($"text", " ")
+    val nW = (size(toks) - lit(W - 1)).cast("int")
+    docs
+      .select($"doc_id", toks.as("t"), nW.as("nw"),
+        explode(when(nW > 0,
+            sequence(lit(0), ceil(nW.cast("double") / C).cast("int") - 1))
+          .otherwise(array().cast("array<int>"))).as("chunk"))
+      .select($"doc_id",
+        explode(transform(
+          sequence($"chunk" * C, least(($"chunk" + 1) * C, $"nw") - 1),
+          i => struct(i.as("widx"),
+            md5(concat_ws(" ", slice($"t", i + 1, lit(W)))).as("fp")))).as("w"))
+      .select($"doc_id", $"w.widx".as("widx"), $"w.fp".as("fp"))
+  }
+
+  def q78ExactSubstrRewrite(spark: SparkSession, dir: String): DataFrame =
+    exactSubstrRewriteFrame(Tables.documents(spark, dir))
+
+  /** q78 — ExactSubstr cut/rewrite (the deliverable half of Lee et al.
+    * 2022's exact-substring dedup, composed from q77's detection): every
+    * overlapping [[PassageTokens]]-token window is fingerprinted, only
+    * the globally-FIRST occurrence of each fingerprint survives (order =
+    * (doc_id, widx), the q72 convention), surviving windows of a
+    * document merge into maximal contiguous spans, and the document is
+    * re-emitted as the concatenation of its span texts. A duplicated
+    * run is cut at ANY alignment — the shifted-copy case q72's fixed
+    * passage boundaries structurally miss — while the unique text
+    * around it survives via the straddling windows (which contain novel
+    * context and therefore fingerprint as unique). Documents shorter
+    * than one window carry no duplication evidence at this granularity
+    * and pass through whole.
+    *
+    * Scale shape: the window stream is ~1 row per token (linear); the
+    * first-occurrence survivor is a groupBy(fp) min — NO window over
+    * the content-derived fp key (the q53/q60 lesson) — and the kept
+    * windows ARE those per-fp minima, so there is no probe join back to
+    * the window stream: the explode is evaluated ONCE (where a
+    * keep-flag join would re-run the scan+explode for the probe side —
+    * the q72 single-instantiation argument). Span merging is an in-row
+    * fold over each document's sorted survivor starts (row size ~ the
+    * document itself, which the rebuild row carries anyway); the
+    * rebuild join is doc_id-keyed.
+    */
+  def exactSubstrRewriteFrame(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val W = PassageTokens
+    // survivors → per-doc sorted starts → maximal contiguous spans
+    // ([s, s+W-1] windows merge when the next start is <= hi+1): an
+    // in-row fold, not a window — span state never leaves the row
+    val spans = substrWindows(docs)
+      .groupBy($"fp")
+      .agg(min(struct($"doc_id", $"widx")).as("first"))
+      .select($"first.doc_id".as("doc_id"), $"first.widx".as("widx"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"widx")).as("starts"))
+      .withColumn("spans", expr(
+        s"""aggregate(
+           |  starts,
+           |  cast(array() as array<struct<lo:int,hi:int>>),
+           |  (acc, s) -> CASE
+           |    WHEN size(acc) > 0 AND s <= element_at(acc, -1).hi + 1
+           |    THEN concat(slice(acc, 1, size(acc) - 1),
+           |      array(named_struct('lo', element_at(acc, -1).lo, 'hi', s + ${W - 1})))
+           |    ELSE concat(acc, array(named_struct('lo', s, 'hi', s + ${W - 1})))
+           |  END)""".stripMargin))
+      .select($"doc_id", $"spans")
+    docs
+      .select($"doc_id", split($"text", " ").as("toks"),
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        when($"n_tokens" < W, $"n_tokens")
+          .otherwise(coalesce(
+            expr("aggregate(spans, 0L, (a, sp) -> a + sp.hi - sp.lo + 1)"),
+            lit(0L))).as("n_kept_tokens"),
+        when($"n_tokens" < W, lit(1L))
+          .otherwise(coalesce(size($"spans").cast("long"), lit(0L))).as("n_spans"),
+        when($"n_tokens" < W, concat_ws(" ", $"toks"))
+          .otherwise(coalesce(
+            expr("concat_ws(' ', transform(spans, sp -> concat_ws(' ', slice(toks, sp.lo + 1, sp.hi - sp.lo + 1))))"),
+            lit(""))).as("clean_text"))
       .orderBy($"doc_id")
   }
 
@@ -945,6 +1026,7 @@ object Dedup {
     "q72_passage_dedup" -> (q72PassageDedup _),
     "q76_passage_gate" -> (q76PassageGate _),
     "q77_dup_substrings" -> (q77DupSubstrings _),
+    "q78_exact_substr_rewrite" -> (q78ExactSubstrRewrite _),
     "q26_shingle_jaccard" -> (q26ShingleJaccard _),
     "q27_minhash_sig" -> (q27MinhashSig _),
     "q28_minhash_pairs" -> (q28MinhashPairs _),
@@ -1095,6 +1177,47 @@ object Dedup {
         |  CASE WHEN coalesce(pd.n_windows, 0) = 0 THEN 0.0
         |       ELSE round(CAST(pd.n_dup_windows AS DOUBLE) / pd.n_windows, 6) END AS dup_fraction
         |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q78_exact_substr_rewrite" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |win AS (
+         |  SELECT doc_id, t,
+         |    unnest(range(CAST(greatest(len(t) - ${PassageTokens - 1}, 0) AS BIGINT))) AS s
+         |  FROM toks),
+         |w AS (
+         |  SELECT doc_id, s,
+         |    md5(array_to_string(t[CAST(s + 1 AS BIGINT):CAST(s + $PassageTokens AS BIGINT)], ' ')) AS fp
+         |  FROM win),
+         |f AS (SELECT fp, min(doc_id::HUGEINT * 18446744073709551616 + s) AS fk
+         |      FROM w GROUP BY 1),
+         |k AS (SELECT w.doc_id, w.s FROM w JOIN f ON w.fp = f.fp
+         |      WHERE w.doc_id::HUGEINT * 18446744073709551616 + w.s = f.fk),
+         |brk AS (
+         |  SELECT doc_id, s,
+         |    CASE WHEN s > coalesce(max(s) OVER (PARTITION BY doc_id ORDER BY s
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -$PassageTokens - 1)
+         |        + $PassageTokens THEN 1 ELSE 0 END AS nb
+         |  FROM k),
+         |g AS (SELECT doc_id, s,
+         |        sum(nb) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+         |      FROM brk),
+         |sp AS (SELECT doc_id, isl, min(s) AS lo, max(s) + ${PassageTokens - 1} AS hi
+         |       FROM g GROUP BY 1, 2),
+         |reb AS (
+         |  SELECT sp.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(hi - lo + 1) AS BIGINT) AS n_kept,
+         |    string_agg(array_to_string(t[CAST(lo + 1 AS BIGINT):CAST(hi + 1 AS BIGINT)], ' '),
+         |      ' ' ORDER BY lo) AS clean_text
+         |  FROM sp JOIN toks USING (doc_id) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(len(d.t) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(d.t) < $PassageTokens THEN CAST(len(d.t) AS BIGINT)
+         |       ELSE coalesce(reb.n_kept, 0) END AS n_kept_tokens,
+         |  CASE WHEN len(d.t) < $PassageTokens THEN 1
+         |       ELSE coalesce(reb.n_spans, 0) END AS n_spans,
+         |  CASE WHEN len(d.t) < $PassageTokens THEN array_to_string(d.t, ' ')
+         |       ELSE coalesce(reb.clean_text, '') END AS clean_text
+         |FROM toks d LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q76_passage_gate" ->
       s"""WITH $passageCtesSql,
          |refp AS (SELECT DISTINCT md5(ptext) AS fp FROM pp WHERE doc_id % 3 <> 0),

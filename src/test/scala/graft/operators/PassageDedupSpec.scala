@@ -131,6 +131,57 @@ class PassageDedupSpec extends AnyFunSuite {
     assert(rows(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("q78: duplicated spans cut at any alignment; the shifted copy q72 misses is caught") {
+    import spark.implicits._
+    val W = Dedup.PassageTokens
+    val base = toks("x", 40)
+    val docs = Seq(
+      0L -> base,                           // first occurrence — survives whole
+      1L -> (toks("j", 5) + " " + base),    // SHIFTED copy behind a junk prefix
+      2L -> base,                           // exact whole-document copy
+      3L -> (toks("y", 20) + " " + toks("y", 20)), // within-doc repeat
+      4L -> toks("s", 7))                   // shorter than one window
+    // brute-force reference of the policy: window fp = the window text
+    // itself; first occurrence by (doc_id, widx); kept windows merge into
+    // contiguous spans; the rebuild concatenates span texts
+    val wins = for {
+      (id, text) <- docs; t = text.split(" "); i <- 0 to t.length - W
+    } yield (t.slice(i, i + W).mkString(" "), id, i)
+    val firsts = wins.groupBy(_._1).map { case (fp, ws) =>
+      fp -> ws.map(w => (w._2, w._3)).min }
+    val expected = docs.map { case (id, text) =>
+      val t = text.split(" ")
+      if (t.length < W) id -> ((t.length.toLong, t.length.toLong, 1L, text))
+      else {
+        val keptStarts = (0 to t.length - W)
+          .filter(i => firsts(t.slice(i, i + W).mkString(" ")) == ((id, i)))
+        val spans = keptStarts.foldLeft(Vector.empty[(Int, Int)]) { case (acc, s) =>
+          if (acc.nonEmpty && s <= acc.last._2 + 1) acc.init :+ ((acc.last._1, s + W - 1))
+          else acc :+ ((s, s + W - 1))
+        }
+        val clean = spans.map { case (lo, hi) => t.slice(lo, hi + 1).mkString(" ") }.mkString(" ")
+        id -> ((t.length.toLong, spans.map(sp => (sp._2 - sp._1 + 1).toLong).sum,
+          spans.length.toLong, clean))
+      }
+    }.toMap
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.exactSubstrRewriteFrame(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got == expected)
+    // the cases that matter: the shifted copy loses its duplicated core
+    // (only the junk prefix + straddle fringe survives) ...
+    assert(got(1L)._2 < got(1L)._1 && got(1L)._4.startsWith("j0"),
+      s"shifted copy not cut: ${got(1L)}")
+    // ... while q72's aligned passages see nothing to remove there
+    val q72 = Dedup.passageDedupFrame(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(q72(1L)._1 == q72(1L)._2, "q72 unexpectedly cut the shifted copy")
+    // the exact whole-copy keeps nothing; the original keeps everything
+    assert(got(2L) == ((40L, 0L, 0L, "")))
+    assert(got(0L) == ((40L, 40L, 1L, base)))
+  }
+
   test("plan: window-free, no cartesian; first-occurrence shuffles on fp") {
     val df = Dedup.q72PassageDedup(spark, corpusDir)
     val plan = df.queryExecution.optimizedPlan
@@ -144,5 +195,24 @@ class PassageDedupSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(physical.contains("hashpartitioning(fp"),
       s"first-occurrence aggregate should shuffle on fp:\n$physical")
+    // q78: same discipline — the span merge is an in-row fold, never a
+    // window over the content-derived fp key; no cartesian anywhere
+    val df78 = Dedup.q78ExactSubstrRewrite(spark, corpusDir)
+    val plan78 = df78.queryExecution.optimizedPlan
+    assert(plan78.collect { case w: Window => w }.isEmpty,
+      "q78 must not window over a content-derived key")
+    assert(plan78.collect {
+      case j: Join if j.condition.isEmpty => j
+    }.isEmpty, "q78: no cartesian product")
+    val phys78 = df78.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(phys78.contains("hashpartitioning(fp"),
+      s"q78 first-occurrence aggregate should shuffle on fp:\n$phys78")
+    // the kept windows are the per-fp minima themselves — no probe join
+    // back to the window stream, so the chunked two-stage explode
+    // (exactly two Generate nodes) is instantiated ONCE
+    val nGenerate = phys78.linesIterator.count(_.trim.matches("\\(\\d+\\) Generate.*"))
+    assert(nGenerate == 2,
+      s"window explode instantiated more than once ($nGenerate Generate nodes):\n$phys78")
   }
 }
