@@ -230,13 +230,19 @@ object Dedup {
     * stateless front half of q72, shared with the streaming twin
     * [[graft.streaming.EventStream.passageDedupStream]].
     */
-  def passages(docs: DataFrame): DataFrame = {
+  def passages(docs: DataFrame): DataFrame = passagesKeeping(docs, Nil)
+
+  /** [[passages]] with extra columns carried through the explode — the
+    * watermarked streaming gate needs the ingest-time column to survive
+    * to its aggregation so state can be watermark-evicted.
+    */
+  private[graft] def passagesKeeping(docs: DataFrame, carry: Seq[String]): DataFrame = {
     val P = PassageTokens
     val toks = split(col("text"), " ")
     val nP = floor((size(toks) + lit(P - 1)) / lit(P)).cast("int")
-    docs.select(col("doc_id"),
+    docs.select((col("doc_id") +: carry.map(col)) :+
         posexplode(transform(sequence(lit(0), nP - 1),
-          i => concat_ws(" ", slice(toks, i * P + 1, lit(P))))).as(Seq("pidx", "ptext")))
+          i => concat_ws(" ", slice(toks, i * P + 1, lit(P))))).as(Seq("pidx", "ptext")): _*)
       .withColumn("fp", md5(col("ptext")))
   }
 
@@ -464,11 +470,12 @@ object Dedup {
     * duplicate, double-counting BOTH n_passages and n_dup_passages and
     * flipping verdicts.
     */
-  private[graft] def gatePassagesCore(index: DataFrame, batch: DataFrame): DataFrame = {
+  private[graft] def gatePassagesCore(index: DataFrame, batch: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     import batch.sparkSession.implicits._
-    passages(batch)
+    passagesKeeping(batch, carry)
       .join(index.select($"fp").distinct().withColumn("hit", lit(1L)), Seq("fp"), "left")
-      .groupBy($"doc_id")
+      .groupBy(($"doc_id" +: carry.map(col)): _*)
       .agg(count(lit(1)).as("n_passages"),
         sum(coalesce($"hit", lit(0L))).as("n_dup_passages"))
       .select($"doc_id", $"n_passages", $"n_dup_passages",

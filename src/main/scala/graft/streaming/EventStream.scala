@@ -190,9 +190,9 @@ object EventStream {
     * Scale notes: the static side joins however the planner prefers
     * (broadcast under the threshold, shuffle-hash otherwise — same
     * plan space as batch); aggregation state is one triple per
-    * in-flight document, and a production run bounds it with an
-    * ingest-time watermark (documents arrive whole, so state is
-    * droppable one watermark after arrival).
+    * in-flight document, and a production run bounds it with
+    * [[passageGateStreamWatermarked]] (documents arrive whole, so
+    * state is droppable one watermark after arrival).
     */
   def passageGateStream(spark: SparkSession, docsDir: String,
       index: DataFrame): DataFrame = {
@@ -202,6 +202,25 @@ object EventStream {
     graft.operators.Dedup.gatePassagesCore(index,
       spark.readStream.schema(schema).parquet(docsDir))
   }
+
+  /** [[passageGateStream]] with BOUNDED state — the deployment shape: the
+    * document stream carries an `ingest_time` event-time column, the
+    * watermark rides it, and `ingest_time` joins the aggregation key, so
+    * each document's verdict state is evicted one `lateness` after its
+    * arrival instead of living forever (the [[funnelStreamWatermarked]]
+    * treatment applied to the gate). Verdict semantics are unchanged —
+    * the same [[graft.operators.Dedup.gatePassagesCore]] as batch q76;
+    * documents arrive whole, so all of a document's passages share one
+    * ingest_time and the extra grouping key never splits a verdict.
+    * With the watermark in place the query also runs in APPEND mode:
+    * each verdict emits exactly once, final, when the watermark passes
+    * its ingest_time.
+    */
+  def passageGateStreamWatermarked(docs: DataFrame, index: DataFrame,
+      lateness: String): DataFrame =
+    graft.operators.Dedup.gatePassagesCore(index,
+      docs.withWatermark("ingest_time", lateness),
+      carry = Seq("ingest_time"))
 
   /** Streaming NEAR-dup gate — the online counterpart of the batch
     * q28/q48 MinHash-LSH family: an incoming document is a near-dup

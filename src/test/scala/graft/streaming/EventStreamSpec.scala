@@ -141,6 +141,59 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked passage gate: scrambled replay equals batch q76; state is watermark-evicted") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val index = Dedup.buildPassageIndex(docs.filter($"doc_id" % 3 =!= 0))
+    val batchDocs = docs.filter($"doc_id" % 3 === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val base = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // ingest times spread over 4 minutes; arrival order scrambled by a
+    // doc_id hash, split across three micro-batches — every arrival is
+    // late by up to 4 min, inside the 10 min bound
+    val timed = batchDocs.map { case (id, text) =>
+      (id, text, ts(base + (id % 5) * 60000L)) }
+    val scrambled = timed.sortBy { case (id, _, _) => (id * 2654435761L) % 97 }
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = source.toDF().toDF("doc_id", "text", "ingest_time")
+    val q = EventStream.passageGateStreamWatermarked(stream, index, "10 minutes")
+      .writeStream
+      .outputMode("append") // final-on-emit: possible only because state closes
+      .format("memory")
+      .queryName("wpgate")
+      .start()
+    try {
+      scrambled.grouped(math.max(1, scrambled.size / 3 + 1)).foreach { b =>
+        source.addData(b)
+        q.processAllAvailable()
+      }
+      // far-future sentinel closes every real group's state
+      source.addData((-1L, "flush doc", ts(base + 3600L * 1000)))
+      q.processAllAvailable()
+      source.addData((-2L, "flush doc two", ts(base + 7200L * 1000)))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT doc_id, n_passages, n_dup_passages, admitted FROM wpgate WHERE doc_id >= 0")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      val batch = Dedup.q76PassageGate(spark, sfDir)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      assert(streamed == batch, "watermarked gate diverges from batch q76")
+      // append mode emitted each verdict exactly once
+      val emitted = spark.sql("SELECT doc_id FROM wpgate WHERE doc_id >= 0").collect()
+      assert(emitted.length == batch.size, "append emitted duplicates or dropped verdicts")
+      // the point of the exercise: state rows were evicted by the watermark
+      val removed = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      assert(removed >= batch.size,
+        s"expected every closed verdict's state evicted, saw numRowsRemoved=$removed")
+    } finally q.stop()
+  }
+
   test("bounded-state dedup: within-watermark duplicates drop, expired state re-emits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
