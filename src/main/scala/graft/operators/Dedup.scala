@@ -851,50 +851,42 @@ object Dedup {
       .distinct()
   }
 
-  /** Broadcast the pair-role list only below this many PAIRS (2 role rows
-    * each, ~48 B a row → the default caps the broadcast near 1 GB, well
-    * under Spark's 8 GB broadcast hard limit). Overridable per session via
-    * `spark.graft.pairs.broadcastMaxRows` — a duplicate-heavy corpus
-    * (SCALE.md measured ~100× pair growth from duplicated content at sf1)
-    * can push the candidate graph past driver memory, where the shuffle
-    * join below is the only shape that completes.
-    */
-  private val pairBroadcastMaxRowsConf = "spark.graft.pairs.broadcastMaxRows"
-  private val pairBroadcastMaxRowsDefault = 10L * 1000 * 1000
-
   /** Reunite a per-doc payload on a candidate pair list: the pair list
-    * fans out to (pair, doc, side) roles and — when small enough to
-    * broadcast safely — BROADCASTS into the payload pass (which therefore
-    * runs ONCE and never shuffles); only matched pair rows cross the one
-    * groupBy that brings the sides back together. Output: (doc_a, doc_b,
-    * va, vb) with va/vb the payload's non-key columns as structs. Payloads
-    * must have exactly one row per doc_id (first(when) would otherwise
-    * pick arbitrarily).
+    * fans out to (pair, doc, side) roles and joins the payload once on
+    * doc_id; only matched pair rows cross the one groupBy that brings
+    * the sides back together. Output: (doc_a, doc_b, va, vb) with va/vb
+    * the payload's non-key columns as structs. Payloads must have
+    * exactly one row per doc_id (first(when) would otherwise pick
+    * arbitrarily).
     *
-    * Size gate: the pair list is localCheckpoint'ed (eager — same pattern
-    * as [[membershipComponents]]) and counted; at or below
-    * [[pairBroadcastMaxRowsConf]] pairs the roles broadcast, above it they
-    * shuffle-join the payload on doc_id (AQE skew-split handles hot docs).
-    * The checkpoint means the band pipeline that derives the pairs runs
-    * once regardless of which path is taken.
+    * Join strategy is decided at RUNTIME by AQE on the un-hinted plan:
+    * once the pair stages execute, adaptive join selection broadcasts
+    * the roles side when its MEASURED size fits the broadcast threshold
+    * and otherwise keeps the doc_id shuffle join (skew-split capable) —
+    * the only shape that completes when a duplicate-heavy corpus blows
+    * the candidate graph past driver memory (SCALE.md measured ~100×
+    * pair growth from duplicated content at sf1). Constructing this
+    * frame runs NO Spark job: the round-6 size gate localCheckpoint'ed
+    * and counted the pairs at plan-construction time, which made merely
+    * BUILDING q61/q66 execute the band pipeline (breaking lazy
+    * composition — a caller embedding them in a larger plan paid the
+    * job even if the branch was later pruned) and pinned the checkpoint
+    * in executor memory; AQE's runtime statistics make the same
+    * broadcast-or-shuffle call with no up-front action
+    * (DedupClusterSpec pins both the laziness and the forced-shuffle
+    * fallback's result equality).
     */
   private def reunitePairs(pairs: DataFrame, payload: DataFrame): DataFrame = {
     import payload.sparkSession.implicits._
-    val maxPairs = payload.sparkSession.conf
-      .getOption(pairBroadcastMaxRowsConf).map(_.toLong)
-      .getOrElse(pairBroadcastMaxRowsDefault)
-    val mat = pairs.localCheckpoint(true)
-    val nPairs = mat.count()
-    val roles = mat.select($"doc_a", $"doc_b",
+    val roles = pairs.select($"doc_a", $"doc_b",
       explode(array(
         struct($"doc_a".as("doc_id"), lit(true).as("isA")),
         struct($"doc_b".as("doc_id"), lit(false).as("isA")))).as("r"))
       .select($"doc_a", $"doc_b", $"r.doc_id".as("doc_id"), $"r.isA".as("isA"))
-    val rolesSide = if (nPairs <= maxPairs) broadcast(roles) else roles
     val v = struct(payload.columns.filterNot(_ == "doc_id").map(col): _*)
     payload
       .withColumn("_v", v)
-      .join(rolesSide, Seq("doc_id"))
+      .join(roles, Seq("doc_id"))
       .groupBy($"doc_a", $"doc_b")
       .agg(first(when($"isA", $"_v"), ignoreNulls = true).as("va"),
         first(when(!$"isA", $"_v"), ignoreNulls = true).as("vb"))

@@ -24,38 +24,70 @@ class DedupClusterSpec extends AnyFunSuite {
     es.toDF("u", "v")
   }
 
-  test("q61 shuffle-join fallback (forced-large pair list) matches the broadcast path") {
-    // gate the role broadcast off entirely: results must be identical and
-    // the roles join must NOT be planned as a broadcast of the pair list
+  test("q61 shuffle-join fallback (broadcast thresholds off) matches the default AQE path") {
+    // with all broadcast thresholds disabled the roles join must run as a
+    // doc_id shuffle join — the shape a too-large pair list gets at scale
+    // when AQE's measured size exceeds the threshold — with results
+    // identical to the default path (where AQE may broadcast)
     val dir = "/root/testdata/sf0.001"
-    val viaBroadcast = Dedup.q61Containment(spark, dir).collect()
-    spark.conf.set("spark.graft.pairs.broadcastMaxRows", "0")
-    // at sf0.001 the planner would STILL broadcast by statistics (the tiny
-    // payload side fits the auto threshold) — turn that off too, so the
-    // doc_id join really runs as a shuffle join, the shape a too-large
-    // pair list gets at scale
+    val viaDefault = Dedup.q61Containment(spark, dir).collect()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
       val df = Dedup.q61Containment(spark, dir)
-      // no broadcast HINT may survive on any join — the gate must leave
-      // the choice to the planner when the pair list is declared large
+      // no broadcast HINT may survive on any join — the plan is un-hinted
+      // and the broadcast-or-shuffle choice belongs to AQE at runtime
       import org.apache.spark.sql.catalyst.plans.logical.Join
       val hinted = df.queryExecution.optimizedPlan.collect {
         case j: Join if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j
       }
-      assert(hinted.isEmpty, s"forced-large path still hints a broadcast: $hinted")
+      assert(hinted.isEmpty, s"reunitePairs hints a join side: $hinted")
       val p = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       assert(p.linesIterator.exists(l => l.contains("hashpartitioning(doc_id")),
         s"roles join did not shuffle on doc_id:\n$p")
       val viaShuffle = df.collect()
       assert(viaShuffle.map(_.toString).sorted.toSeq ==
-        viaBroadcast.map(_.toString).sorted.toSeq,
-        "shuffle-join fallback diverges from the broadcast path")
+        viaDefault.map(_.toString).sorted.toSeq,
+        "shuffle-join fallback diverges from the default path")
     } finally {
-      spark.conf.unset("spark.graft.pairs.broadcastMaxRows")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
+  }
+
+  test("q61/q66 compose lazily: construction executes no computation job") {
+    val dir = "/root/testdata/sf0.001"
+    val sc = spark.sparkContext
+    // job groups are thread-local, so jobs triggered DURING construction
+    // (the round-6 eager size gate's localCheckpoint+count) would land in
+    // the construct group; the action group is the async-delivery control.
+    // A bare spark.read.parquet itself submits one single-stage footer
+    // job per path, so "lazy" here means: nothing beyond those scans —
+    // no multi-stage job (the eager count over the band pipeline had
+    // several shuffle stages) may run before the first action.
+    sc.setJobGroup("construct-probe", "q61/q66 plan construction")
+    val df61 = Dedup.q61Containment(spark, dir)
+    val df66 = Dedup.q66SketchCalibration(spark, dir)
+    sc.clearJobGroup()
+    sc.setJobGroup("action-probe", "first action")
+    assert(df61.collect().nonEmpty && df66.collect().nonEmpty)
+    sc.clearJobGroup()
+    val tracker = sc.statusTracker
+    val deadline = System.currentTimeMillis + 10000
+    while (tracker.getJobIdsForGroup("action-probe").isEmpty &&
+        System.currentTimeMillis < deadline)
+      Thread.sleep(50)
+    assert(tracker.getJobIdsForGroup("action-probe").nonEmpty,
+      "status tracker never saw the action's jobs (probe broken)")
+    val constructJobs = tracker.getJobIdsForGroup("construct-probe")
+    val multiStage = constructJobs.flatMap(id => tracker.getJobInfo(id))
+      .filter(_.stageIds.length > 1)
+    assert(multiStage.isEmpty,
+      s"constructing q61/q66 executed a multi-stage job (eager-gate regression): " +
+        s"${multiStage.map(j => s"job ${j.jobId()} stages ${j.stageIds.mkString(",")}").mkString("; ")}")
+    assert(constructJobs.length <= 4,
+      s"construction submitted ${constructJobs.length} jobs — more than the input footer scans")
   }
 
   test("degenerate corpus: one bucket holding 50% of docs completes with correct sizes") {
