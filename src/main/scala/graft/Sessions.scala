@@ -83,6 +83,23 @@ object Tables {
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
+  /** [[spread]]'s KEYED sibling: hash-cluster on `key` — but only when
+    * the input does not already scan wide. The corpus pipelines cluster
+    * the raw documents on doc_id once so every downstream doc_id-keyed
+    * aggregate/join reuses a single exchange, which doubles as the
+    * parallelism restore on the single-file local tables. A production
+    * input that already arrives in thousands of splits (or bucketed by
+    * the key) must NOT pay an unconditional full-corpus shuffle of the
+    * document text for that convenience — the same gate [[spread]]
+    * applies to its round-robin. Correctness does not depend on the
+    * clustering (PartitionInvarianceSpec), only plan shape does.
+    */
+  def spreadBy(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(org.apache.spark.sql.functions.col(key))
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")

@@ -354,8 +354,7 @@ object Similarity {
   def q55Int8Quant(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
-    Tables.embeddings(spark, dir)
-      .repartition($"vec_id") // single-file input → also restores parallelism
+    Tables.spreadBy(Tables.embeddings(spark, dir), "vec_id") // gated: skipped on wide inputs
       .select($"vec_id", posexplode($"embedding").as(Seq("pos0", "x")))
       .withColumn("maxabs", max(abs($"x")).over(w))
       .select($"vec_id", ($"pos0" + 1).cast("long").as("pos"),

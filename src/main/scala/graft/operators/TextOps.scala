@@ -222,8 +222,7 @@ object TextOps {
     */
   def q60UnigramLm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tf = Tables.documents(spark, dir)
-      .repartition($"doc_id") // single-file input → also restores parallelism
+    val tf = Tables.spreadBy(Tables.documents(spark, dir), "doc_id") // gated: skipped on wide inputs
       .select($"doc_id", explode(words($"text")).as("word"))
       .groupBy($"doc_id", $"word")
       .agg(count(lit(1)).as("tf"))
@@ -276,8 +275,7 @@ object TextOps {
     }
     val wLit = typedLit(weights)
     val bucket = pmod(graft.operators.Dedup.portableHash($"word"), lit(hashBuckets))
-    Tables.documents(spark, dir)
-      .repartition($"doc_id") // single-file input → also restores parallelism
+    Tables.spreadBy(Tables.documents(spark, dir), "doc_id") // gated: skipped on wide inputs
       .select($"doc_id", explode(words($"text")).as("word"))
       .select($"doc_id", bucket.as("bucket"))
       .groupBy($"doc_id", $"bucket")

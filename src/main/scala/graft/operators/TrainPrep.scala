@@ -122,8 +122,7 @@ object TrainPrep {
     // shingle window, the (doc_id, sh_h) distinct, the n_shingles window,
     // and the final groupBy — one exchange feeds the whole corpus pipeline,
     // and the bench side is a broadcast so the semi join adds none
-    val docs = Tables.documents(spark, dir)
-      .repartition(col("doc_id")) // single-file input → also restores parallelism
+    val docs = Tables.spreadBy(Tables.documents(spark, dir), "doc_id") // gated: skipped on wide inputs
     val bench = broadcast(
       shingled(docs.filter(isBenchmark)).select($"sh_h").distinct())
     val corpus = shingled(docs.filter(!isBenchmark))
@@ -157,8 +156,7 @@ object TrainPrep {
     */
   def q53Tfidf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val words = Tables.documents(spark, dir)
-      .repartition(col("doc_id")) // single-file input → also restores parallelism
+    val words = Tables.spreadBy(Tables.documents(spark, dir), "doc_id") // gated: skipped on wide inputs
       .select($"doc_id", explode(split($"text", " ")).as("word"))
     val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
@@ -203,9 +201,8 @@ object TrainPrep {
     */
   def q73DsirSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    dsirSample(Tables.documents(spark, dir)
-      .repartition($"doc_id"), // single-file input → also restores parallelism
-      exactThreshold = true)   // oracle pin; production default is the sketch
+    dsirSample(Tables.spreadBy(Tables.documents(spark, dir), "doc_id"),
+      exactThreshold = true) // oracle pin; production default is the sketch
   }
 
   /** The q73 engine over any (doc_id, lang, source, text) frame — also a
@@ -290,7 +287,7 @@ object TrainPrep {
     */
   def q75DsirThresholds(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    dsirScores(Tables.documents(spark, dir).repartition($"doc_id"))
+    dsirScores(Tables.spreadBy(Tables.documents(spark, dir), "doc_id"))
       .groupBy($"lang")
       .agg(
         expr("percentile(avg_raw, 0.9)").as("thr_exact"),
@@ -314,7 +311,7 @@ object TrainPrep {
     */
   def q79DsirSketchContract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scored = dsirScores(Tables.documents(spark, dir).repartition($"doc_id"))
+    val scored = dsirScores(Tables.spreadBy(Tables.documents(spark, dir), "doc_id"))
     val thr = dsirThreshold(scored, exact = true).withColumnRenamed("thr", "te")
       .join(dsirThreshold(scored, exact = false).withColumnRenamed("thr", "ts"),
         Seq("lang"))
@@ -385,8 +382,7 @@ object TrainPrep {
     */
   def q74CorpusPipelineV2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-      .repartition($"doc_id") // single-file input → also restores parallelism
+    val docs = Tables.spreadBy(Tables.documents(spark, dir), "doc_id") // gated: skipped on wide inputs
     val cleaned = Dedup.passageDedupFrame(docs)
       .filter($"n_kept" > 0)
       .select($"doc_id", $"clean_text")

@@ -271,6 +271,22 @@ class PlanSpec extends AnyFunSuite {
     val pMulti = plan(graft.Tables.spread(multi))
     assert(!pMulti.contains("RoundRobinPartitioning"),
       s"multi-split input still round-robins:\n$pMulti")
+    // keyed sibling: the corpus pipelines' doc_id clustering obeys the
+    // same gate — single-file local input hash-clusters on the key,
+    // a production-shaped wide input skips the full-corpus shuffle
+    val pKeySingle = plan(graft.Tables.spreadBy(single, "doc_id"))
+    assert(pKeySingle.contains("hashpartitioning(doc_id"),
+      s"single-split input must hash-cluster on the key:\n$pKeySingle")
+    val pKeyMulti = plan(graft.Tables.spreadBy(multi, "doc_id"))
+    assert(!pKeyMulti.contains("hashpartitioning(doc_id"),
+      s"wide input still pays the keyed corpus shuffle:\n$pKeyMulti")
+    // and the gated pipelines keep identical results either way
+    val viaSingle = TrainPrep.q53Tfidf(spark, dir).collect().map(_.toString).sorted.toSeq
+    val multiDir = "target/planspec_multisplit_dir"
+    for (t <- Seq("documents")) spark.read.parquet(s"$dir/$t.parquet")
+      .repartition(16).write.mode("overwrite").parquet(s"$multiDir/$t.parquet")
+    val viaMulti = TrainPrep.q53Tfidf(spark, multiDir).collect().map(_.toString).sorted.toSeq
+    assert(viaSingle == viaMulti, "q53 diverges when the keyed spread is skipped")
   }
 
   test("dsirSample: scale default thresholds via mergeable sketch, exact only for the oracle pin") {
