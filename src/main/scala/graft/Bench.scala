@@ -87,10 +87,22 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+    def r3(v: Double) = f"$v%.3f"
+    // the harness keeps only the LAST ~2000 chars of stdout: the reported
+    // line must fit that window WHOLE or the artifact is head-truncated
+    // and unparseable (round 6's was). Two levers: per-query keys shrink
+    // to their unique qNN prefix, and timings round to milliseconds. The
+    // full-name full-precision map goes to target/bench_full.json for
+    // round-over-round diffing.
+    val shortName: Map[String, String] = {
+      val pref = names.map(n => n -> n.takeWhile(_ != '_')).toMap
+      if (pref.values.toSet.size == names.size) pref
+      else names.map(n => n -> n).toMap // prefix collision → keep full names
+    }
+    val qs = results.map { case (k, v) => jstr(shortName(k)) + ":" + r3(v) }
       .mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1)
-      .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .map { case (k, v) => jstr(shortName(k)) + ":" + jstr(v.take(80)) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // subset runs are self-identifying: an official run must say
@@ -98,8 +110,15 @@ object Bench {
     // the reported total
     val fullSuite = names.size == SparkEntry.queries.size
     val subset = if (fullSuite) "" else
-      s""","subset":${names.map(jstr).mkString("[", ",", "]")}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.count(_._2 < 0)},"passes":2,"overhead_per_query":$overhead,"full_suite":$fullSuite$subset,"sf":"$sfDir"}""")
+      s""","subset":${names.map(n => jstr(shortName(n))).mkString("[", ",", "]")}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.count(_._2 < 0)},"passes":2,"overhead_per_query":${f"$overhead%.4f"},"full_suite":$fullSuite$subset,"sf":"$sfDir"}"""
+    val fullQs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_full.json"),
+      s"""{"queries":$fullQs,"overhead_per_query":$overhead,"sf":"$sfDir"}""")
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }
