@@ -500,6 +500,51 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** SemDeDup verdicts over LSH cells — the SCALED sibling of [[q62Semdedup]]
+    * and the operator behind q80. Cells are hyperplane-signature buckets, so
+    * cell ASSIGNMENT is one in-row projection (O(N·d) for ANY cell count —
+    * where k-means cells pay an N×k nearest-centroid pass that turns
+    * quadratic the moment k scales with N, the q32/q62 sf3 lesson), and
+    * `bits` is the scale lever: 2^bits buckets per band, raised with
+    * log2(N) to hold bucket density N/2^bits — and with it Σ|cell|² pair
+    * work per row — constant. Dup-verdict semantics match [[semdedup]]:
+    * exact-decimal cosine ≥ tau with any bucket-mate marks the HIGHER
+    * vec_id duplicated (min-id survivor convention). The oracle pins
+    * bands=2, bits=6 (q80); the sf-scaled runs in SCALE.md drive `bits`
+    * up with the corpus and measure the growth staying ~linear.
+    */
+  def semdedupLsh(emb: DataFrame, bands: Int, bits: Int, tau: Double): DataFrame = {
+    import emb.sparkSession.implicits._
+    val sigs = buildLshSignatures(emb, bands, bits, dim = 64)
+    val cand = graft.operators.Dedup.boundedPairs(
+      sigs.select($"band", $"bucket", $"vec_id"), Seq("band", "bucket"), "vec_id")
+      .select($"a".as("vec_a"), $"b".as("vec_b"))
+      .distinct()
+    val dups = cand
+      .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"), $"nn".as("na")), Seq("vec_a"))
+      .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"), $"nn".as("nb")), Seq("vec_b"))
+      // cheap double prefilter; exact decimal sim only for survivors
+      .filter(fdot($"ea", $"eb") / (sqrt($"na") * sqrt($"nb")) >= tau - 0.01)
+      .filter(round(ddot($"ea", $"eb") / (sqrt($"na") * sqrt($"nb")), 6) >= tau)
+      .select($"vec_b".as("vec_id"))
+      .distinct()
+      .withColumn("is_dup", lit(true))
+    emb.select($"vec_id")
+      .join(dups, Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"is_dup", lit(false)).as("is_dup"))
+      .orderBy($"vec_id")
+  }
+
+  /** q80 — the scaled SemDeDup contract: [[semdedupLsh]] at the pinned
+    * (bands=2, bits=6, tau=[[semdedupTau]]) setting the oracle replays.
+    */
+  def q80SemdedupScaled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.spread(Tables.embeddings(spark, dir)) // parallelism restore, gated on split count
+      .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
+    semdedupLsh(emb, bands = 2, bits = 6, tau = semdedupTau)
+  }
+
   /** q65 — ANN recall evaluation: recall@5 of the LSH index (q40) against
     * the exact brute-force baseline (q30), per query and exact. The
     * operator an ANN deployment runs after every index build/parameter
@@ -528,6 +573,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_semdedup" -> (q62Semdedup _),
+    "q80_semdedup_scaled" -> (q80SemdedupScaled _),
     "q65_ann_recall" -> (q65AnnRecall _),
     "q30_cosine_topk" -> (q30CosineTopK _),
     "q31_embed_neardup" -> (q31EmbedNearDup _),
@@ -647,6 +693,32 @@ object Similarity {
          |SELECT a1.vec_id, a1.cid,
          |  (a1.vec_id IN (SELECT vec_b FROM dups)) AS is_dup
          |FROM a1 ORDER BY vec_id""".stripMargin,
+    "q80_semdedup_scaled" ->
+      s"""WITH norms AS ($normsSql),
+         |e AS ($elemsSql),
+         |$lshSigsSql,
+         |p AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM sigs a JOIN sigs b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |dots AS (
+         |  SELECT vec_a, vec_b,
+         |    CAST(SUM(CAST(ax * bx AS DECIMAL(28,14))) AS DOUBLE) AS dot
+         |  FROM (
+         |    SELECT p.vec_a, p.vec_b,
+         |      CAST(unnest(a.embedding) AS DOUBLE) AS ax,
+         |      CAST(unnest(b.embedding) AS DOUBLE) AS bx
+         |    FROM p JOIN embeddings a ON a.vec_id = p.vec_a
+         |           JOIN embeddings b ON b.vec_id = p.vec_b)
+         |  GROUP BY 1, 2),
+         |dups AS (
+         |  SELECT DISTINCT vec_b FROM dots
+         |  JOIN norms na ON vec_a = na.vec_id
+         |  JOIN norms nb ON vec_b = nb.vec_id
+         |  WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= $semdedupTau)
+         |SELECT v.vec_id,
+         |  (v.vec_id IN (SELECT vec_b FROM dups)) AS is_dup
+         |FROM (SELECT DISTINCT vec_id FROM embeddings) v ORDER BY vec_id""".stripMargin,
     "q58_kmeans" ->
       s"""WITH $kmeansAssign1Ctes,
          |m AS (

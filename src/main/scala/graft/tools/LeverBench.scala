@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** SCALE.md lever probe: times the fixed-parameter quadratic growers next
+  * to their scale-levered variants at one scale factor, so the sf0.1 /
+  * sf1p / sf3p table can show the growth returning to ~linear when the
+  * lever tracks the corpus (bits ≈ log2(N / target-density)).
+  *
+  * Env: SPARK_GRAFT_SF_DIR (data), SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_LSH_BITS (the sf-scaled bits; default 6 = the oracle pin).
+  * Output: one JSON line, min of two measured passes per entry.
+  */
+object LeverBench {
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val bits = sys.env.getOrElse("SPARK_GRAFT_LSH_BITS", "6").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def emb() = Tables.spread(Tables.embeddings(spark, sfDir))
+      .select($"vec_id", $"embedding",
+        expr("aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))").as("nn"))
+
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    val probes: Seq[(String, () => DataFrame)] = Seq(
+      "q62_semdedup_fixed_k8" -> (() => Similarity.q62Semdedup(spark, sfDir)),
+      "semdedup_lsh_bits6_fixed" -> (() =>
+        Similarity.semdedupLsh(emb(), bands = 2, bits = 6, tau = Similarity.semdedupTau)),
+      s"semdedup_lsh_bits${bits}_scaled" -> (() =>
+        Similarity.semdedupLsh(emb(), bands = 2, bits = bits, tau = Similarity.semdedupTau)),
+      "q45_lsh_neardup_bits6_fixed" -> (() => Similarity.q45LshNearDup(spark, sfDir))
+    )
+    // warm pass (JIT + codegen), then two measured passes, min per entry
+    probes.foreach { case (_, fn) => try force(fn()) catch { case _: Throwable => () } }
+    def pass(): Map[String, Double] = probes.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      force(fn())
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    val p1 = pass(); val p2 = pass()
+    val qs = probes.map { case (name, _) =>
+      "\"" + name + "\":" + f"${math.min(p1(name), p2(name))}%.3f"
+    }.mkString("{", ",", "}")
+    println(s"""{"lever_bench":$qs,"n_vecs":$nVecs,"bits_scaled":$bits,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
