@@ -574,8 +574,15 @@ object Dedup {
     import docs.sparkSession.implicits._
     val sig = graft.functions.ShingleFunctions.minhashSig(split($"text", " "))
     docs
+      // signature-less docs drop on the CHEAP token-count predicate, which
+      // is exactly minhash_sig's null condition (Shingles.scala: <3 tokens
+      // → null). Filtering on sig.isNotNull instead let the optimizer push
+      // isnotnull(minhash_sig(text)) into the parquet scan, where it
+      // re-ran the whole shingle+minhash pass per row BEFORE the
+      // projection ran it again — the round-6 q64 1.02→1.25 s regression
+      // (the scan's Condition in the formatted plan showed it verbatim).
+      .filter(size(split($"text", " ")) >= 3)
       .select($"doc_id", sig.as("sig"))
-      .filter($"sig".isNotNull)
       .select($"doc_id" +: (0 until 8).map(i => $"sig" (i).as(s"h$i")): _*)
   }
 
