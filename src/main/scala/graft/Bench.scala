@@ -114,9 +114,12 @@ object Bench {
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.count(_._2 < 0)},"passes":2,"overhead_per_query":${f"$overhead%.4f"},"full_suite":$fullSuite$subset,"sf":"$sfDir"}"""
     val fullQs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    val fullErrs = errors.toSeq.sortBy(_._1) // full 200-char messages live here
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"queries":$fullQs,"overhead_per_query":$overhead,"sf":"$sfDir"}""")
+      s"""{"queries":$fullQs,"errors":$fullErrs,"overhead_per_query":$overhead,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
     println(line)
     spark.stop()

@@ -97,7 +97,10 @@ object Tables {
   def spreadBy(df: DataFrame, key: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(org.apache.spark.sql.functions.col(key))
+    // explicit count: a bare repartition(col) would use
+    // spark.sql.shuffle.partitions, which need not reach the `target`
+    // this gate just tested against (spread has the same contract)
+    else df.repartition(target, org.apache.spark.sql.functions.col(key))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")

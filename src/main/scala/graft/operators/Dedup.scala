@@ -909,11 +909,14 @@ object Dedup {
     * arrays.
     *
     * Plan shape: the per-doc shingle-set array is ONE in-row native
-    * expression pass (no explode, no shuffle); the tiny candidate pair
-    * list fans out to two (pair, doc, side) roles and BROADCASTS into
-    * that pass, so the corpus never shuffles — only the matched pair
-    * rows (two bounded arrays each) cross the one groupBy exchange that
-    * reunites the sides. Work is |pairs|·|doc shingles|, never corpus².
+    * expression pass (no explode, no pre-shuffle); the candidate pair
+    * list fans out to two (pair, doc, side) roles and joins the pass on
+    * doc_id with AQE picking the strategy at runtime ([[reunitePairs]]) —
+    * a small pair list broadcasts and the corpus never shuffles, a
+    * duplicate-heavy one shuffle-joins instead of blowing the driver.
+    * Only matched pair rows (two bounded arrays each) cross the one
+    * groupBy exchange that reunites the sides; work is
+    * |pairs|·|doc shingles|, never corpus².
     */
   def q61Containment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -998,9 +1001,10 @@ object Dedup {
     * drifted-sketch regression (a hash change that silently decorrelates
     * estimate from truth).
     *
-    * Plan shape: the q61 role-broadcast pattern with BOTH per-doc sketch
-    * artifacts (shingle-hash set + 8-long signature) computed in the SAME
-    * single in-row pass; only matched pair rows shuffle.
+    * Plan shape: the q61 [[reunitePairs]] pattern (AQE-decided roles
+    * join) with BOTH per-doc sketch artifacts (shingle-hash set + 8-long
+    * signature) computed in the SAME single in-row pass; only matched
+    * pair rows cross the reuniting groupBy.
     */
   def q66SketchCalibration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

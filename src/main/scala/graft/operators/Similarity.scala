@@ -323,7 +323,22 @@ object Similarity {
     import spark.implicits._
     val emb = Tables.spread(Tables.embeddings(spark, dir)) // parallelism restore, gated on split count
       .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
-    val sigs = buildLshSignatures(emb, bands = 2, bits = 6, dim = 64)
+    lshSimPairs(emb, bands = 2, bits = 6, tau = 0.3)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** LSH-blocked exact-cosine pair stream (vec_a, vec_b, sim ≥ tau at
+    * 6 dp) — the ONE candidate-generation + rerank core behind q45
+    * (near-dup pairs) and [[semdedupLsh]]/q80 (dup verdicts): in-row
+    * signatures → bounded bucket pair expansion → distinct → cheap
+    * double prefilter at tau−0.01 → exact decimal cosine. A change to
+    * the prefilter margin, the [[graft.operators.Dedup.boundedPairs]]
+    * call, or the norm convention now lands in both paths at once.
+    */
+  private def lshSimPairs(
+      emb: DataFrame, bands: Int, bits: Int, tau: Double): DataFrame = {
+    import emb.sparkSession.implicits._
+    val sigs = buildLshSignatures(emb, bands, bits, dim = 64)
     val cand = graft.operators.Dedup.boundedPairs(
       sigs.select($"band", $"bucket", $"vec_id"), Seq("band", "bucket"), "vec_id")
       .select($"a".as("vec_a"), $"b".as("vec_b"))
@@ -331,12 +346,11 @@ object Similarity {
     cand
       .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"), $"nn".as("na")), Seq("vec_a"))
       .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"), $"nn".as("nb")), Seq("vec_b"))
-      // cheap double prefilter at 0.29; exact decimal sim only for survivors
-      .filter(fdot($"ea", $"eb") / (sqrt($"na") * sqrt($"nb")) >= 0.29)
+      // cheap double prefilter; exact decimal sim only for survivors
+      .filter(fdot($"ea", $"eb") / (sqrt($"na") * sqrt($"nb")) >= tau - 0.01)
       .select($"vec_a", $"vec_b",
         round(ddot($"ea", $"eb") / (sqrt($"na") * sqrt($"nb")), 6).as("sim"))
-      .filter($"sim" >= 0.3)
-      .orderBy($"vec_a", $"vec_b")
+      .filter($"sim" >= tau)
   }
 
   /** q55 — symmetric int8 embedding quantization (the standard serving /
@@ -515,17 +529,7 @@ object Similarity {
     */
   def semdedupLsh(emb: DataFrame, bands: Int, bits: Int, tau: Double): DataFrame = {
     import emb.sparkSession.implicits._
-    val sigs = buildLshSignatures(emb, bands, bits, dim = 64)
-    val cand = graft.operators.Dedup.boundedPairs(
-      sigs.select($"band", $"bucket", $"vec_id"), Seq("band", "bucket"), "vec_id")
-      .select($"a".as("vec_a"), $"b".as("vec_b"))
-      .distinct()
-    val dups = cand
-      .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"), $"nn".as("na")), Seq("vec_a"))
-      .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"), $"nn".as("nb")), Seq("vec_b"))
-      // cheap double prefilter; exact decimal sim only for survivors
-      .filter(fdot($"ea", $"eb") / (sqrt($"na") * sqrt($"nb")) >= tau - 0.01)
-      .filter(round(ddot($"ea", $"eb") / (sqrt($"na") * sqrt($"nb")), 6) >= tau)
+    val dups = lshSimPairs(emb, bands, bits, tau)
       .select($"vec_b".as("vec_id"))
       .distinct()
       .withColumn("is_dup", lit(true))

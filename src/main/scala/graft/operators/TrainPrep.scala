@@ -312,9 +312,13 @@ object TrainPrep {
   def q79DsirSketchContract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val scored = dsirScores(Tables.spreadBy(Tables.documents(spark, dir), "doc_id"))
-    val thr = dsirThreshold(scored, exact = true).withColumnRenamed("thr", "te")
-      .join(dsirThreshold(scored, exact = false).withColumnRenamed("thr", "ts"),
-        Seq("lang"))
+    // both percentiles in ONE aggregation over one scored pass (the q75
+    // shape) — two separate dsirThreshold() aggregates would instantiate
+    // the whole word-level scoring pipeline once each (their partial-agg
+    // exchanges differ, so ReuseExchange cannot dedupe them)
+    val thr = scored.groupBy($"lang").agg(
+      expr("percentile(avg_raw, 0.9)").as("te"),
+      expr("approx_percentile(avg_raw, 0.9)").as("ts"))
     scored.join(broadcast(thr), Seq("lang"))
       .withColumn("se", round($"avg_raw", 6) >= round($"te", 6))
       .withColumn("ss", round($"avg_raw", 6) >= round($"ts", 6))

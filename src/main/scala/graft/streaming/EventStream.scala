@@ -426,11 +426,12 @@ object EventStream {
       // wake this user when the watermark reaches its oldest pending event
       state.setTimeoutTimestamp(
         math.max(wait.map(_.ts / 1000000L).min, state.getCurrentWatermarkMs() + 1L))
-    // a timeout armed for a buffer that later drained via normal arrivals
-    // cannot be un-registered (the GroupState API has no clearTimeout);
-    // it fires once more as an empty invocation — nothing arrived, nothing
-    // became ready — which must NOT re-emit the user's unchanged row
-    if (incoming.isEmpty && ready.isEmpty) Iterator.empty
+    // emit only when the visible row could have CHANGED — something
+    // folded (ready) or the late count moved (lost). This covers both
+    // no-op invocations: a stale timeout firing after the buffer drained
+    // via normal arrivals (the GroupState API has no clearTimeout), and
+    // a micro-batch whose arrivals ALL buffered above the watermark.
+    if (lost.isEmpty && ready.isEmpty) Iterator.empty
     else funnelRow(userId, f, b.late_dropped)
   }
 

@@ -47,10 +47,16 @@ object LeverBench {
     )
     // warm pass (JIT + codegen), then two measured passes, min per entry
     probes.foreach { case (_, fn) => try force(fn()) catch { case _: Throwable => () } }
+    // a probe that dies (OOM on a fixed-density grower is exactly what
+    // this tool exists to catch) records -1 instead of aborting the run
+    // and losing every other probe's timing
     def pass(): Map[String, Double] = probes.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      force(fn())
-      name -> (System.nanoTime() - t0) / 1e9
+      try { force(fn()); name -> (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[lever] $name failed: ${e.getMessage}")
+        name -> -1.0
+      }
     }.toMap
     val p1 = pass(); val p2 = pass()
     val qs = probes.map { case (name, _) =>
