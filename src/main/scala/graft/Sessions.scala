@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Session factory + table access helpers shared by Verify/Bench/tests.
   *
@@ -67,8 +69,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") withNanosTs(df) else df
+  }
+
+  /** The library-wide contract for `events.ts` is epoch-NANOS LONG: every
+    * event-time operator (hour buckets, sessionize gaps, funnel windows)
+    * does integer nanos arithmetic, and the original driver corpus carried
+    * parquet TIMESTAMP(NANOS) which Spark can only read as long
+    * (`nanosAsLong`). Regenerated corpora write `ts` as TIMESTAMP(MICROS)
+    * instead — same instants, different logical type — which would bind
+    * those integer expressions against TimestampType and fail resolution.
+    * Restore the contract AT THE READ, in one place, so the physical
+    * schema of the corpus can drift without touching any operator: a
+    * micros timestamp (tz'd or NTZ; session TZ is pinned UTC) becomes
+    * zero-padded nanos, exactly what DuckDB's `epoch_ns(ts)` yields on
+    * the same file, so oracle hashes are unaffected. A long column passes
+    * through untouched. (Schema drift under rewrite is a real 100 TB
+    * hazard — a copy of a table is only a copy if logical types survive
+    * the round trip; normalizing at the boundary is the defense.)
+    */
+  def withNanosTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df
+    }
 
   /** Round-robin parallelism restore, GATED on the input's actual split
     * count. The local test tables are single parquet files (1–2 scan

@@ -21,12 +21,14 @@ object Verify {
     // reports exactly the subset rather than erroring on missing dumps; the
     // driver's official invocation sets no env and always runs the full map
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -46,6 +48,19 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that fails to RUN must stay visible in the round artifact,
+    // not vanish from it (round-7 lesson: three errored queries left a
+    // fully-green-looking 83-entry file). errors.json maps each failed
+    // query to its message; an official full run writes it even when
+    // empty so "no file" can't be confused with "no failures".
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // exit 0 even on per-query failures: a nonzero rc could abort the
+    // driver's downstream DuckDB compare and erase the round's artifact
+    // entirely — the visible record is errors.json + stderr, not the rc
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -34,9 +34,13 @@ object EventStream {
     */
   def hourlyCounts(spark: SparkSession, eventsDir: String): DataFrame = {
     val schema = spark.read.parquet(eventsDir).schema
-    spark.readStream
-      .schema(schema)
-      .parquet(eventsDir)
+    // same read-boundary ts normalization as the batch loader
+    // (graft.Tables.withNanosTs): the corpus may carry ts as nanos LONG or
+    // as TIMESTAMP(MICROS); everything downstream assumes nanos long
+    graft.Tables.withNanosTs(
+      spark.readStream
+        .schema(schema)
+        .parquet(eventsDir))
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "2 hours")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))

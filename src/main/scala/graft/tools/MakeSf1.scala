@@ -62,7 +62,20 @@ object MakeSf1 {
             case _ => shifted
           }
         }.reduce(_ unionAll _)
-      out.repartition(spark.sparkContext.defaultParallelism)
+      // type-faithful round trip: Tables normalizes events.ts to nanos
+      // LONG for the library's internal contract, but a corpus COPY must
+      // carry the source's logical type (TIMESTAMP) or every downstream
+      // reader — DuckDB's epoch_ns() included — binds against the wrong
+      // type. Restore it at the write boundary, mirroring the read-side
+      // normalization (µs-truncated instants; the physical parquet type
+      // Spark emits — MICROS or NANOS — reads back identically through
+      // both Tables.withNanosTs and DuckDB's epoch_ns).
+      val typed =
+        if (name == "events" && out.schema("ts").dataType ==
+              org.apache.spark.sql.types.LongType)
+          out.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else out
+      typed.repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[makesf1] $name done")
     }

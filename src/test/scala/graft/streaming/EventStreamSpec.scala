@@ -314,7 +314,7 @@ class EventStreamSpec extends AnyFunSuite {
   test("stateful sessionization (flatMapGroupsWithState) agrees with the batch window formulation") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = graft.Tables.events(spark, sfDir)
       .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
       .as[EventStream.Event].collect().toSeq
 
@@ -347,7 +347,7 @@ class EventStreamSpec extends AnyFunSuite {
   test("streaming funnel equals the batch q57 on event-time-ordered replay") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = graft.Tables.events(spark, sfDir)
       .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
       .as[EventStream.Event].collect().sortBy(e => (e.ts, e.event_id)).toSeq
 
@@ -377,7 +377,7 @@ class EventStreamSpec extends AnyFunSuite {
   test("watermarked funnel equals the batch q57 on scrambled (reverse-time) replay") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = graft.Tables.events(spark, sfDir)
       .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
       .as[EventStream.Event].collect().toSeq
 
