@@ -178,8 +178,88 @@ object ScaleOps {
       .orderBy($"user_id")
   }
 
+  /** Half-width of the q81 time band: ±5 minutes, in microseconds. */
+  val BandUs: Long = 300L * 1000000L
+
+  /** q81 — keyless time-band join (interval/range join): for every
+    * purchase event, the count and value-sum of ALL click events —
+    * any user — within ±5 minutes. The band predicate `|t_c − t_p| ≤ δ`
+    * has no equality component, so Catalyst's only built-in plan is a
+    * broadcast-nested-loop/cartesian scan — quadratic in events and the
+    * classic 100 TB non-starter. This operator composes the scalable
+    * form from existing ops instead (the bucketed band join every
+    * interval-join engine uses): quantize both sides to δ-width epochs,
+    * explode each probe to its own and two adjacent epochs, equi-join on
+    * the epoch key, then post-filter the exact band. Every matching pair
+    * meets in EXACTLY one (probe-epoch, build-epoch) combination, so no
+    * dedup pass is needed; the pair set is identical to the naive
+    * cross-join's (BandJoinSpec pins both facts).
+    *
+    * Scale shape: one shuffle of each side keyed on epoch (probe side
+    * 3×, still linear), map-side-combinable aggregation on event_id, and
+    * a |purchases|-row left join for the zero-match rows. Cost is
+    * O(|events| + matches) — matches is data-bounded (δ × arrival rate),
+    * not |L|×|R|. Epoch keys inherit the stream's time distribution, so
+    * a flash-crowd minute is a skewed epoch — AQE's skew-join split
+    * handles the joined stage (same lever as q37).
+    *
+    * Engine parity: epochs and band edges are integer µs arithmetic
+    * (`ts div 1000` zero-pads the µs-precision corpus, q19 convention);
+    * the value sum aggregates over DECIMAL(18,2) and casts to double
+    * once at the end (the dsum rule), so summation order can't skew it.
+    */
+  def q81BandJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select(expr("ts div 1000").as("c_us"), $"value")
+      .withColumn("epoch", expr(s"c_us div $BandUs"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", expr("ts div 1000").as("p_us"))
+    val probes = purchases
+      .withColumn("e0", expr(s"p_us div $BandUs"))
+      .withColumn("epoch", explode(array($"e0" - 1, $"e0", $"e0" + 1)))
+    val hits = probes.join(clicks, Seq("epoch"))
+      .filter(abs($"c_us" - $"p_us") <= BandUs)
+      .groupBy($"event_id")
+      .agg(count(lit(1)).as("n_nearby"),
+        sum($"value".cast(DecimalType(18, 2))).as("v"))
+    purchases.join(hits, Seq("event_id"), "left")
+      .select($"event_id", $"p_us",
+        coalesce($"n_nearby", lit(0L)).as("n_nearby"),
+        coalesce($"v", lit(0).cast(DecimalType(18, 2)))
+          .cast("double").as("nearby_value"))
+      .orderBy($"event_id")
+  }
+
+  /** q83 — top-k per group through the native [[graft.functions.TopKAgg]]
+    * bounded-heap aggregate. The built-in way to say this —
+    * `row_number() OVER (PARTITION BY type ORDER BY value DESC) <= 5` —
+    * shuffles and sorts EVERY row to keep five per group; the custom
+    * TypedImperativeAggregate rides the ordinary two-phase aggregation
+    * protocol instead, so each map task already reduces its partition to
+    * ≤ k rows per group and the exchange carries O(k·|groups|), not O(n).
+    * That asymmetry IS the 100 TB story: per-group top-k over a 100 TB
+    * fact table is a k-row-per-group shuffle, same shape as a sum.
+    * Determinism: the heap order is total (value desc, event_id asc), so
+    * the result is partition-invariant; TopKSpec pins agreement with the
+    * window formulation and the partial/final plan split.
+    */
+  def q83TopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(graft.functions.TopK.topK($"value", $"event_id", 5).as("tk"))
+      .select($"event_type", posexplode($"tk"))
+      .select($"event_type", ($"pos" + lit(1)).cast("long").as("rank"),
+        $"col.event_id".as("event_id"), $"col.value".as("value"))
+      .orderBy($"event_type", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_approx_distinct" -> (q36ApproxDistinct _),
+    "q81_band_join" -> (q81BandJoin _),
+    "q83_topk_per_group" -> (q83TopkPerGroup _),
     "q37_salted_join" -> (q37SaltedJoin _),
     "q38_rollup" -> (q38Rollup _),
     "q39_sessionize" -> (q39Sessionize _),
@@ -254,6 +334,27 @@ object ScaleOps {
         |  SELECT user_id, ts, MIN(value) AS pval FROM events
         |  WHERE event_type = 'purchase' GROUP BY user_id, ts
         |) p ON e.user_id = p.user_id AND e.ts >= p.ts
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+    // the oracle states the SEMANTICS as the naive inequality join the
+    // operator refuses to run at scale (DuckDB plans it as an IEJoin)
+    "q81_band_join" ->
+      """WITH p AS (SELECT event_id, epoch_us(ts) AS p_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT epoch_us(ts) AS c_us, CAST(value AS DECIMAL(18,2)) AS v
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.p_us,
+        |  count(c.c_us) AS n_nearby,
+        |  CAST(coalesce(sum(c.v), 0) AS DOUBLE) AS nearby_value
+        |FROM p LEFT JOIN c ON abs(c.c_us - p.p_us) <= 300000000
+        |GROUP BY p.event_id, p.p_us
+        |ORDER BY p.event_id""".stripMargin,
+    "q83_topk_per_group" ->
+      """SELECT event_type, rank, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id) AS rank
+        |  FROM events)
+        |WHERE rank <= 5
+        |ORDER BY event_type, rank""".stripMargin
   )
 }

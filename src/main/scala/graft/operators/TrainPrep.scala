@@ -592,7 +592,75 @@ object TrainPrep {
       .orderBy($"doc_id")
   }
 
+  /** Hash-space bins per stratum for the q82 quota cut (a power of two so
+    * the bin of a row is a cheap mask; 1024 bins bound the selection
+    * granularity at ~0.1% of a stratum's tokens).
+    */
+  val QuotaBins = 1024
+
+  /** q82 — token-budget quota selection: the EXECUTOR for a target corpus
+    * mix. q63 rebalances by per-row Bernoulli *rate* — unbiased but only
+    * hits its target in expectation. A training run that promises "at
+    * most B tokens of domain X" needs the budget ENFORCED: select
+    * documents per (lang, source) stratum, in deterministic hash order,
+    * until the stratum's token budget is exhausted (temperature-allocated
+    * here: global budget = 40% of corpus tokens, split ∝ √stratum-tokens,
+    * capped at the stratum's own size — the mT5/XLM-R rebalance with a
+    * hard cap).
+    *
+    * The naive form — cumulative-sum window over hash-ordered documents
+    * within each stratum — is the q53 scale-killer wearing a new hat: a
+    * window partitioned by (lang, source) materializes an entire Zipf-head
+    * stratum ("en"/web) in ONE task. The scalable form implemented here is
+    * a binned prefix sum: each doc lands in one of [[QuotaBins]] hash bins,
+    * per-bin token sums come from a map-side-combined groupBy, the cumsum
+    * window runs over AT MOST [[QuotaBins]] rows per stratum (bounded
+    * state, |strata|×1024 rows total), and the cut keeps whole bins while
+    * the running total fits the budget. Docs then rejoin their bin's
+    * verdict by (lang, source, bin) — a broadcast of the |strata|×1024
+    * cut table. Selection granularity is one bin (~0.1% of the stratum);
+    * the budget is never exceeded (prefix-sum invariant ≤, not rounding).
+    *
+    * Engine parity: the q63 conventions — √toks pinned to DECIMAL(28,14)
+    * for an order-independent denominator sum, divisions in double after
+    * exact casts, the final budget an integral floor; bin membership and
+    * prefix sums are pure integer arithmetic.
+    */
+  def q82QuotaSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("bin",
+        Dedup.portableHash(concat(lit("quota:"), $"doc_id".cast("string")))
+          % QuotaBins)
+    val binSums = docs.groupBy($"lang", $"source", $"bin")
+      .agg(sum($"n_tokens").as("bin_toks"))
+    val strata = binSums.groupBy($"lang", $"source")
+      .agg(sum($"bin_toks").as("toks"))
+      .withColumn("w", sqrt($"toks".cast("double")).cast("decimal(28,14)"))
+    val tot = strata.agg(
+      sum($"w").cast("decimal(28,14)").as("wtot"),
+      sum($"toks").cast("double").as("tokstot"))
+    val budget = strata.crossJoin(broadcast(tot))
+      .select($"lang", $"source",
+        least($"toks",
+          floor(lit(0.4) * $"tokstot" *
+            ($"w".cast("double") / $"wtot".cast("double"))).cast("long"))
+          .as("budget"))
+    val wBin = Window.partitionBy($"lang", $"source").orderBy($"bin")
+    val cut = binSums
+      .withColumn("cum", sum($"bin_toks").over(wBin))
+      .join(broadcast(budget), Seq("lang", "source"))
+      .filter($"cum" <= $"budget")
+      .select($"lang", $"source", $"bin")
+    docs.join(broadcast(cut), Seq("lang", "source", "bin"))
+      .select($"doc_id", $"lang", $"source", $"n_tokens", $"bin")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_quota_select" -> (q82QuotaSelect _),
     "q63_domain_mix" -> (q63DomainMix _),
     "q67_snapshot_diff" -> (q67SnapshotDiff _),
     "q68_corpus_health" -> (q68CorpusHealth _),
@@ -615,6 +683,9 @@ object TrainPrep {
 
   private val mixHashSql =
     "CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  private val quotaHashSql =
+    "CAST(('0x' || substring(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 
   private val splitHashSql =
     "CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
@@ -748,6 +819,40 @@ object TrainPrep {
         |       ELSE 'unchanged' END AS status
         |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q82_quota_select" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    $quotaHashSql % $QuotaBins AS bin
+         |  FROM documents),
+         |b AS (
+         |  SELECT lang, source, bin, sum(n_tokens) AS bin_toks
+         |  FROM d GROUP BY 1, 2, 3),
+         |s AS (
+         |  SELECT lang, source, CAST(sum(bin_toks) AS BIGINT) AS toks,
+         |    CAST(sqrt(CAST(sum(bin_toks) AS DOUBLE)) AS DECIMAL(28,14)) AS w
+         |  FROM b GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT CAST(sum(w) AS DECIMAL(28,14)) AS wtot,
+         |    CAST(sum(toks) AS DOUBLE) AS tokstot
+         |  FROM s),
+         |bud AS (
+         |  SELECT lang, source,
+         |    least(toks, CAST(floor(0.4 * tokstot *
+         |      (CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE))) AS BIGINT)) AS budget
+         |  FROM s CROSS JOIN tot),
+         |cut AS (
+         |  SELECT c.lang, c.source, c.bin
+         |  FROM (SELECT lang, source, bin,
+         |          sum(bin_toks) OVER (PARTITION BY lang, source ORDER BY bin)
+         |            AS cum
+         |        FROM b) c
+         |  JOIN bud ON c.lang = bud.lang AND c.source = bud.source
+         |  WHERE cum <= budget)
+         |SELECT doc_id, d.lang, d.source, n_tokens, d.bin
+         |FROM d JOIN cut ON d.lang = cut.lang AND d.source = cut.source
+         |  AND d.bin = cut.bin
+         |ORDER BY doc_id""".stripMargin,
     "q63_domain_mix" ->
       s"""WITH strata AS (
          |  SELECT lang, source,

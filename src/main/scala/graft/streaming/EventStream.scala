@@ -226,6 +226,55 @@ object EventStream {
       docs.withWatermark("ingest_time", lateness),
       carry = Seq("ingest_time"))
 
+  /** Streaming twin of the batch q81 keyless time-band join. Structured
+    * Streaming's stream-stream join REFUSES a pure range condition — an
+    * equality predicate is mandatory because join state must shuffle on
+    * some key — so the batch operator's epoch quantization transfers
+    * verbatim: clicks key on their δ-width epoch, purchases explode to
+    * their own and both adjacent epochs, the join equates epochs and the
+    * `[p_time − δ, p_time + δ]` range rides on top. The same
+    * exactly-one-epoch-combination argument as batch means no dedup pass.
+    * The event-time range plus the two watermarks is what BOUNDS the join
+    * state: each buffered row is dropped as soon as the other side's
+    * watermark passes its band edge — the streaming counterpart of the
+    * batch plan's "matches are data-bounded, never |L|×|R|".
+    *
+    * Emits matched PAIRS (purchase event_id, both µs timestamps, click
+    * value), append-mode; the per-purchase count/sum aggregation is a
+    * second stateful operator, so it stays batch-side (foreachBatch — the
+    * same stream/batch split as [[neardupGate]]'s per-doc ANY), and
+    * zero-match purchases are a left-join there too. The band edges are
+    * inclusive on both sides, matching the batch operator's |Δt| ≤ δ.
+    */
+  def bandJoinStream(spark: SparkSession, eventsDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val bandUs = graft.operators.ScaleOps.BandUs
+    def side(tp: String): DataFrame = {
+      val reader = spark.readStream.schema(schema)
+      maxFilesPerTrigger.foreach(n =>
+        reader.option("maxFilesPerTrigger", n.toString))
+      graft.Tables.withNanosTs(reader.parquet(eventsDir))
+        .filter(col("event_type") === tp)
+    }
+    val purchases = side("purchase")
+      .select(col("event_id"), expr("ts div 1000").as("p_us"),
+        timestamp_micros(expr("ts div 1000")).as("p_time"))
+      .withWatermark("p_time", "10 minutes")
+      .withColumn("e0", expr(s"p_us div $bandUs"))
+      .withColumn("epoch", explode(array(col("e0") - 1, col("e0"), col("e0") + 1)))
+    val clicks = side("click")
+      .select(expr("ts div 1000").as("c_us"), col("value"),
+        timestamp_micros(expr("ts div 1000")).as("c_time"))
+      .withWatermark("c_time", "10 minutes")
+      .withColumn("c_epoch", expr(s"c_us div $bandUs"))
+    purchases.join(clicks,
+      expr("epoch = c_epoch AND " +
+        "c_time >= p_time - interval 5 minutes AND " +
+        "c_time <= p_time + interval 5 minutes"))
+      .select(col("event_id"), col("p_us"), col("c_us"), col("value"))
+  }
+
   /** Streaming NEAR-dup gate — the online counterpart of the batch
     * q28/q48 MinHash-LSH family: an incoming document is a near-dup
     * CANDIDATE when any of its LSH band buckets was already claimed by an

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native bounded top-k aggregate: buffer-level invariants, agreement
+  * with the window formulation, and the partial/final split that makes it
+  * an O(k·groups) exchange instead of a full-table sort.
+  */
+class TopKSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("buffer: eviction keeps the best k under (value desc, id asc); merge == bulk add; serde round-trips") {
+    val pairs = (1L to 100L).map(id => ((id * 37 % 41).toDouble, id))
+    val bulk = new TopKBuffer(7)
+    pairs.foreach { case (v, id) => bulk.add(v, id) }
+    val expected = pairs.sortWith { (a, b) =>
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    }.take(7)
+    assert(bulk.sorted.toSeq == expected)
+    // split-and-merge equals bulk (the two-phase aggregation path)
+    val (l, r) = pairs.splitAt(43)
+    val bl = new TopKBuffer(7); l.foreach { case (v, id) => bl.add(v, id) }
+    val br = new TopKBuffer(7); r.foreach { case (v, id) => br.add(v, id) }
+    bl.mergeIn(br)
+    assert(bl.sorted.toSeq == expected)
+    // serialize/deserialize preserves contents
+    val rt = TopKBuffer.deserialize(bulk.serialize())
+    assert(rt.sorted.toSeq == expected)
+  }
+
+  test("q83 equals the row_number window formulation on the same session") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val agg = graft.operators.ScaleOps.q83TopkPerGroup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val w = Window.partitionBy($"event_type").orderBy($"value".desc, $"event_id".asc)
+    val win = graft.Tables.events(spark, dir)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"event_type", $"rank", $"event_id", $"value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(agg.sorted.toSeq == win.sorted.toSeq)
+    assert(agg.nonEmpty && agg.groupBy(_._1).forall(_._2.length == 5))
+  }
+
+  test("plan: two-phase ObjectHashAggregate — map-side partial_bounded_top_k before the exchange") {
+    val df = graft.operators.ScaleOps.q83TopkPerGroup(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_bounded_top_k"),
+      s"no map-side partial aggregation — the exchange would carry every row:\n$p")
+    assert(p.contains("bounded_top_k"), s"final aggregate missing:\n$p")
+    assert(!p.contains("Window"), s"fell back to a window sort:\n$p")
+  }
+}

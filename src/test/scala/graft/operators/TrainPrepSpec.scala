@@ -301,6 +301,70 @@ class TrainPrepSpec extends AnyFunSuite {
       "cartesian join without a tiny side (the scalar-totals crossJoin is the only allowed shape)")
   }
 
+  test("q82: selection equals an independent Scala replay; budgets never exceeded; kept bins are a prefix") {
+    import spark.implicits._
+    val got = TrainPrep.q82QuotaSelect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // independent replay of the whole contract in plain Scala
+    val raw = graft.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "lang", "source",
+        "CAST(size(split(text, ' ')) AS LONG) AS n_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    def binOf(id: Long): Long =
+      graft.functions.PortableHash60.hash(s"quota:$id".getBytes("UTF-8")) %
+        TrainPrep.QuotaBins
+    val byStratum = raw.groupBy(r => (r._2, r._3))
+    val toks = byStratum.view.mapValues(_.map(_._4).sum).toMap
+    // mirror the DECIMAL(28,14) pin of √toks (HALF_UP on shortest repr)
+    val w = toks.view.mapValues(t =>
+      BigDecimal(math.sqrt(t.toDouble)).setScale(14, BigDecimal.RoundingMode.HALF_UP)).toMap
+    val wtot = w.values.foldLeft(BigDecimal(0))(_ + _)
+    val tokstot = toks.values.sum.toDouble
+    val expected = byStratum.iterator.flatMap { case (k, docs) =>
+      val budget = math.min(toks(k),
+        math.floor(0.4 * tokstot * (w(k).toDouble / wtot.toDouble)).toLong)
+      val binToks = docs.groupBy(d => binOf(d._1)).view.mapValues(_.map(_._4).sum)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      val keptBins = binToks.takeWhile { case (_, t) => cum += t; cum <= budget }
+        .map(_._1).toSet
+      docs.filter(d => keptBins.contains(binOf(d._1))).map(_._1)
+    }.toSet
+    assert(got.map(_._1).toSet == expected, "kept doc set diverges from the Scala replay")
+    // budget invariant + prefix property, checked on the OPERATOR output
+    got.groupBy(r => (r._2, r._3)).foreach { case (k, kept) =>
+      val budget = math.min(toks(k),
+        math.floor(0.4 * tokstot * (w(k).toDouble / wtot.toDouble)).toLong)
+      assert(kept.map(_._4).sum <= budget, s"budget exceeded for stratum $k")
+      val keptBins = kept.map(_._5).toSet
+      val allBins = byStratum(k).map(d => binOf(d._1)).distinct.sorted
+      val prefix = allBins.takeWhile(keptBins.contains).toSet
+      assert(keptBins == prefix, s"kept bins not a hash-order prefix for stratum $k")
+    }
+  }
+
+  test("q82 plan: cumsum window runs over the bin AGGREGATE, never raw documents") {
+    val df = TrainPrep.q82QuotaSelect(spark, dir)
+    df.collect() // AQE-finalize
+    val p = df.queryExecution.executedPlan.toString
+    // the window's sort/partition keys must be the bin-aggregate triple —
+    // a windowspecdefinition mentioning doc-level columns would mean the
+    // per-stratum row window (the q53 scale-killer) came back
+    assert(p.contains("windowspecdefinition"), s"no window in plan:\n$p")
+    assert(!p.contains("windowspecdefinition(doc_id"),
+      s"window partitioned by doc-level rows:\n$p")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.forall(l => l.contains("lang") && l.contains("bin")),
+      s"window keys are not (lang, source)/bin:\n$winLines")
+    assert(!p.contains("CartesianProduct") ||
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.isEmpty => j
+      }.forall(_.children.exists(_.stats.sizeInBytes < 1000000)),
+      "cartesian join without a tiny side (scalar-totals crossJoin is the only allowed shape)")
+  }
+
   test("q53: at most 3 terms per doc, ranks dense from 1, scores non-increasing") {
     import spark.implicits._
     val out = TrainPrep.q53Tfidf(spark, dir)

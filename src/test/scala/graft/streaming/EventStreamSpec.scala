@@ -477,4 +477,79 @@ class EventStreamSpec extends AnyFunSuite {
       assert(streamed.values.exists(_._5), "gate kept nothing")
     } finally q.stop()
   }
+
+  test("stream-stream band join: time-ordered 3-batch replay equals batch q81 (cross-batch pairs included)") {
+    import spark.implicits._
+    import graft.operators.ScaleOps
+    // stage the events as THREE time-ordered files so maxFilesPerTrigger=1
+    // yields three micro-batches: the watermark advances correctly (ordered
+    // replay) and band pairs that SPAN a batch boundary must come from the
+    // join's buffered state, not from same-batch luck
+    val ev = graft.Tables.events(spark, sfDir)
+    // place the first cut at the midpoint of a REAL band pair so at least
+    // one pair provably spans a micro-batch boundary (a random cut over a
+    // sparse fixture would almost never split one)
+    val raw = ev.selectExpr("ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bandNs = ScaleOps.BandUs * 1000L
+    val split = (for {
+      (p, tp) <- raw if tp == "purchase"
+      (c, tc) <- raw if tc == "click" && c != p && math.abs(c - p) <= bandNs
+    } yield (math.min(p, c), math.max(p, c))).headOption
+      .getOrElse(fail("fixture has no band pair with distinct timestamps"))
+    val t1 = split._1 / 2 + split._2 / 2 + 1 // strictly inside the pair's gap
+    val cuts = raw.map(_._1).sorted
+    val t2 = math.max(t1 + 1, cuts(5 * cuts.length / 6))
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target/stream_band"))
+    dir.toFile.listFiles().foreach(_.delete())
+    Seq($"ts" < t1, $"ts" >= t1 && $"ts" < t2, $"ts" >= t2).zipWithIndex
+      .foreach { case (pred, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"band$i")
+        ev.filter(pred).coalesce(1).write.mode("overwrite")
+          .parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet")).get.toPath
+        val dst = dir.resolve(s"batch$i.parquet")
+        java.nio.file.Files.copy(part, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // FileStreamSource orders by modification time — pin the replay order
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+    val q = EventStream.bandJoinStream(spark, dir.toString, Some(1))
+      .writeStream.outputMode("append").format("memory").queryName("band").start()
+    try {
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT event_id, c_us, value FROM band").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // batch-side aggregation (the foreachBatch half), then compare with
+      // the batch operator's nonzero rows
+      val streamed = pairs.groupBy(_._1).view.mapValues { g =>
+        val v = g.map(p => BigDecimal(p._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .foldLeft(BigDecimal(0))(_ + _)
+        (g.length.toLong, v.toDouble)
+      }.toMap
+      val batch = ScaleOps.q81BandJoin(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3))))
+        .filter(_._2._1 > 0).toMap
+      assert(streamed.keySet == batch.keySet,
+        "purchases with nearby clicks diverge between stream and batch")
+      streamed.foreach { case (id, (n, v)) =>
+        assert(n == batch(id)._1, s"pair count for purchase $id")
+        assert(math.abs(v - batch(id)._2) < 1e-9, s"value sum for purchase $id")
+      }
+      assert(streamed.nonEmpty, "fixture produced no band pairs")
+      // the replay must have genuinely crossed batch boundaries
+      val pUsById = ScaleOps.q81BandJoin(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val crossed = pairs.exists { case (id, cUs, _) =>
+        val pUs = pUsById(id)
+        (pUs < t1 / 1000 && cUs >= t1 / 1000) || (cUs < t1 / 1000 && pUs >= t1 / 1000) ||
+          (pUs < t2 / 1000 && cUs >= t2 / 1000) || (cUs < t2 / 1000 && pUs >= t2 / 1000)
+      }
+      assert(crossed,
+        s"no pair spans a micro-batch boundary (cut $t1 was placed inside pair $split) — join state untested")
+    } finally q.stop()
+  }
 }

@@ -11,9 +11,13 @@ import duckdb, pandas as pd
 sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
 vout = sys.argv[2] if len(sys.argv) > 2 else 'target/vout'
 con = duckdb.connect()
+import os
 for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    p = f'{sf}/{t}.parquet'
+    if os.path.isdir(p):  # Spark-written table = a DIRECTORY of part files
+        p = f'{p}/*.parquet'
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 fails = []
 for name, sql in sorted(json.load(open(f'{vout}/oracle_sql.json')).items()):
     try:
