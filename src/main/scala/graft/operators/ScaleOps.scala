@@ -233,14 +233,21 @@ object ScaleOps {
   }
 
   /** q83 — top-k per group through the native [[graft.functions.TopKAgg]]
-    * bounded-heap aggregate. The built-in way to say this —
-    * `row_number() OVER (PARTITION BY type ORDER BY value DESC) <= 5` —
-    * shuffles and sorts EVERY row to keep five per group; the custom
-    * TypedImperativeAggregate rides the ordinary two-phase aggregation
-    * protocol instead, so each map task already reduces its partition to
-    * ≤ k rows per group and the exchange carries O(k·|groups|), not O(n).
-    * That asymmetry IS the 100 TB story: per-group top-k over a 100 TB
-    * fact table is a k-row-per-group shuffle, same shape as a sum.
+    * bounded-heap aggregate, riding the ordinary two-phase aggregation
+    * protocol: map tasks reduce each partition to ≤ k rows per group
+    * before the exchange, so the shuffle carries O(k·groups·tasks) rows.
+    *
+    * Honesty note, measured not assumed: Spark ≥3.5 gives the
+    * `row_number() OVER (...) <= k` spelling the SAME property via the
+    * WindowGroupLimit rule (a partial per-partition limit below the
+    * exchange — at sf1p both forms shuffle O(hundreds) of rows, 185 vs
+    * 800, and wall-clock ties). The aggregate form earns its place on
+    * COMPOSITION, not shuffle volume: it is a regular aggregate
+    * expression, so top-k sits NEXT TO count/sum/avg in one
+    * groupBy pass (the window spelling forces a second consumer of the
+    * shuffled data), and it is legal in STREAMING groupBy aggregations,
+    * where window functions are unsupported. Per-partition work is
+    * O(n log k) heap updates vs the window's O(n log n) sort.
     * Determinism: the heap order is total (value desc, event_id asc), so
     * the result is partition-invariant; TopKSpec pins agreement with the
     * window formulation and the partial/final plan split.

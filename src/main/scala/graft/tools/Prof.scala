@@ -169,6 +169,77 @@ object Prof {
           l.contains("Window") || l.contains("Aggregate") || l.contains("Generate"))
         .mkString("\n"))
     }
+    if (args.contains("r8")) {
+      import graft.Tables
+      import org.apache.spark.sql.expressions.Window
+      // shuffle-byte meter: local wall-clock hides the network cost that
+      // dominates on a real cluster, so the A/B reads each exchange's own
+      // write metrics off the executed plan (records + bytes)
+      def tb(name: String)(df: => DataFrame): Unit = {
+        val d = df
+        force(d) // warm
+        val d2 = df // fresh plan so metrics are this run's only
+        val t0 = System.nanoTime()
+        // collect, not the noop sink: DataFrameWriter spawns its OWN
+        // QueryExecution, so metrics must be read off a plan an action on
+        // THIS frame executed (outputs here are ≤ k·groups rows)
+        d2.collect()
+        val secs = (System.nanoTime() - t0) / 1e9
+        def exchanges(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] =
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              exchanges(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              exchanges(q.plan) // Result/Shuffle/Broadcast stages are leaves
+            case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+              s +: s.children.flatMap(exchanges)
+            case other => other.children.flatMap(exchanges)
+          }
+        val ex = exchanges(d2.queryExecution.executedPlan).distinct
+        if (sys.props.contains("graft.profdebug")) {
+          println(s"[prof-debug] ${ex.size} exchanges; keys=" +
+            ex.headOption.map(_.metrics.keys.mkString(",")).getOrElse("-") +
+            "; plan root=" + d2.queryExecution.executedPlan.getClass.getSimpleName)
+          d2.queryExecution.executedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              println("[prof-debug] inner:\n" + a.executedPlan.treeString)
+            case _ => ()
+          }
+        }
+        val bytes = ex.map(_.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)).sum
+        val recs = ex.map(_.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)).sum
+        println(f"[prof] $name%-28s $secs%.2f s  shuffle=${bytes / 1024}%d KiB ($recs%d rows)")
+      }
+      // q83 A/B: native bounded-heap aggregate vs the row_number window
+      tb("q83: native bounded_top_k")(
+        graft.operators.ScaleOps.q83TopkPerGroup(spark, dir))
+      tb("q83: row_number window") {
+        val w = Window.partitionBy($"event_type")
+          .orderBy($"value".desc, $"event_id".asc)
+        Tables.events(spark, dir)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 5)
+          .select($"event_type", $"rank", $"event_id", $"value")
+      }
+      // q81 A/B: bucketed band join vs the naive non-equi join Catalyst
+      // plans as BroadcastNestedLoopJoin (|L|·|R| predicate evals)
+      t("q81: bucketed band join")(
+        graft.operators.ScaleOps.q81BandJoin(spark, dir))
+      t("q81: naive BNLJ") {
+        val ev = Tables.events(spark, dir)
+        val c = ev.filter($"event_type" === "click")
+          .select(expr("ts div 1000").as("c_us"), $"value")
+        val p = ev.filter($"event_type" === "purchase")
+          .select($"event_id", expr("ts div 1000").as("p_us"))
+        p.join(c, abs($"c_us" - $"p_us") <= graft.operators.ScaleOps.BandUs, "left")
+          .groupBy($"event_id")
+          .agg(count($"c_us").as("n_nearby"),
+            sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("nearby_value"))
+      }
+      spark.stop(); return
+    }
     t("q44: full")(Dedup.q44SimhashPairs(spark, dir))
     t("q26: full")(Dedup.q26ShingleJaccard(spark, dir))
     t("q28: full")(Dedup.q28MinhashPairs(spark, dir))
