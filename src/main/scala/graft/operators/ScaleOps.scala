@@ -263,10 +263,37 @@ object ScaleOps {
       .orderBy($"event_type", $"rank")
   }
 
+  /** q84 — the composition claim of q83, oracled: top-3 exemplars ride in
+    * the SAME groupBy as the count and the value total — ONE scan, ONE
+    * exchange, one ObjectHashAggregate evaluating all three functions
+    * (TopKSpec pins the single-aggregation plan). SQL has no way to spell
+    * this in one pass: the oracle needs a scalar-aggregate CTE joined to a
+    * row_number CTE — two scans and a join. Per-group exemplars next to
+    * per-group statistics is the everyday corpus-health query ("each
+    * domain's token count and its 3 highest-quality docs"), and at 100 TB
+    * the second scan the SQL spelling pays is another pass over the fact
+    * table.
+    */
+  def q84GroupProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).cast("double").as("total_value"),
+        graft.functions.TopK.topK($"value", $"event_id", 3).as("tk"))
+      .select($"event_type", $"n", $"total_value", posexplode($"tk"))
+      .select($"event_type", $"n", $"total_value",
+        ($"pos" + lit(1)).cast("long").as("rank"),
+        $"col.event_id".as("event_id"), $"col.value".as("value"))
+      .orderBy($"event_type", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_approx_distinct" -> (q36ApproxDistinct _),
     "q81_band_join" -> (q81BandJoin _),
     "q83_topk_per_group" -> (q83TopkPerGroup _),
+    "q84_group_profile" -> (q84GroupProfile _),
     "q37_salted_join" -> (q37SaltedJoin _),
     "q38_rollup" -> (q38Rollup _),
     "q39_sessionize" -> (q39Sessionize _),
@@ -362,6 +389,21 @@ object ScaleOps {
         |                       ORDER BY value DESC, event_id) AS rank
         |  FROM events)
         |WHERE rank <= 5
-        |ORDER BY event_type, rank""".stripMargin
+        |ORDER BY event_type, rank""".stripMargin,
+    // SQL needs TWO scans + a join for what the aggregate does in one pass
+    "q84_group_profile" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id) AS rank
+        |  FROM events)
+        |SELECT s.event_type, n, total_value, rank, event_id, value
+        |FROM s JOIN r ON s.event_type = r.event_type
+        |WHERE rank <= 3
+        |ORDER BY s.event_type, rank""".stripMargin
   )
 }

@@ -81,6 +81,20 @@ class TopKSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q84: top-k composes with count/sum in ONE aggregation — single exchange, no window, no self-join") {
+    val df = graft.operators.ScaleOps.q84GroupProfile(spark, dir)
+    df.collect()
+    // AQE's toString prints final + initial plans — assert on the final only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"), s"composition fell back to a window:\n$p")
+    assert(!p.contains("Join"), s"composition planned a self-join:\n$p")
+    // one partial+final aggregate pair evaluating all three functions
+    assert(p.contains("partial_bounded_top_k") && p.contains("partial_count"),
+      s"aggregates not fused into one pass:\n$p")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected ONE scan of events, saw $scans:\n$p")
+  }
+
   test("plan: two-phase ObjectHashAggregate — map-side partial_bounded_top_k before the exchange") {
     val df = graft.operators.ScaleOps.q83TopkPerGroup(spark, dir)
     df.collect()
