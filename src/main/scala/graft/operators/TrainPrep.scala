@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -133,6 +133,134 @@ object TrainPrep {
       .agg(count(lit(1)).as("n_shared"), first($"n_shingles").as("n_shingles"))
       .select($"doc_id", $"n_shared",
         round($"n_shared".cast("double") / $"n_shingles", 6).as("contamination"))
+      .orderBy($"doc_id")
+  }
+
+  /** Bloom filter geometry for the broadcast decontamination gate: 2^21
+    * bits (a 256 KB broadcast) x 5 probes. At one million benchmark
+    * shingles the load is n·k/m ≈ 2.4 bits/slot → per-gram false-positive
+    * rate (1-e^(-nk/m))^k ≈ 0.5%; real eval suites are far smaller than
+    * that, so the geometry has slack everywhere it matters.
+    */
+  private[graft] val bloomBits = 1 << 21
+  private[graft] val bloomHashes = 5
+
+  /** The i-th Bloom bit positions of a 60-bit shingle hash, double-hashed
+    * from two independent built-in (codegen'd) hash functions:
+    * h1 = xxhash64, step = 2·murmur3+1 (odd, hence coprime with the
+    * power-of-two modulus — the k probes never collapse onto one slot).
+    * h1 is pre-reduced mod 2^40 so `h1 + i·step` stays far from Long
+    * overflow (ANSI mode throws on wrap; |i·step| < 2^35).
+    *
+    * Build and probe MUST share this function — it is the filter's entire
+    * identity; both sides call exactly this.
+    */
+  private def bloomPositions(h: Column): Seq[Column] = {
+    val h1 = pmod(xxhash64(h), lit(1L << 40))
+    val step = hash(h).cast("long") * 2 + 1
+    (0 until bloomHashes).map(i =>
+      pmod(h1 + lit(i.toLong) * step, lit(bloomBits.toLong)))
+  }
+
+  /** Folds a column of shingle hashes (one per row) into the single-row
+    * Bloom bitset frame `{bits: array<long>}` via the native
+    * [[graft.functions.BitsetOrAgg]] — map-side partial bitsets, word-wise
+    * OR merge, O(partitions · 32 K longs) on the wire however many grams
+    * go in. No distinct pre-pass: OR is idempotent.
+    */
+  def bloomBuild(hashes: DataFrame): DataFrame = {
+    import hashes.sparkSession.implicits._
+    hashes
+      .select(explode(array(bloomPositions($"sh_h"): _*)).as("pos"))
+      .agg(graft.functions.Bitset.bitsetOr($"pos", bloomBits).as("bits"))
+  }
+
+  /** True iff all k probe bits for hash `h` are set in `bits` — evaluated
+    * IN-ROW against the broadcast bitset column (element_at + bit_get,
+    * all codegen'd built-ins inside the row's lambda; no join, no
+    * shuffle, no per-row set construction).
+    */
+  private def bloomContains(bits: Column, h: Column): Column =
+    bloomPositions(h).map { pos =>
+      call_function("bit_get",
+        element_at(bits, (pos / 64).cast("int") + 1),
+        (pos % 64).cast("int")) === 1
+    }.reduce(_ && _)
+
+  /** The production Bloom decontamination gate: per document, the count of
+    * its shingles that hit the broadcast bitset, and the keep verdict
+    * (bloom-contaminated fraction < tau). THE scan-side decontamination
+    * shape for 100 TB: the corpus is read once, shingled in-row
+    * ([[graft.functions.ShingleHashes]]), probed in-row against the
+    * 256 KB bitset riding in via a single-row broadcast — zero corpus
+    * shuffles, zero corpus joins; compare q52, whose exact semi-join
+    * shuffles every (doc, gram) pair on the gram hash. The price is the
+    * documented false-positive rate: a gate that errs only toward
+    * DROPPING a sliver extra, never toward letting contamination through
+    * (no false negatives — a Bloom filter cannot miss a present element).
+    */
+  def bloomGate(docs: DataFrame, bits: DataFrame, tau: Double): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .crossJoin(broadcast(bits))
+      .select($"doc_id",
+        graft.functions.ShingleFunctions.shingleHashes(split($"text", " ")).as("hs"),
+        $"bits")
+      .select($"doc_id",
+        size($"hs").cast("long").as("n_shingles"),
+        size(filter($"hs", h => bloomContains($"bits", h))).cast("long").as("n_bloom"))
+      .filter($"n_shingles" > 0)
+      .withColumn("keep", $"n_bloom".cast("double") / $"n_shingles" < tau)
+  }
+
+  /** q85 — the Bloom gate's CONTRACT oracle (the q75/q79 pattern): runs
+    * the bloom probe AND the exact q52-style membership in one plan and
+    * emits, per corpus document, the oracle-computable exact facts
+    * (n_shingles, n_shared) plus two booleans the DuckDB oracle pins as
+    * literal TRUE — `superset_ok` (every exactly-shared gram was flagged:
+    * no false negatives, so the bloom verdict can only be a superset of
+    * the exact one) and `fp_rate_ok` (corpus-wide false-positive gram
+    * rate ≤ 5%, the geometry's promise). A hash mismatch on either
+    * boolean means the filter lied — the contract, not the bit pattern,
+    * is what a user needs to trust the scan-side gate.
+    *
+    * Plan shape: ONE corpus pass computes both verdicts (the bloom count
+    * in-row before the explode; the exact count via the broadcast bench
+    * left join); the global fp-rate aggregate branches off the per-doc
+    * frame AFTER its doc_id exchange, so ReuseExchange evaluates the
+    * corpus subtree once.
+    */
+  def q85BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.spreadBy(Tables.documents(spark, dir), "doc_id") // gated: skipped on wide inputs
+    val benchHashes = docs.filter(isBenchmark)
+      .select(explode(
+        graft.functions.ShingleFunctions.shingleHashes(split($"text", " "))).as("sh_h"))
+    val bits = bloomBuild(benchHashes)
+    val probed = docs.filter(!isBenchmark)
+      .crossJoin(broadcast(bits))
+      .select($"doc_id",
+        graft.functions.ShingleFunctions.shingleHashes(split($"text", " ")).as("hs"),
+        $"bits")
+      .select($"doc_id", $"hs",
+        size(filter($"hs", h => bloomContains($"bits", h))).cast("long").as("n_bloom"))
+      .filter(size($"hs") > 0)
+    val bench = broadcast(benchHashes.distinct().withColumn("hit", lit(1)))
+    val perDoc = probed
+      .select($"doc_id", $"n_bloom", explode($"hs").as("sh_h"))
+      .join(bench, Seq("sh_h"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        first($"n_bloom").as("n_bloom"),
+        count(lit(1)).as("n_shingles"),
+        count($"hit").as("n_shared"))
+    val global = perDoc.agg(
+      (sum($"n_bloom" - $"n_shared").cast("double") /
+        greatest(sum($"n_shingles" - $"n_shared"), lit(1L)).cast("double")
+        <= 0.05).as("fp_rate_ok"))
+    perDoc.crossJoin(broadcast(global))
+      .select($"doc_id", $"n_shingles", $"n_shared",
+        ($"n_bloom" >= $"n_shared").as("superset_ok"), $"fp_rate_ok")
       .orderBy($"doc_id")
   }
 
@@ -669,6 +797,7 @@ object TrainPrep {
     "q50_seq_pack" -> (q50SeqPack _),
     "q51_pii_scrub" -> (q51PiiScrub _),
     "q52_contamination" -> (q52Contamination _),
+    "q85_bloom_decontam" -> (q85BloomDecontam _),
     "q53_tfidf" -> (q53Tfidf _),
     "q73_dsir_sample" -> (q73DsirSample _),
     "q75_dsir_thresholds" -> (q75DsirThresholds _),
@@ -923,6 +1052,24 @@ object TrainPrep {
         |  round(CAST(count(*) AS DOUBLE) / any_value(n_shingles), 6) AS contamination
         |FROM corpus WHERE sh_h IN (SELECT sh_h FROM bench)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q85_bloom_decontam" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |      [string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+        |       for i in range(1, len(string_split(text, ' ')) - 1)]
+        |      ELSE [] END) AS sh
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS sh_h
+        |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM docs)),
+        |bench AS (SELECT DISTINCT sh_h FROM hashed WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT doc_id, sh_h FROM hashed WHERE doc_id % 97 <> 0)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  count(CASE WHEN sh_h IN (SELECT sh_h FROM bench) THEN 1 END) AS n_shared,
+        |  TRUE AS superset_ok, TRUE AS fp_rate_ok
+        |FROM corpus GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q54_corpus_pipeline" ->
       s"""WITH RECURSIVE ${Dedup.ccLabCtes},
          |nonreps AS (SELECT doc_id FROM lab WHERE rep_doc_id <> doc_id),

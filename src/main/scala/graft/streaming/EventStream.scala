@@ -535,6 +535,22 @@ object EventStream {
           col("n_emails") === 0 && col("n_phones") === 0)
   }
 
+  /** Streaming Bloom decontamination gate — the stateless scan-side screen
+    * at ingest: each arriving document is shingled in-row and probed
+    * against the STATIC broadcast Bloom bitset
+    * ([[graft.operators.TrainPrep.bloomBuild]]'s single-row frame, built
+    * batch-side from the benchmark suite). Like [[passageGateStream]],
+    * the static side is re-planned per micro-batch, so a refreshed
+    * benchmark bitset is picked up without restarting the query — and
+    * unlike the passage gate there is NO state at all: the bitset rides
+    * in as a broadcast row, verdicts are per-row projections, appends
+    * flow through at wire speed. The keep/drop semantics are
+    * [[graft.operators.TrainPrep.bloomGate]]'s own (shared core, one
+    * tau), so streaming == batch by construction; the spec replays both.
+    */
+  def bloomGateStream(docs: DataFrame, bits: DataFrame, tau: Double): DataFrame =
+    graft.operators.TrainPrep.bloomGate(docs, bits, tau)
+
   /** Batch-mode sessionization with identical semantics (window-based),
     * used to cross-check the stateful operator and as the at-rest variant.
     */
