@@ -300,8 +300,68 @@ object TextOps {
     "q24_fingerprint" -> (q24Fingerprint _),
     "q46_bpe_tokens" -> (q46BpeTokens _),
     "q59_repetition" -> (q59Repetition _),
-    "q60_unigram_lm" -> (q60UnigramLm _)
+    "q60_unigram_lm" -> (q60UnigramLm _),
+    "q86_heavy_hitters" -> (q86HeavyHitters _)
   )
+
+  /** Sketch width for q86: the Misra–Gries guarantees kick in at true
+    * frequency > N/(mgK+1) per stratum.
+    */
+  val mgK = 64
+
+  /** q86 — the heavy-hitters CONTRACT oracle (the q75/q79/q85 pattern)
+    * for the native [[graft.functions.MgSketchAgg]]: per language, run the
+    * one-pass k-slot sketch AND the exact word counts in one plan, and
+    * emit the oracle-computable exact facts (token count, number of
+    * exactly-heavy words) plus three booleans DuckDB pins as literal
+    * TRUE — `recall_ok` (every word with exact count > N/(k+1) is in the
+    * sketch), `underest_ok` (a Misra–Gries counter never overcounts),
+    * `err_ok` (undercount ≤ ⌊N/(k+1)⌋ on every reported item). These ARE
+    * the Mergeable-Summaries guarantees; the raw slot residue below the
+    * threshold is partition-order dependent by design and is never
+    * emitted.
+    *
+    * Why it matters at 100 TB: the exact spelling's intermediate —
+    * `groupBy(lang, word)` over a Zipf vocabulary — is corpus-sized and
+    * shuffles billions of rows to answer a top-50 question; the sketch
+    * shuffles ≤ k rows per (lang, partition) through the ordinary
+    * partial/final protocol. The exact side HERE exists only to audit the
+    * sketch at oracle scale; production calls the aggregate alone (and
+    * may do so in a streaming groupBy, where the exact two-level
+    * formulation cannot run — see the spec).
+    */
+  def q86HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Tables.documents(spark, dir)
+      .select($"lang", explode(words($"text")).as("word"))
+    val sk = w.groupBy($"lang").agg(
+      graft.functions.FreqSketch.mgSketch($"word", mgK).as("sketch"),
+      count(lit(1)).as("n_tokens"))
+    val thr = sk.select($"lang", $"n_tokens",
+      floor($"n_tokens" / (mgK + 1)).cast("long").as("thr"))
+    val items = sk.select($"lang", explode($"sketch").as("it"))
+      .select($"lang", $"it.item".as("word"), $"it.est".as("est"))
+    val exact = w.groupBy($"lang", $"word").agg(count(lit(1)).as("cnt"))
+    // ≤ k·|langs| sketch rows ride broadcast against the exact counts
+    val errAgg = exact.join(broadcast(items), Seq("lang", "word"))
+      .join(broadcast(thr.select($"lang", $"thr")), Seq("lang"))
+      .groupBy($"lang").agg(
+        (max($"cnt" - $"est") <= first($"thr")).as("err_ok"),
+        (sum(when($"est" > $"cnt", 1L).otherwise(0L)) === 0L).as("underest_ok"))
+    val recall = exact.join(broadcast(thr.select($"lang", $"thr")), Seq("lang"))
+      .filter($"cnt" > $"thr")
+      .join(broadcast(items.withColumn("present", lit(1))), Seq("lang", "word"), "left")
+      .groupBy($"lang").agg(
+        count(lit(1)).as("n_heavy_exact"),
+        (sum(when($"present".isNull, 1L).otherwise(0L)) === 0L).as("recall_ok"))
+    thr.join(recall, Seq("lang"), "left").join(errAgg, Seq("lang"), "left")
+      .select($"lang", $"n_tokens",
+        coalesce($"n_heavy_exact", lit(0L)).as("n_heavy_exact"),
+        coalesce($"recall_ok", lit(true)).as("recall_ok"),
+        coalesce($"underest_ok", lit(true)).as("underest_ok"),
+        coalesce($"err_ok", lit(true)).as("err_ok"))
+      .orderBy($"lang")
+  }
 
   private def stopList(lang: String): String =
     langStopwords.toMap.apply(lang).map(s => s"'$s'").mkString("[", ", ", "]")
@@ -325,6 +385,20 @@ object TextOps {
        |  FROM qf)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q86_heavy_hitters" ->
+      s"""WITH words AS (
+         |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+         |n AS (SELECT lang, count(*) AS n_tokens FROM words GROUP BY 1),
+         |c AS (SELECT lang, word, count(*) AS cnt FROM words GROUP BY 1, 2),
+         |h AS (
+         |  SELECT c.lang, count(*) AS n_heavy_exact
+         |  FROM c JOIN n ON c.lang = n.lang
+         |  WHERE cnt > n_tokens // ${mgK + 1}
+         |  GROUP BY 1)
+         |SELECT n.lang, n_tokens,
+         |  CAST(coalesce(n_heavy_exact, 0) AS BIGINT) AS n_heavy_exact,
+         |  TRUE AS recall_ok, TRUE AS underest_ok, TRUE AS err_ok
+         |FROM n LEFT JOIN h ON n.lang = h.lang ORDER BY n.lang""".stripMargin,
     "q69_hash_classifier" ->
       s"""WITH w AS (
          |  SELECT CAST(k AS INT) AS k,
