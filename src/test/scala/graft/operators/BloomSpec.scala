@@ -104,6 +104,23 @@ class BloomSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Boolean]("fp_rate_ok")))
   }
 
+  test("the bitset is a persistable index artifact: parquet round-trip gates identically") {
+    // the buildBandIndex/buildPassageIndex deployment pattern: build the
+    // filter once (nightly, from the benchmark suite), park it as a tiny
+    // parquet artifact, and let every ingest job — batch or the streaming
+    // gate — read it back; no special save/load API is needed because the
+    // bitset is an ordinary single-row DataFrame
+    import spark.implicits._
+    val path = "target/bloom_index"
+    benchBits.write.mode("overwrite").parquet(path)
+    val reloaded = spark.read.parquet(path)
+    val a = TrainPrep.bloomGate(handDocs, benchBits, tau = 0.5)
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    val b = TrainPrep.bloomGate(handDocs, reloaded, tau = 0.5)
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("streaming bloom gate == batch gate on full replay (stream-static broadcast)") {
     import spark.implicits._
     val stage = java.nio.file.Files.createDirectories(
