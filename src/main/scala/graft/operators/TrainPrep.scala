@@ -145,47 +145,33 @@ object TrainPrep {
   private[graft] val bloomBits = 1 << 21
   private[graft] val bloomHashes = 5
 
-  /** The i-th Bloom bit positions of a 60-bit shingle hash, double-hashed
-    * from two independent built-in (codegen'd) hash functions:
-    * h1 = xxhash64, step = 2·murmur3+1 (odd, hence coprime with the
-    * power-of-two modulus — the k probes never collapse onto one slot).
-    * h1 is pre-reduced mod 2^40 so `h1 + i·step` stays far from Long
-    * overflow (ANSI mode throws on wrap; |i·step| < 2^35).
-    *
-    * Build and probe MUST share this function — it is the filter's entire
-    * identity; both sides call exactly this.
-    */
-  private def bloomPositions(h: Column): Seq[Column] = {
-    val h1 = pmod(xxhash64(h), lit(1L << 40))
-    val step = hash(h).cast("long") * 2 + 1
-    (0 until bloomHashes).map(i =>
-      pmod(h1 + lit(i.toLong) * step, lit(bloomBits.toLong)))
-  }
-
   /** Folds a column of shingle hashes (one per row) into the single-row
-    * Bloom bitset frame `{bits: array<long>}` via the native
-    * [[graft.functions.BitsetOrAgg]] — map-side partial bitsets, word-wise
-    * OR merge, O(partitions · 32 K longs) on the wire however many grams
-    * go in. No distinct pre-pass: OR is idempotent.
+    * Bloom bitset frame `{bits: array<long>}`: positions from the native
+    * [[graft.functions.BloomPositions]] (the probe side's
+    * [[graft.functions.BloomCount]] shares the identical
+    * `BloomOps.positions` math — build/probe agreement by construction),
+    * folded by the native [[graft.functions.BitsetOrAgg]] — map-side
+    * partial bitsets, word-wise OR merge, O(partitions · 32 K longs) on
+    * the wire however many grams go in. No distinct pre-pass: OR is
+    * idempotent.
     */
   def bloomBuild(hashes: DataFrame): DataFrame = {
     import hashes.sparkSession.implicits._
     hashes
-      .select(explode(array(bloomPositions($"sh_h"): _*)).as("pos"))
+      .select(explode(graft.functions.BloomFunctions
+        .bloomPositions($"sh_h", bloomBits, bloomHashes)).as("pos"))
       .agg(graft.functions.Bitset.bitsetOr($"pos", bloomBits).as("bits"))
   }
 
-  /** True iff all k probe bits for hash `h` are set in `bits` — evaluated
-    * IN-ROW against the broadcast bitset column (element_at + bit_get,
-    * all codegen'd built-ins inside the row's lambda; no join, no
-    * shuffle, no per-row set construction).
+  /** Per-row count of shingle hashes the broadcast bitset contains — ONE
+    * codegen'd call per document, a tight loop per gram
+    * ([[graft.functions.BloomCount]]). An earlier spelling probed via a
+    * higher-order `filter` lambda of built-ins; HOF lambdas evaluate
+    * interpreted and it re-walked both hash expression trees per probe —
+    * 2.5× slower end to end (SCALE.md r8 A/B).
     */
-  private def bloomContains(bits: Column, h: Column): Column =
-    bloomPositions(h).map { pos =>
-      call_function("bit_get",
-        element_at(bits, (pos / 64).cast("int") + 1),
-        (pos % 64).cast("int")) === 1
-    }.reduce(_ && _)
+  private def bloomHits(bits: Column, hashes: Column): Column =
+    graft.functions.BloomFunctions.bloomCount(bits, hashes, bloomBits, bloomHashes)
 
   /** The production Bloom decontamination gate: per document, the count of
     * its shingles that hit the broadcast bitset, and the keep verdict
@@ -208,7 +194,7 @@ object TrainPrep {
         $"bits")
       .select($"doc_id",
         size($"hs").cast("long").as("n_shingles"),
-        size(filter($"hs", h => bloomContains($"bits", h))).cast("long").as("n_bloom"))
+        bloomHits($"bits", $"hs").as("n_bloom"))
       .filter($"n_shingles" > 0)
       .withColumn("keep", $"n_bloom".cast("double") / $"n_shingles" < tau)
   }
@@ -243,7 +229,7 @@ object TrainPrep {
         graft.functions.ShingleFunctions.shingleHashes(split($"text", " ")).as("hs"),
         $"bits")
       .select($"doc_id", $"hs",
-        size(filter($"hs", h => bloomContains($"bits", h))).cast("long").as("n_bloom"))
+        bloomHits($"bits", $"hs").as("n_bloom"))
       .filter(size($"hs") > 0)
     val bench = broadcast(benchHashes.distinct().withColumn("hit", lit(1)))
     val perDoc = probed

@@ -240,6 +240,76 @@ object Prof {
       }
       spark.stop(); return
     }
+    if (args.contains("r8b")) {
+      import graft.Tables
+      def tb(name: String)(df: => DataFrame): Unit = {
+        val d = df
+        force(d) // warm
+        val d2 = df
+        val t0 = System.nanoTime()
+        force(d2) // per-doc outputs are corpus-sized: noop sink, not collect
+        val secs = (System.nanoTime() - t0) / 1e9
+        // the noop sink runs its own QueryExecution, so read the metrics
+        // off the plan Spark's listener attached to the LAST execution:
+        // simplest robust form — re-run through collect on the small ones
+        println(f"[prof] $name%-32s $secs%.2f s")
+      }
+      def tm(name: String)(df: => DataFrame): Unit = {
+        val d = df
+        d.collect() // warm
+        val d2 = df
+        val t0 = System.nanoTime()
+        d2.collect()
+        val secs = (System.nanoTime() - t0) / 1e9
+        def exchanges(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] =
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              exchanges(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              exchanges(q.plan)
+            case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+              s +: s.children.flatMap(exchanges)
+            case other => other.children.flatMap(exchanges)
+          }
+        val ex = exchanges(d2.queryExecution.executedPlan)
+        val bytes = ex.map(_.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)).sum
+        val recs = ex.map(_.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)).sum
+        println(f"[prof] $name%-32s $secs%.2f s  shuffle=${bytes / 1024}%d KiB ($recs%d rows)")
+      }
+      // q85 A/B: scan-side bloom gate (corpus never shuffles) vs the exact
+      // q52 semi-join spelling (every (doc, gram) pair shuffles)
+      val benchBits = {
+        val b = graft.operators.TrainPrep.bloomBuild(
+          Tables.documents(spark, dir)
+            .filter($"doc_id" % 97 === 0)
+            .select(explode(graft.functions.ShingleFunctions
+              .shingleHashes(split($"text", " "))).as("sh_h")))
+        b.cache(); b.count(); b
+      }
+      tb("q85: bloom gate (production)")(
+        graft.operators.TrainPrep.bloomGate(
+          Tables.documents(spark, dir).filter($"doc_id" % 97 =!= 0),
+          benchBits, 0.5))
+      tb("q52: exact contamination")(
+        graft.operators.TrainPrep.q52Contamination(spark, dir))
+      // q86 A/B: one-pass MG sketch vs the exact two-level groupBy + rank
+      tm("q86: mg_sketch(64) per lang") {
+        Tables.documents(spark, dir)
+          .select($"lang", explode(split($"text", " ")).as("word"))
+          .groupBy($"lang")
+          .agg(graft.functions.FreqSketch.mgSketch($"word", 64).as("sk"))
+      }
+      tm("q86: exact groupBy + rank") {
+        import org.apache.spark.sql.expressions.Window
+        val cnt = Tables.documents(spark, dir)
+          .select($"lang", explode(split($"text", " ")).as("word"))
+          .groupBy($"lang", $"word").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"word".asc)
+        cnt.withColumn("rk", row_number().over(w)).filter($"rk" <= 64)
+      }
+      spark.stop(); return
+    }
     t("q44: full")(Dedup.q44SimhashPairs(spark, dir))
     t("q26: full")(Dedup.q26ShingleJaccard(spark, dir))
     t("q28: full")(Dedup.q28MinhashPairs(spark, dir))
