@@ -250,6 +250,82 @@ object TrainPrep {
       .orderBy($"doc_id")
   }
 
+  /** Sample size per language stratum for q87. */
+  val wrsN = 50
+
+  /** q87 — weighted sampling WITHOUT replacement, one pass, exact-n per
+    * stratum: the Efraimidis–Spirakis A-ES scheme (Inf. Proc. Letters
+    * 97(5), 2006). Each document draws a deterministic uniform u from the
+    * portable md5 hash (reproducible, partition-independent, oracle-
+    * replayable — the q49 discipline) and competes on the key
+    * ln(u)/w — taking the n LARGEST keys per stratum is exactly a
+    * weighted sample without replacement with inclusion odds ∝ w (here
+    * w = quality score + 0.1: quality-weighted corpus subsampling, the
+    * between-Bernoulli-and-exact-quota member of the q49/q82 sampling
+    * family). The key is fixed-pointed at micro precision before ranking
+    * (the q53/q60 cross-engine discipline) with doc_id as the total
+    * tie-break.
+    *
+    * Scale shape: selection is [[graft.functions.TopKAgg]] — a k-bounded
+    * heap per stratum per task, so the exchange carries ≤ n·tasks rows
+    * per language and there is NO window over the corpus (the oracle's
+    * row_number spelling is the audit, not the plan). The winner set
+    * (≤ n·|langs| rows) broadcasts back to pick up document attributes.
+    */
+  def q87WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        round(TextOps.qualityScoreExpr($"text", $"n_chars") + lit(0.1), 6).as("w6"))
+      .withColumn("u",
+        ((Dedup.portableHash(concat(lit("wrs:"), $"doc_id".cast("string")))
+          % 1000000L).cast("double") + 0.5) / 1e6)
+      .withColumn("key_micro", round(log($"u") / $"w6" * 1e6).cast("long"))
+    val winners = scored
+      .groupBy($"lang")
+      .agg(graft.functions.TopK.topK($"key_micro".cast("double"), $"doc_id", wrsN).as("tk"))
+      .select($"lang", explode($"tk.event_id").as("doc_id"))
+    scored.join(broadcast(winners.select($"doc_id")), Seq("doc_id"), "left_semi")
+      .select($"doc_id", $"lang", $"w6", $"key_micro")
+      .orderBy($"doc_id")
+  }
+
+  /** Chunk geometry for q88: window of 128 tokens advancing by 96 (32
+    * tokens of overlap — context continuity across chunk boundaries).
+    */
+  val chunkTokens = 128
+  val chunkStride = 96
+
+  /** q88 — sliding-window document chunking: every document splits into
+    * fixed-size token windows with overlap, the long-document precursor
+    * to q50's sequence packing (chunk first so no single document
+    * monopolizes a packed sequence; the RAG/embedding pipelines use the
+    * same operator for passage indexing). chunk_id = start/stride, so
+    * the numbering is content-independent and stable under re-runs.
+    *
+    * Scale shape: entirely IN-ROW — one `sequence` of starts explodes per
+    * document and each chunk slices the token array; no shuffle, no
+    * window, no state. Output size is bounded by n_tokens/stride
+    * chunks per doc (~1.33× token duplication at 128/96); window and
+    * stride are the levers. Degenerate docs (< stride tokens) emit
+    * exactly one chunk.
+    */
+  def q88ChunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", split($"text", " ").as("toks"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .select($"doc_id", $"lang", $"toks", $"n_tokens",
+        explode(sequence(lit(0), ($"n_tokens" - 1).cast("int"), lit(chunkStride)))
+          .as("start_tok"))
+      .select($"doc_id", $"lang",
+        ($"start_tok" / chunkStride).cast("long").as("chunk_id"),
+        $"start_tok".cast("long").as("start_tok"),
+        least(lit(chunkTokens.toLong), $"n_tokens" - $"start_tok").as("n_tok"),
+        array_join(slice($"toks", $"start_tok" + 1, lit(chunkTokens)), " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   /** q53 — top-3 tf-idf terms per document: tf from the exploded tokens,
     * df over the distinct (doc, word) pairs, idf = ln(N/df) with the score
     * rounded to 6dp BEFORE ranking so both engines rank the identical
@@ -784,6 +860,8 @@ object TrainPrep {
     "q51_pii_scrub" -> (q51PiiScrub _),
     "q52_contamination" -> (q52Contamination _),
     "q85_bloom_decontam" -> (q85BloomDecontam _),
+    "q87_weighted_sample" -> (q87WeightedSample _),
+    "q88_chunk_docs" -> (q88ChunkDocs _),
     "q53_tfidf" -> (q53Tfidf _),
     "q73_dsir_sample" -> (q73DsirSample _),
     "q75_dsir_thresholds" -> (q75DsirThresholds _),
@@ -1038,6 +1116,34 @@ object TrainPrep {
         |  round(CAST(count(*) AS DOUBLE) / any_value(n_shingles), 6) AS contamination
         |FROM corpus WHERE sh_h IN (SELECT sh_h FROM bench)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q87_weighted_sample" ->
+      s"""WITH ${TextOps.qualityCtes},
+         |s AS (
+         |  SELECT d.doc_id, d.lang,
+         |    round(quality_score + 0.1, 6) AS w6,
+         |    CAST(('0x' || substring(md5('wrs:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS hm
+         |  FROM documents d JOIN qscore USING (doc_id)),
+         |k AS (
+         |  SELECT doc_id, lang, w6,
+         |    CAST(round(ln((hm + 0.5) / 1000000.0) / w6 * 1e6) AS BIGINT) AS key_micro
+         |  FROM s),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY key_micro DESC, doc_id) AS rk
+         |  FROM k)
+         |SELECT doc_id, lang, w6, key_micro FROM r WHERE rk <= $wrsN
+         |ORDER BY doc_id""".stripMargin,
+    "q88_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, len(w) AS n, w,
+         |    unnest(range(0, len(w), $chunkStride)) AS start_tok
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |  start_tok // $chunkStride AS chunk_id,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(least($chunkTokens, n - start_tok) AS BIGINT) AS n_tok,
+         |  array_to_string(w[start_tok + 1 : start_tok + $chunkTokens], ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q85_bloom_decontam" ->
       """WITH docs AS (
         |  SELECT doc_id,

@@ -365,6 +365,112 @@ class TrainPrepSpec extends AnyFunSuite {
       "cartesian join without a tiny side (scalar-totals crossJoin is the only allowed shape)")
   }
 
+  test("q87: exactly n per stratum, deterministic, selected keys dominate the rejected") {
+    import spark.implicits._
+    val out = TrainPrep.q87WeightedSample(spark, dir).collect()
+    val perLang = out.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    perLang.foreach { case (lang, n) =>
+      assert(n == TrainPrep.wrsN, s"$lang got $n winners")
+    }
+    // re-run is bit-identical (hash-derived u, no RNG state)
+    val again = TrainPrep.q87WeightedSample(spark, dir).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // the A-ES invariant: within a stratum, every selected key ≥ every
+    // rejected key (the sample IS the top-n by key)
+    val all = graft.Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        round(TextOps.qualityScoreExpr($"text", $"n_chars") + lit(0.1), 6).as("w6"))
+      .withColumn("u",
+        ((Dedup.portableHash(concat(lit("wrs:"), $"doc_id".cast("string")))
+          % 1000000L).cast("double") + 0.5) / 1e6)
+      .withColumn("key_micro", round(log($"u") / $"w6" * 1e6).cast("long"))
+      .select($"doc_id", $"lang", $"key_micro").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val chosen = out.map(r => r.getAs[Long]("doc_id")).toSet
+    all.groupBy(_._2).foreach { case (lang, g) =>
+      val minSel = g.filter(x => chosen(x._1)).map(_._3).min
+      val maxRej = g.filterNot(x => chosen(x._1)).map(_._3).maxOption.getOrElse(Long.MinValue)
+      assert(minSel >= maxRej, s"$lang: rejected key $maxRej beats selected $minSel")
+    }
+  }
+
+  test("q87: inclusion tracks weight (A-ES on a two-tier synthetic corpus)") {
+    import spark.implicits._
+    // 1000 docs, one stratum; even ids weight 1.1, odd ids weight 0.1 —
+    // the heavy tier must dominate a 100-doc sample (E[heavy] ≈ 92)
+    val docs = (0 until 1000).map { i =>
+      val w = if (i % 2 == 0) 1.1 else 0.1
+      (i.toLong, w)
+    }.toDF("doc_id", "w6")
+    val scored = docs
+      .withColumn("u",
+        ((Dedup.portableHash(concat(lit("wrs:"), $"doc_id".cast("string")))
+          % 1000000L).cast("double") + 0.5) / 1e6)
+      .withColumn("key_micro", round(log($"u") / $"w6" * 1e6).cast("long"))
+    val top = scored.orderBy($"key_micro".desc, $"doc_id").limit(100).collect()
+    val heavy = top.count(_.getAs[Long]("doc_id") % 2 == 0)
+    assert(heavy >= 80, s"only $heavy/100 winners from the 11x-weight tier")
+  }
+
+  test("q87 plan: selection is the bounded-heap aggregate, not a corpus window") {
+    val df = TrainPrep.q87WeightedSample(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("partial_bounded_top_k"), s"no map-side bounded top-k:\n$p")
+    assert(!p.contains("Window"), s"selection fell back to a corpus window:\n$p")
+  }
+
+  test("q88: chunk geometry — coverage, overlap, degenerate single-chunk docs") {
+    import spark.implicits._
+    val text300 = (0 until 300).map(i => s"t$i").mkString(" ")
+    val short = "a b c"
+    val docs = Seq((1L, "en", text300, text300.length.toLong),
+      (2L, "en", short, short.length.toLong))
+      .toDF("doc_id", "lang", "text", "n_chars")
+    docs.createOrReplaceTempView("chunk_docs_fixture")
+    val toks = text300.split(" ")
+    val out = TrainPrep.q88ChunkDocs(spark, dir) // exercise the real table too
+    assert(out.limit(1).count() == 1)
+    // hand fixture through the same column pipeline
+    val chunks = docs.select($"doc_id", $"lang", split($"text", " ").as("toks"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .select($"doc_id", $"toks", $"n_tokens",
+        explode(sequence(lit(0), ($"n_tokens" - 1).cast("int"), lit(TrainPrep.chunkStride)))
+          .as("start_tok"))
+      .select($"doc_id", $"start_tok",
+        least(lit(TrainPrep.chunkTokens.toLong), $"n_tokens" - $"start_tok").as("n_tok"),
+        array_join(slice($"toks", $"start_tok" + 1, lit(TrainPrep.chunkTokens)), " ")
+          .as("chunk_text"))
+      .collect()
+    val d1 = chunks.filter(_.getLong(0) == 1L).sortBy(_.getAs[Int]("start_tok"))
+    assert(d1.map(_.getAs[Int]("start_tok")).toSeq == Seq(0, 96, 192, 288))
+    assert(d1.map(_.getAs[Long]("n_tok")).toSeq == Seq(128L, 128L, 108L, 12L))
+    // overlap: each chunk's text is exactly the token slice it claims
+    d1.foreach { r =>
+      val s = r.getAs[Int]("start_tok")
+      val n = r.getAs[Long]("n_tok").toInt
+      assert(r.getAs[String]("chunk_text") == toks.slice(s, s + n).mkString(" "))
+    }
+    // coverage: stride-prefixes concatenated reproduce the document
+    val rebuilt = d1.map { r =>
+      val s = r.getAs[Int]("start_tok")
+      val n = r.getAs[Long]("n_tok").toInt
+      toks.slice(s, math.min(s + TrainPrep.chunkStride, s + n))
+    }.reduce(_ ++ _)
+    assert(rebuilt.toSeq == toks.toSeq)
+    val d2 = chunks.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getAs[String]("chunk_text") == short)
+  }
+
+  test("q88 plan: chunking is in-row — no hash exchange, no window") {
+    val df = TrainPrep.q88ChunkDocs(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the only exchange allowed is the presentation sort's range partitioning
+    assert(!p.contains("hashpartitioning"), s"chunking shuffled on a key:\n$p")
+    assert(!p.contains("Window"), s"chunking used a window:\n$p")
+  }
+
   test("q53: at most 3 terms per doc, ranks dense from 1, scores non-increasing") {
     import spark.implicits._
     val out = TrainPrep.q53Tfidf(spark, dir)
