@@ -380,6 +380,54 @@ object Similarity {
       .orderBy($"vec_id", $"pos")
   }
 
+  /** Output dimensionality for [[q89RandomProjection]]. */
+  val rpDims = 8
+
+  /** q89 — sparse random projection (Achlioptas, JCSS 66(4) 2003): the
+    * 64-dim embeddings compress to [[rpDims]] dims through a ±1/0 sign
+    * matrix (+1 w.p. 1/6, −1 w.p. 1/6, 0 w.p. 2/3) drawn deterministically
+    * from the portable md5 hash — the Johnson–Lindenstrauss guarantee with
+    * 2/3 of the multiplies structurally zero. This is the q55 sibling on
+    * the DIMENSION axis (8× fewer dims vs 4× fewer bits): the compressed
+    * vectors feed coarse ANN stages (IVF cell assignment, LSH bucketing,
+    * first-pass filtering) at an 8th of the dot-product cost, with the
+    * exact rerank still running on the originals.
+    *
+    * Plan shape: the 8×64 sign matrix builds ONCE as a tiny in-plan
+    * aggregate (512 hash rows → one array<array<float>> row) and rides to
+    * every task by single-row broadcast — the q85 bitset pattern; each
+    * projection component is then ONE native decimal-exact [[ddot]] call
+    * per row (the oracle replays the same decimal sum), so the corpus
+    * side is scan → broadcast-join → project, zero shuffles. Emitted as
+    * (vec_id, k, p) element rows so the oracle hash covers every value.
+    */
+  def q89RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val signRows = spark.range(rpDims).toDF("k")
+      .crossJoin(spark.range(1, 65).toDF("i"))
+      .withColumn("r", Dedup.portableHash(
+        concat(lit("rp"), $"k".cast("string"), lit("_"), $"i".cast("string"))) % 6)
+      .withColumn("s",
+        when($"r" === 0, 1.0f).when($"r" === 1, -1.0f).otherwise(0.0f))
+    val signMatrix = signRows
+      .groupBy($"k")
+      .agg(transform(array_sort(collect_list(struct($"i", $"s"))),
+        x => x("s")).as("row"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct($"k", $"row"))),
+        x => x("row")).as("S"))
+    Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(signMatrix))
+      .select($"vec_id", posexplode(array((0 until rpDims).map { k =>
+        // 6dp like every surfaced similarity value: the raw decimal sums
+        // agree only to ~1e-14 across engines (double-rounding through the
+        // shortest-repr quantization differs on ~2% of components)
+        round(ddot($"embedding", element_at($"S", k + 1)), 6)
+      }: _*)).as(Seq("k", "p")))
+      .select($"vec_id", $"k", $"p")
+      .orderBy($"vec_id", $"k")
+  }
+
   /** Seed count for [[q58Kmeans]]: the first `kmeansK` vectors by vec_id. */
   val kmeansK = 8
 
@@ -585,7 +633,8 @@ object Similarity {
     "q40_lsh_ann" -> (q40LshAnn _),
     "q45_lsh_neardup" -> (q45LshNearDup _),
     "q55_int8_quant" -> (q55Int8Quant _),
-    "q58_kmeans" -> (q58Kmeans _)
+    "q58_kmeans" -> (q58Kmeans _),
+    "q89_random_projection" -> (q89RandomProjection _)
   )
 
   /** Shared SQL: exact decimal dot via index-join on unnested elements. */
@@ -632,6 +681,20 @@ object Similarity {
        |  WHERE rk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q89_random_projection" ->
+      s"""WITH e AS ($elemsSql),
+         |sg AS (
+         |  SELECT CAST(k AS INT) AS k, i,
+         |    CAST('0x'||substring(md5('rp'||CAST(k AS VARCHAR)||'_'||CAST(i AS VARCHAR)),1,15) AS BIGINT) % 6 AS r
+         |  FROM range($rpDims) t(k), range(1, 65) s(i)),
+         |s2 AS (
+         |  SELECT k, i,
+         |    CASE WHEN r = 0 THEN 1.0 WHEN r = 1 THEN -1.0 ELSE 0.0 END AS s
+         |  FROM sg)
+         |SELECT e.vec_id, s2.k,
+         |  round(CAST(SUM(CAST(CAST(s2.s AS DOUBLE) * CAST(e.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE), 6) AS p
+         |FROM e JOIN s2 ON e.i = s2.i
+         |GROUP BY 1, 2 ORDER BY vec_id, k""".stripMargin,
     "q65_ann_recall" ->
       s"""WITH norms AS ($normsSql),
          |e AS ($elemsSql),

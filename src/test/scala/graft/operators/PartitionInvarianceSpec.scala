@@ -38,7 +38,13 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q62_semdedup" -> (() => Similarity.q62Semdedup(spark, dir)),
     "q72_passage_dedup" -> (() => Dedup.q72PassageDedup(spark, dir)),
     "q73_dsir_sample" -> (() => TrainPrep.q73DsirSample(spark, dir)),
-    "q74_corpus_pipeline_v2" -> (() => TrainPrep.q74CorpusPipelineV2(spark, dir))
+    "q74_corpus_pipeline_v2" -> (() => TrainPrep.q74CorpusPipelineV2(spark, dir)),
+    // round-8: the bloom contract (bitset OR + broadcast probe), the MG
+    // contract (slot residue varies, the EMITTED booleans/counts must
+    // not), and A-ES selection (hash-u + total-order key)
+    "q85_bloom_decontam" -> (() => TrainPrep.q85BloomDecontam(spark, dir)),
+    "q86_heavy_hitters" -> (() => TextOps.q86HeavyHitters(spark, dir)),
+    "q87_weighted_sample" -> (() => TrainPrep.q87WeightedSample(spark, dir))
   )
 
   private def runAt(parts: Int, fn: () => org.apache.spark.sql.DataFrame): Seq[String] = {

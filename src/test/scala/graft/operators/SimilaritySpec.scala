@@ -196,4 +196,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(gotMany.subsetOf(got.filter(_._2).keySet),
       "denser centroid grid added dups that the single cell did not have")
   }
+
+  test("q89: sparse projection preserves pairwise distances (JL), native dot in plan") {
+    import spark.implicits._
+    val df = Similarity.q89RandomProjection(spark, dir)
+    val proj = df.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2))).toMap
+    val orig = graft.Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(proj.values.forall(_.length == Similarity.rpDims))
+    // E[‖Px‖²] = (rpDims/3)·‖x‖² for Achlioptas ±1/0 entries (Var = 1/3):
+    // pairwise squared-distance ratios must concentrate around 8/3
+    val ids = orig.keys.toSeq.sorted.take(60)
+    val ratios = for {
+      a <- ids; b <- ids if a < b
+      d2o = orig(a).zip(orig(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+      if d2o > 1e-12
+      d2p = proj(a).zip(proj(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    } yield d2p / d2o
+    val expected = Similarity.rpDims / 3.0
+    val sorted = ratios.sorted
+    val median = sorted(sorted.length / 2)
+    assert(math.abs(median / expected - 1.0) < 0.4,
+      s"median distance ratio $median vs expected $expected")
+    val within = ratios.count(r => r > expected * 0.3 && r < expected * 2.0)
+    assert(within.toDouble / ratios.length > 0.7,
+      s"only $within/${ratios.length} pairs inside the JL band")
+    // the projection is the native decimal-exact dot, broadcast matrix
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ddot_native"), s"projection not the native dot:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"sign matrix must broadcast:\n$p")
+  }
 }
