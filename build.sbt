@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: the box has 128 GiB; 8g left the noop-forced wide queries
-  // GC-bound when the driver machine was under concurrent load
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 48g default: the box has 128 GiB. At 16g the 95-query bench showed
+  // suite-POSITION inflation — late-suite queries (the DSIR family) ran
+  // 30-50% slower in-suite than isolated (q73 2.56s vs 1.67s) from
+  // accumulated GC pressure across ~300 query executions; 48g restores
+  // in-suite timings to their isolated values (r8 A/B in SCALE.md).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -16,10 +16,33 @@ import org.apache.spark.sql.graftbridge.FunctionBridge
   */
 object GraftFunctions {
 
+  /** Static parameters (k, bit counts) arrive as SQL literals; anything
+    * non-foldable is a caller error worth a clear message.
+    */
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "portable_hash60" -> (es => PortableHash60(es.head)),
     "ddot" -> (es => DotProduct(es(0), es(1), exact = true)),
-    "fdot" -> (es => DotProduct(es(0), es(1), exact = false)))
+    "fdot" -> (es => DotProduct(es(0), es(1), exact = false)),
+    // aggregates: the registry hands the analyzer the raw AggregateFunction
+    // and it wraps the AggregateExpression itself (built-in agg pattern)
+    "bounded_top_k" -> (es =>
+      TopKAgg(es(0), es(1), intLit(es(2), "bounded_top_k", "k"))),
+    "mg_sketch" -> (es =>
+      MgSketchAgg(es(0), intLit(es(1), "mg_sketch", "k"))),
+    "bitset_or" -> (es =>
+      BitsetOrAgg(es(0), intLit(es(1), "bitset_or", "numBits"))),
+    "bloom_positions" -> (es => BloomPositions(es(0),
+      intLit(es(1), "bloom_positions", "numBits"),
+      intLit(es(2), "bloom_positions", "numHashes"))),
+    "bloom_count" -> (es => BloomCount(es(0), es(1),
+      intLit(es(2), "bloom_count", "numBits"),
+      intLit(es(3), "bloom_count", "numHashes"))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -35,6 +35,36 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(row.getDouble(2) == 1.0 - 5.0)
   }
 
+  test("register() makes the round-8 aggregates and bloom natives SQL-callable") {
+    GraftFunctions.register(spark)
+    // aggregates: the registry hands the analyzer the raw AggregateFunction
+    val agg = spark.sql(
+      """SELECT g,
+        |  bounded_top_k(v, id, 2) AS tk,
+        |  mg_sketch(w, 2) AS mg
+        |FROM VALUES ('a', 3.0D, 1L, 'x'), ('a', 1.0D, 2L, 'x'), ('a', 2.0D, 3L, 'y')
+        |  t(g, v, id, w)
+        |GROUP BY g""".stripMargin).collect().head
+    assert(agg.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) == Seq(1L, 3L))
+    assert(agg.getSeq[org.apache.spark.sql.Row](2).map(_.getString(0)).contains("x"))
+    // bloom: positions feed bitset_or, bloom_count finds the member
+    val bloom = spark.sql(
+      """WITH bits AS (
+        |  SELECT bitset_or(pos, 4096) AS b
+        |  FROM (SELECT explode(bloom_positions(42L, 4096, 3)) AS pos))
+        |SELECT bloom_count(b, array(42L), 4096, 3) AS hit,
+        |       bloom_count(b, array(43L), 4096, 3) AS miss
+        |FROM bits""".stripMargin).collect().head
+    assert(bloom.getLong(0) == 1L && bloom.getLong(1) == 0L)
+    // static params must be literals — clear error otherwise
+    val err = intercept[Exception] {
+      spark.sql("SELECT mg_sketch(w, CAST(id AS INT)) FROM VALUES ('x', 1) t(w, id) GROUP BY 1")
+        .collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      Option(err.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+
   test("native exact dot == the true decimal sum (DuckDB's SUM semantics); lambda fold agrees at 6dp") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
