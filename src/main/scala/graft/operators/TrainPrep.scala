@@ -312,8 +312,19 @@ object TrainPrep {
     */
   def q88ChunkDocs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", $"lang", split($"text", " ").as("toks"))
+    chunkCore(Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", split($"text", " ").as("toks")))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** The chunking column pipeline over a (doc_id, lang, toks) frame —
+    * shared verbatim by the batch q88 (which adds the presentation sort)
+    * and the streaming twin
+    * ([[graft.streaming.EventStream.chunkStream]], which cannot sort).
+    */
+  private[graft] def chunkCore(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .withColumn("n_tokens", size($"toks").cast("long"))
       .select($"doc_id", $"lang", $"toks", $"n_tokens",
         explode(sequence(lit(0), ($"n_tokens" - 1).cast("int"), lit(chunkStride)))
@@ -323,7 +334,6 @@ object TrainPrep {
         $"start_tok".cast("long").as("start_tok"),
         least(lit(chunkTokens.toLong), $"n_tokens" - $"start_tok").as("n_tok"),
         array_join(slice($"toks", $"start_tok" + 1, lit(chunkTokens)), " ").as("chunk_text"))
-      .orderBy($"doc_id", $"chunk_id")
   }
 
   /** q53 — top-3 tf-idf terms per document: tf from the exploded tokens,

@@ -551,6 +551,21 @@ object EventStream {
   def bloomGateStream(docs: DataFrame, bits: DataFrame, tau: Double): DataFrame =
     graft.operators.TrainPrep.bloomGate(docs, bits, tau)
 
+  /** Streaming document chunker — [[graft.operators.TrainPrep]]'s q88
+    * sliding-window chunking applied at ingest: stateless and entirely
+    * in-row (sequence-explode + array slice), so it composes freely
+    * before any stateful stage and appends flow through unbounded. The
+    * column pipeline is shared verbatim with the batch operator minus its
+    * presentation sort (streams cannot globally sort; a downstream sink
+    * partitions by doc_id instead), so streaming == batch on replay by
+    * construction — the spec replays both.
+    */
+  def chunkStream(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.operators.TrainPrep.chunkCore(
+      docs.select($"doc_id", $"lang", split($"text", " ").as("toks")))
+  }
+
   /** Batch-mode sessionization with identical semantics (window-based),
     * used to cross-check the stateful operator and as the at-rest variant.
     */

@@ -54,6 +54,29 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunker == batch q88 on full replay (stateless in-row)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target/stream_chunk"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(dir.toString).schema
+    val q = EventStream.chunkStream(
+      spark.readStream.schema(schema).parquet(dir.toString))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chunks").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM chunks")
+        .orderBy(col("doc_id"), col("chunk_id")).collect()
+      val batch = graft.operators.TrainPrep.q88ChunkDocs(spark, sfDir).collect()
+      assert(streamed.length == batch.length && streamed.length > 0)
+      assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup agrees with the batch fingerprint dedup on full replay") {
     import graft.operators.Dedup
     val dir = java.nio.file.Files.createDirectories(
