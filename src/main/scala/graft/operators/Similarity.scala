@@ -401,23 +401,30 @@ object Similarity {
     * side is scan → broadcast-join → project, zero shuffles. Emitted as
     * (vec_id, k, p) element rows so the oracle hash covers every value.
     */
-  def q89RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+  /** The Achlioptas sign matrix as a single-row broadcastable frame
+    * `{S: array<array<float>>}` ([[rpDims]] rows × 64 columns) — shared by
+    * q89 (projection emission) and q90 (projection-driven ANN).
+    */
+  private def signMatrix(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val signRows = spark.range(rpDims).toDF("k")
+    spark.range(rpDims).toDF("k")
       .crossJoin(spark.range(1, 65).toDF("i"))
       .withColumn("r", Dedup.portableHash(
         concat(lit("rp"), $"k".cast("string"), lit("_"), $"i".cast("string"))) % 6)
       .withColumn("s",
         when($"r" === 0, 1.0f).when($"r" === 1, -1.0f).otherwise(0.0f))
-    val signMatrix = signRows
       .groupBy($"k")
       .agg(transform(array_sort(collect_list(struct($"i", $"s"))),
         x => x("s")).as("row"))
       .groupBy()
       .agg(transform(array_sort(collect_list(struct($"k", $"row"))),
         x => x("row")).as("S"))
+  }
+
+  def q89RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables.embeddings(spark, dir)
-      .crossJoin(broadcast(signMatrix))
+      .crossJoin(broadcast(signMatrix(spark)))
       .select($"vec_id", posexplode(array((0 until rpDims).map { k =>
         // 6dp like every surfaced similarity value: the raw decimal sums
         // agree only to ~1e-14 across engines (double-rounding through the
@@ -426,6 +433,61 @@ object Similarity {
       }: _*)).as(Seq("k", "p")))
       .select($"vec_id", $"k", $"p")
       .orderBy($"vec_id", $"k")
+  }
+
+  /** Coarse candidate count per query for [[q90ProjAnn]]. */
+  val projAnnM = 50
+
+  /** q90 — the q89 projections DRIVING a search: two-stage ANN where the
+    * coarse pass ranks 8-dim projected cosine (an 8th of the dot cost,
+    * an 8th of the bytes through the scan) and only the top-[[projAnnM]]
+    * candidates per query pay the exact 64-dim decimal rerank. This is
+    * the dimension lever run end-to-end — the q80 pattern (lever →
+    * oracled operator) applied to q89, and the third member of the
+    * coarse-stage family next to IVF cells (q32) and LSH buckets (q40).
+    *
+    * Plan shape: projections compute in-row against the broadcast sign
+    * matrix (no shuffle); the coarse top-m per query is the native
+    * bounded-top-k heap (≤ m·tasks rows per query on the exchange, no
+    * corpus window); the rerank touches m·|queries| rows. Every ranked
+    * value is 6dp-rounded with vid as total tie-break, so both stages
+    * are engine-deterministic and the DuckDB oracle replays the full
+    * composition. Recall vs the exact q30 is measured in the spec — the
+    * m knob (and rpDims itself) is the recall-for-work lever.
+    */
+  def q90ProjAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+      .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
+    val proj = emb
+      .crossJoin(broadcast(signMatrix(spark)))
+      .select($"vec_id", $"embedding", $"nn",
+        array((0 until rpDims).map { k =>
+          round(ddot($"embedding", element_at($"S", k + 1)), 6)
+        }: _*).as("pv"))
+      .withColumn("pn", ddot($"pv", $"pv"))
+      .filter($"pn" > 0) // a fully-zeroed projection cannot rank (never occurs on real data)
+    val pq = proj.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"pv".as("qpv"), $"pn".as("qpn"),
+        $"embedding".as("qe"), $"nn".as("qn"))
+    val cand = proj.select($"vec_id", $"pv", $"pn")
+      .crossJoin(broadcast(pq.select($"qid", $"qpv", $"qpn")))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        round(ddot($"qpv", $"pv") / (sqrt($"qpn") * sqrt($"pn")), 6).as("csim"))
+      .groupBy($"qid")
+      .agg(graft.functions.TopK.topK($"csim", $"vec_id", projAnnM).as("tk"))
+      .select($"qid", explode($"tk.event_id").as("vid"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"sim".desc, $"vid".asc)
+    cand
+      .join(broadcast(pq.select($"qid", $"qe", $"qn")), Seq("qid"))
+      .join(emb.select($"vec_id".as("vid"), $"embedding", $"nn"), Seq("vid"))
+      .withColumn("sim", round(ddot($"qe", $"embedding") / (sqrt($"qn") * sqrt($"nn")), 6))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter($"rnk" <= 5)
+      .select($"qid", $"rnk".cast("long").as("rnk"), $"vid", $"sim")
+      .orderBy($"qid", $"rnk")
   }
 
   /** Seed count for [[q58Kmeans]]: the first `kmeansK` vectors by vec_id. */
@@ -634,7 +696,8 @@ object Similarity {
     "q45_lsh_neardup" -> (q45LshNearDup _),
     "q55_int8_quant" -> (q55Int8Quant _),
     "q58_kmeans" -> (q58Kmeans _),
-    "q89_random_projection" -> (q89RandomProjection _)
+    "q89_random_projection" -> (q89RandomProjection _),
+    "q90_proj_ann" -> (q90ProjAnn _)
   )
 
   /** Shared SQL: exact decimal dot via index-join on unnested elements. */
@@ -680,21 +743,61 @@ object Similarity {
        |            JOIN norms nc ON cid = nc.vec_id)
        |  WHERE rk = 1)""".stripMargin
 
+  /** Shared SQL: the q89 projection components (6dp) over the element
+    * rows CTE `e` — replayed by the q89 oracle and the q90 composition.
+    */
+  private val rpCompCtes =
+    s"""sg AS (
+       |  SELECT CAST(k AS INT) AS k, i,
+       |    CAST('0x'||substring(md5('rp'||CAST(k AS VARCHAR)||'_'||CAST(i AS VARCHAR)),1,15) AS BIGINT) % 6 AS r
+       |  FROM range($rpDims) t(k), range(1, 65) s(i)),
+       |s2 AS (
+       |  SELECT k, i,
+       |    CASE WHEN r = 0 THEN 1.0 WHEN r = 1 THEN -1.0 ELSE 0.0 END AS s
+       |  FROM sg),
+       |pcomp AS (
+       |  SELECT e.vec_id, s2.k,
+       |    round(CAST(SUM(CAST(CAST(s2.s AS DOUBLE) * CAST(e.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE), 6) AS p
+       |  FROM e JOIN s2 ON e.i = s2.i GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q89_random_projection" ->
       s"""WITH e AS ($elemsSql),
-         |sg AS (
-         |  SELECT CAST(k AS INT) AS k, i,
-         |    CAST('0x'||substring(md5('rp'||CAST(k AS VARCHAR)||'_'||CAST(i AS VARCHAR)),1,15) AS BIGINT) % 6 AS r
-         |  FROM range($rpDims) t(k), range(1, 65) s(i)),
-         |s2 AS (
-         |  SELECT k, i,
-         |    CASE WHEN r = 0 THEN 1.0 WHEN r = 1 THEN -1.0 ELSE 0.0 END AS s
-         |  FROM sg)
-         |SELECT e.vec_id, s2.k,
-         |  round(CAST(SUM(CAST(CAST(s2.s AS DOUBLE) * CAST(e.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE), 6) AS p
-         |FROM e JOIN s2 ON e.i = s2.i
-         |GROUP BY 1, 2 ORDER BY vec_id, k""".stripMargin,
+         |$rpCompCtes
+         |SELECT vec_id, k, p FROM pcomp ORDER BY vec_id, k""".stripMargin,
+    "q90_proj_ann" ->
+      s"""WITH e AS ($elemsSql),
+         |$rpCompCtes,
+         |pn AS (
+         |  SELECT vec_id, CAST(SUM(CAST(p * p AS DECIMAL(28,14))) AS DOUBLE) AS pn
+         |  FROM pcomp GROUP BY 1),
+         |pd AS (
+         |  SELECT q.vec_id AS qid, v.vec_id AS vid,
+         |    CAST(SUM(CAST(q.p * v.p AS DECIMAL(28,14))) AS DOUBLE) AS pdot
+         |  FROM pcomp q JOIN pcomp v ON q.k = v.k
+         |  WHERE q.vec_id < 10 AND q.vec_id <> v.vec_id GROUP BY 1, 2),
+         |coarse AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY round(pdot / (sqrt(qn.pn) * sqrt(vn.pn)), 6) DESC, vid ASC) AS crnk
+         |    FROM pd JOIN pn qn ON qid = qn.vec_id JOIN pn vn ON vid = vn.vec_id
+         |    WHERE qn.pn > 0 AND vn.pn > 0)
+         |  WHERE crnk <= $projAnnM),
+         |norms AS ($normsSql),
+         |dots AS (
+         |  SELECT c.qid, c.vid,
+         |    CAST(SUM(CAST(CAST(q.x AS DOUBLE) * CAST(v.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS dot
+         |  FROM coarse c
+         |  JOIN e q ON q.vec_id = c.qid
+         |  JOIN e v ON v.vec_id = c.vid AND q.i = v.i
+         |  GROUP BY 1, 2)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vid, sim FROM (
+         |  SELECT qid, vid,
+         |    round(dot / (sqrt(nq.nn) * sqrt(nv.nn)), 6) AS sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY round(dot / (sqrt(nq.nn) * sqrt(nv.nn)), 6) DESC, vid ASC) AS rnk
+         |  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nv ON vid = nv.vec_id)
+         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "q65_ann_recall" ->
       s"""WITH norms AS ($normsSql),
          |e AS ($elemsSql),
