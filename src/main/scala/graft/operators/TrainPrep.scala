@@ -336,6 +336,37 @@ object TrainPrep {
         array_join(slice($"toks", $"start_tok" + 1, lit(chunkTokens)), " ").as("chunk_text"))
   }
 
+  /** q91 — CHUNK-grain exact dedup over the q88 sliding windows: chunks
+    * fingerprint by md5 of their text and only the first occurrence
+    * (min (doc_id, chunk_id)) survives, with the duplication count kept
+    * as a signal column. This catches what document-grain dedup (q25)
+    * structurally cannot: boilerplate blocks REPEATED ACROSS distinct
+    * documents (headers, footers, license stanzas, navigation chrome) —
+    * the dedup grain RAG indexes and training-corpus pipelines actually
+    * want after chunking. Production order is q72 (passage rebuild) →
+    * this; the operator is standalone so either grain can run alone.
+    *
+    * Scale shape: chunking is in-row (q88); the dedup is ONE shuffle on
+    * the high-cardinality uniform fp with map-side combine — survivor
+    * selection is a `min(struct)` aggregate, never a window over fp
+    * (the q72 min_by discipline: no Zipf-key window, mega-duplicate
+    * groups collapse map-side).
+    */
+  def q91ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chunkCore(Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", split($"text", " ").as("toks")))
+      .withColumn("fp", md5($"chunk_text"))
+      .groupBy($"fp")
+      .agg(
+        min(struct($"doc_id", $"chunk_id", $"start_tok", $"n_tok")).as("first"),
+        count(lit(1)).as("n_copies"))
+      .select($"first.doc_id".as("doc_id"), $"first.chunk_id".as("chunk_id"),
+        $"first.start_tok".as("start_tok"), $"first.n_tok".as("n_tok"),
+        $"fp", $"n_copies")
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   /** q53 — top-3 tf-idf terms per document: tf from the exploded tokens,
     * df over the distinct (doc, word) pairs, idf = ln(N/df) with the score
     * rounded to 6dp BEFORE ranking so both engines rank the identical
@@ -872,6 +903,7 @@ object TrainPrep {
     "q85_bloom_decontam" -> (q85BloomDecontam _),
     "q87_weighted_sample" -> (q87WeightedSample _),
     "q88_chunk_docs" -> (q88ChunkDocs _),
+    "q91_chunk_dedup" -> (q91ChunkDedup _),
     "q53_tfidf" -> (q53Tfidf _),
     "q73_dsir_sample" -> (q73DsirSample _),
     "q75_dsir_thresholds" -> (q75DsirThresholds _),
@@ -1154,6 +1186,26 @@ object TrainPrep {
          |  CAST(least($chunkTokens, n - start_tok) AS BIGINT) AS n_tok,
          |  array_to_string(w[start_tok + 1 : start_tok + $chunkTokens], ' ') AS chunk_text
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q91_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |c AS (
+         |  SELECT doc_id, len(w) AS n, w,
+         |    unnest(range(0, len(w), $chunkStride)) AS start_tok
+         |  FROM t),
+         |ch AS (
+         |  SELECT doc_id,
+         |    start_tok // $chunkStride AS chunk_id,
+         |    CAST(start_tok AS BIGINT) AS start_tok,
+         |    CAST(least($chunkTokens, n - start_tok) AS BIGINT) AS n_tok,
+         |    md5(array_to_string(w[start_tok + 1 : start_tok + $chunkTokens], ' ')) AS fp
+         |  FROM c),
+         |g AS (SELECT fp, count(*) AS n_copies FROM ch GROUP BY fp),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, chunk_id) AS rk
+         |  FROM ch)
+         |SELECT r.doc_id, r.chunk_id, r.start_tok, r.n_tok, r.fp, g.n_copies
+         |FROM r JOIN g USING (fp) WHERE rk = 1
+         |ORDER BY r.doc_id, r.chunk_id""".stripMargin,
     "q85_bloom_decontam" ->
       """WITH docs AS (
         |  SELECT doc_id,

@@ -471,6 +471,31 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"chunking used a window:\n$p")
   }
 
+  test("q91: cross-document boilerplate chunks dedup to their first occurrence") {
+    import spark.implicits._
+    // doc 1: 224 unique tokens; doc 2 OPENS with doc 1's tokens 96..224
+    // (a shared 128-token boilerplate block at different offsets), then
+    // diverges — document-grain dedup sees two distinct docs, chunk-grain
+    // dedup must collapse the shared window
+    val a = (0 until 224).map(i => s"a$i")
+    val b = a.slice(96, 224) ++ (0 until 96).map(i => s"b$i")
+    val docs = Seq((1L, "en", a.mkString(" ")), (2L, "en", b.mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val chunks = TrainPrep.chunkCore(
+      docs.select($"doc_id", $"lang", split($"text", " ").as("toks")))
+      .withColumn("fp", md5($"chunk_text"))
+      .groupBy($"fp")
+      .agg(min(struct($"doc_id", $"chunk_id")).as("first"), count(lit(1)).as("n_copies"))
+      .select($"first.doc_id", $"first.chunk_id", $"n_copies")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1 chunk 1 = tokens 96..224 == doc 2 chunk 0 → survivor is
+    // (1, 1) with 2 copies; doc 2 keeps no chunk 0 of its own
+    assert(chunks((1L, 1L)) == 2L, s"shared block not collapsed: $chunks")
+    assert(!chunks.contains((2L, 0L)), s"duplicate survived: $chunks")
+    // everything else is unique
+    assert(chunks.filterNot(_._1 == (1L, 1L)).values.forall(_ == 1L))
+  }
+
   test("q53: at most 3 terms per doc, ranks dense from 1, scores non-increasing") {
     import spark.implicits._
     val out = TrainPrep.q53Tfidf(spark, dir)
