@@ -367,6 +367,58 @@ object TrainPrep {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** BUILD: the distinct chunk-fingerprint set of a reference corpus —
+    * the narrow persistable artifact (one md5 string per distinct chunk)
+    * the incremental chunk gate probes against; the chunk-grain member of
+    * the index family (doc fps, passage fps q76, minhash bands q64).
+    */
+  def buildChunkIndex(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    chunkCore(docs.select($"doc_id", $"lang", split($"text", " ").as("toks")))
+      .select(md5($"chunk_text").as("fp")).distinct()
+  }
+
+  /** The un-ordered chunk-gate core, shared VERBATIM by the batch q92 and
+    * the streaming twin ([[graft.streaming.EventStream.chunkGateStream]])
+    * — one definition of the hit semantics and admission threshold. The
+    * index is re-distinct'ed defensively (unioned nightly writes with a
+    * repeated fp would double-count both sides of the fraction).
+    */
+  private[graft] def gateChunksCore(index: DataFrame, batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    chunkCore(batch.select($"doc_id", $"lang", split($"text", " ").as("toks")))
+      .select($"doc_id", md5($"chunk_text").as("fp"))
+      .join(index.select($"fp").distinct().withColumn("hit", lit(1L)), Seq("fp"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce($"hit", lit(0L))).as("n_dup_chunks"))
+      .select($"doc_id", $"n_chunks", $"n_dup_chunks",
+        (($"n_dup_chunks".cast("double") / $"n_chunks") < 0.5).as("admitted"))
+  }
+
+  /** q92 — the incremental chunk gate (q76's shape at chunk grain): an
+    * arriving batch (every 3rd document stands in) is admitted against
+    * the at-rest corpus' chunk-fingerprint index — per batch document,
+    * its chunk count, how many chunks the corpus already contains, and
+    * the admission verdict (duplicated fraction < 0.5). Chunk grain is
+    * what an ingest feed for a RAG index or chunked training corpus
+    * gates on: a "new" page that is 90% boilerplate chunks the corpus
+    * already holds is a duplicate in every way that matters, whatever
+    * its doc-level fingerprint says.
+    *
+    * Scale shape: the batch side chunks in-row; the probe is a left join
+    * against the narrow fp index (AQE: broadcast when the index is
+    * small, shuffle on the uniform fp otherwise); per-doc rollup on
+    * doc_id. The index is the build-once parquet artifact of
+    * [[buildChunkIndex]].
+    */
+  def q92ChunkGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.spread(Tables.documents(spark, dir)) // parallelism restore, gated on split count
+    val index = buildChunkIndex(docs.filter($"doc_id" % 3 =!= 0))
+    gateChunksCore(index, docs.filter($"doc_id" % 3 === 0)).orderBy($"doc_id")
+  }
+
   /** q53 — top-3 tf-idf terms per document: tf from the exploded tokens,
     * df over the distinct (doc, word) pairs, idf = ln(N/df) with the score
     * rounded to 6dp BEFORE ranking so both engines rank the identical
@@ -904,6 +956,7 @@ object TrainPrep {
     "q87_weighted_sample" -> (q87WeightedSample _),
     "q88_chunk_docs" -> (q88ChunkDocs _),
     "q91_chunk_dedup" -> (q91ChunkDedup _),
+    "q92_chunk_gate" -> (q92ChunkGate _),
     "q53_tfidf" -> (q53Tfidf _),
     "q73_dsir_sample" -> (q73DsirSample _),
     "q75_dsir_thresholds" -> (q75DsirThresholds _),
@@ -1206,6 +1259,23 @@ object TrainPrep {
          |SELECT r.doc_id, r.chunk_id, r.start_tok, r.n_tok, r.fp, g.n_copies
          |FROM r JOIN g USING (fp) WHERE rk = 1
          |ORDER BY r.doc_id, r.chunk_id""".stripMargin,
+    "q92_chunk_gate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |c AS (
+         |  SELECT doc_id, len(w) AS n, w,
+         |    unnest(range(0, len(w), $chunkStride)) AS start_tok
+         |  FROM t),
+         |ch AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(w[start_tok + 1 : start_tok + $chunkTokens], ' ')) AS fp
+         |  FROM c),
+         |idx AS (SELECT DISTINCT fp FROM ch WHERE doc_id % 3 <> 0),
+         |batch AS (SELECT * FROM ch WHERE doc_id % 3 = 0)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(count(CASE WHEN fp IN (SELECT fp FROM idx) THEN 1 END) AS BIGINT) AS n_dup_chunks,
+         |  (CAST(count(CASE WHEN fp IN (SELECT fp FROM idx) THEN 1 END) AS DOUBLE)
+         |    / count(*)) < 0.5 AS admitted
+         |FROM batch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q85_bloom_decontam" ->
       """WITH docs AS (
         |  SELECT doc_id,

@@ -566,6 +566,17 @@ object EventStream {
       docs.select($"doc_id", $"lang", split($"text", " ").as("toks")))
   }
 
+  /** Streaming incremental chunk gate — [[passageGateStream]]'s shape at
+    * chunk grain: arriving documents chunk in-row, LEFT-join the at-rest
+    * chunk-fingerprint index
+    * ([[graft.operators.TrainPrep.buildChunkIndex]]'s parquet artifact,
+    * re-planned per micro-batch so a nightly refresh needs no restart),
+    * and per-document verdicts aggregate in update mode. Hit semantics
+    * and threshold live in the core shared verbatim with the batch q92.
+    */
+  def chunkGateStream(docs: DataFrame, index: DataFrame): DataFrame =
+    graft.operators.TrainPrep.gateChunksCore(index, docs)
+
   /** Batch-mode sessionization with identical semantics (window-based),
     * used to cross-check the stateful operator and as the at-rest variant.
     */

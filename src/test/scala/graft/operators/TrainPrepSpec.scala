@@ -496,6 +496,23 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(chunks.filterNot(_._1 == (1L, 1L)).values.forall(_ == 1L))
   }
 
+  test("q92: chunk-index parquet round-trip gates identically to the inline build") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+    val inline = TrainPrep.buildChunkIndex(docs.filter($"doc_id" % 3 =!= 0))
+    val path = "target/chunk_index"
+    inline.write.mode("overwrite").parquet(path)
+    val a = TrainPrep.q92ChunkGate(spark, dir).collect().map(_.toSeq).toSeq
+    val b = TrainPrep.gateChunksCore(
+      spark.read.parquet(path), docs.filter($"doc_id" % 3 === 0))
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+    // every batch doc gets a verdict (chunking always yields ≥ 1 chunk)
+    val batchIds = docs.filter($"doc_id" % 3 === 0).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a.map(_.head.asInstanceOf[Long]).toSet == batchIds)
+  }
+
   test("q53: at most 3 terms per doc, ranks dense from 1, scores non-increasing") {
     import spark.implicits._
     val out = TrainPrep.q53Tfidf(spark, dir)

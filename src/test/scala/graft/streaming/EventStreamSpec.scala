@@ -77,6 +77,34 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunk gate (stream-static join) equals the batch q92 verdicts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val index = graft.operators.TrainPrep.buildChunkIndex(docs.filter($"doc_id" % 3 =!= 0))
+    val stage = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target/stream_chunkgate"))
+    docs.filter($"doc_id" % 3 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(stage.toString)
+    val schema = spark.read.parquet(stage.toString).schema
+    val q = EventStream.chunkGateStream(
+      spark.readStream.schema(schema).parquet(stage.toString), index)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("chunkgate").start()
+    try {
+      q.processAllAvailable()
+      // update mode re-emits refined rows; the LAST row per doc is final
+      val streamed = spark.sql(
+        """SELECT doc_id, n_chunks, n_dup_chunks, admitted FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n_chunks DESC) rn
+          |  FROM chunkgate) WHERE rn = 1""".stripMargin)
+        .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+      val batch = graft.operators.TrainPrep.q92ChunkGate(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup agrees with the batch fingerprint dedup on full replay") {
     import graft.operators.Dedup
     val dir = java.nio.file.Files.createDirectories(
