@@ -155,12 +155,13 @@ object TrainPrep {
     * the wire however many grams go in. No distinct pre-pass: OR is
     * idempotent.
     */
-  def bloomBuild(hashes: DataFrame): DataFrame = {
+  def bloomBuild(hashes: DataFrame, numBits: Int = bloomBits,
+      numHashes: Int = bloomHashes): DataFrame = {
     import hashes.sparkSession.implicits._
     hashes
       .select(explode(graft.functions.BloomFunctions
-        .bloomPositions($"sh_h", bloomBits, bloomHashes)).as("pos"))
-      .agg(graft.functions.Bitset.bitsetOr($"pos", bloomBits).as("bits"))
+        .bloomPositions($"sh_h", numBits, numHashes)).as("pos"))
+      .agg(graft.functions.Bitset.bitsetOr($"pos", numBits).as("bits"))
   }
 
   /** Per-row count of shingle hashes the broadcast bitset contains — ONE
@@ -170,8 +171,9 @@ object TrainPrep {
     * interpreted and it re-walked both hash expression trees per probe —
     * 2.5× slower end to end (SCALE.md r8 A/B).
     */
-  private def bloomHits(bits: Column, hashes: Column): Column =
-    graft.functions.BloomFunctions.bloomCount(bits, hashes, bloomBits, bloomHashes)
+  private def bloomHits(bits: Column, hashes: Column,
+      numBits: Int = bloomBits, numHashes: Int = bloomHashes): Column =
+    graft.functions.BloomFunctions.bloomCount(bits, hashes, numBits, numHashes)
 
   /** The production Bloom decontamination gate: per document, the count of
     * its shingles that hit the broadcast bitset, and the keep verdict
@@ -185,7 +187,8 @@ object TrainPrep {
     * DROPPING a sliver extra, never toward letting contamination through
     * (no false negatives — a Bloom filter cannot miss a present element).
     */
-  def bloomGate(docs: DataFrame, bits: DataFrame, tau: Double): DataFrame = {
+  def bloomGate(docs: DataFrame, bits: DataFrame, tau: Double,
+      numBits: Int = bloomBits, numHashes: Int = bloomHashes): DataFrame = {
     import docs.sparkSession.implicits._
     docs
       .crossJoin(broadcast(bits))
@@ -194,7 +197,7 @@ object TrainPrep {
         $"bits")
       .select($"doc_id",
         size($"hs").cast("long").as("n_shingles"),
-        bloomHits($"bits", $"hs").as("n_bloom"))
+        bloomHits($"bits", $"hs", numBits, numHashes).as("n_bloom"))
       .filter($"n_shingles" > 0)
       .withColumn("keep", $"n_bloom".cast("double") / $"n_shingles" < tau)
   }

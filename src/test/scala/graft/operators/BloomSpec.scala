@@ -104,6 +104,23 @@ class BloomSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Boolean]("fp_rate_ok")))
   }
 
+  test("geometry is a lever: a deliberately overloaded filter still has NO false negatives") {
+    import spark.implicits._
+    // 1024 bits x 3 probes for ~150 grams — load far past the production
+    // geometry. False positives are allowed to rise (that is the trade
+    // the numBits knob buys back); false negatives must stay impossible.
+    val grams = handDocs.filter($"doc_id" === 10L)
+      .select(explode(graft.functions.ShingleFunctions
+        .shingleHashes(split($"text", " "))).as("sh_h"))
+    val tiny = TrainPrep.bloomBuild(grams, numBits = 1024, numHashes = 3)
+    val gated = TrainPrep.bloomGate(handDocs, tiny, tau = 0.5,
+      numBits = 1024, numHashes = 3)
+      .orderBy($"doc_id").collect()
+    val d10 = gated(0)
+    assert(d10.getAs[Long]("n_bloom") == d10.getAs[Long]("n_shingles"),
+      "overloading the filter produced a false negative")
+  }
+
   test("the bitset is a persistable index artifact: parquet round-trip gates identically") {
     // the buildBandIndex/buildPassageIndex deployment pattern: build the
     // filter once (nightly, from the benchmark suite), park it as a tiny
