@@ -37,6 +37,10 @@ object GraftFunctions {
       MgSketchAgg(es(0), intLit(es(1), "mg_sketch", "k"))),
     "bitset_or" -> (es =>
       BitsetOrAgg(es(0), intLit(es(1), "bitset_or", "numBits"))),
+    "hll_sketch" -> (es =>
+      HllSketchAgg(es(0), intLit(es(1), "hll_sketch", "p"))),
+    "hll_merge" -> (es => HllMergeAgg(es.head)),
+    "hll_est" -> (es => HllEstimate(es.head)),
     "bloom_positions" -> (es => BloomPositions(es(0),
       intLit(es(1), "bloom_positions", "numBits"),
       intLit(es(2), "bloom_positions", "numHashes"))),

@@ -33,6 +33,65 @@ object ScaleOps {
       .orderBy($"event_type")
   }
 
+  import graft.functions.Hll
+
+  /** Per-(group, day) HLL sketch table — the persistable artifact of the
+    * build-once/merge-forever distinct-count pattern ([[graft.functions.Hll]]):
+    * each nightly partition folds to one 4 KB binary row; every later
+    * rollup is [[sketchRollup]] arithmetic over these rows, never a
+    * corpus rescan. `HllSpec` pins the parquet round trip.
+    */
+  def buildUserSketches(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupBy($"event_type", (($"ts" / 86400000000000L).cast("long")).as("day"))
+      .agg(Hll.hllSketch($"user_id").as("sketch"))
+  }
+
+  /** Roll a sketch table up to one sketch (+ estimate) per group. */
+  def sketchRollup(sketches: DataFrame): DataFrame = {
+    import sketches.sparkSession.implicits._
+    sketches
+      .groupBy($"event_type")
+      .agg(Hll.hllMerge($"sketch").as("sketch"))
+      .withColumn("est_users", Hll.hllEst($"sketch"))
+  }
+
+  /** q93 — the native HLL sketch family's contract query (the q85/q86
+    * pattern: exact facts + booleans the oracle pins literal TRUE).
+    * Per event_type: the exact distinct-user count, `est_ok` (the
+    * library's own sketch estimate within 5% — p=12's promise is ~1.6%),
+    * and `merge_ok` — the per-day sketches of [[buildUserSketches]],
+    * rolled up with `hll_merge`, are BIT-EQUAL to the one-shot sketch.
+    * That bit-equality is the max-merge determinism argument
+    * ([[graft.functions.HllBuffer]]): registers are a function of the
+    * input SET, so daily/streamed/re-partitioned builds all land on the
+    * same bytes — the property that makes a 100 TB sketch warehouse
+    * trustworthy (any rollup path yields the same number).
+    *
+    * Plan shape: two aggregations over one events scan (direct;
+    * day-grain then merge) joined on the 5-row event_type key — the
+    * corpus is read once per branch, exchanged only on (event_type[, day]).
+    */
+  def q93HllSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val direct = events
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("n_exact"),
+        Hll.hllSketch($"user_id").as("sk_direct"))
+    val merged = sketchRollup(buildUserSketches(events))
+      .select($"event_type", $"sketch".as("sk_merged"))
+    direct.join(merged, Seq("event_type"))
+      .select(
+        $"event_type", $"n_exact",
+        (abs(Hll.hllEst($"sk_direct") - $"n_exact").cast("double") / $"n_exact" <= 0.05)
+          .as("est_ok"),
+        ($"sk_merged" === $"sk_direct").as("merge_ok"))
+      .orderBy($"event_type")
+  }
+
   /** Skew-salted join: replicate the (small) dimension side per salt
     * bucket so one hot key spreads over N reducers, then aggregate away
     * the salt. Result equals the plain join — the salt only reshapes the
@@ -291,6 +350,7 @@ object ScaleOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_approx_distinct" -> (q36ApproxDistinct _),
+    "q93_hll_sketch" -> (q93HllSketch _),
     "q81_band_join" -> (q81BandJoin _),
     "q83_topk_per_group" -> (q83TopkPerGroup _),
     "q84_group_profile" -> (q84GroupProfile _),
@@ -322,6 +382,10 @@ object ScaleOps {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
         |  (CAST(abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id)) AS DOUBLE)
         |     / COUNT(DISTINCT user_id) <= 0.15) AS approx_within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q93_hll_sketch" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+        |  TRUE AS est_ok, TRUE AS merge_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q37_salted_join" ->
       """SELECT e.user_id, COUNT(*) AS n_events,
