@@ -44,6 +44,21 @@ object BloomOps {
     new GenericArrayData(out)
   }
 
+  /** Single-key membership: all k probe bits of `h` set in `bits`? */
+  def contains(bits: ArrayData, h: Long, numBits: Int, numHashes: Int): Boolean = {
+    val h1 = java.lang.Long.remainderUnsigned(XXH64.hashLong(h, 42L), numBits)
+    val step = (2L * Murmur3_x86_32.hashLong(h, 42) + 1) & (numBits - 1)
+    var i = 0
+    var p = h1
+    while (i < numHashes) {
+      if ((bits.getLong((p >> 6).toInt) & (1L << (p & 63))) == 0L) return false
+      p += step
+      if (p >= numBits) p -= numBits
+      i += 1
+    }
+    true
+  }
+
   /** Count of hashes in `hs` whose k probe bits are ALL set in `bits`. */
   def countContained(
       bits: ArrayData, hs: ArrayData, numBits: Int, numHashes: Int): Long = {
@@ -114,10 +129,39 @@ case class BloomCount(
     copy(left = newLeft, right = newRight)
 }
 
+/** `bloom_contains(bits, h)` → boolean: single-key membership probe —
+  * the runtime-filter shape (one codegen'd call per fact row, no array
+  * allocation), next to [[BloomCount]]'s per-document gram loop.
+  */
+case class BloomContains(
+    left: Expression, right: Expression, numBits: Int, numHashes: Int)
+  extends BinaryExpression {
+  require(Integer.bitCount(numBits) == 1, s"numBits must be a power of two, got $numBits")
+  override def prettyName: String = "bloom_contains"
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint> bits, bigint key), got ($l, $r)")
+  }
+  override protected def nullSafeEval(bits: Any, h: Any): Any =
+    BloomOps.contains(
+      bits.asInstanceOf[ArrayData], h.asInstanceOf[Long], numBits, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, h) =>
+      s"graft.functions.BloomOps.contains($b, $h, $numBits, $numHashes)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomContains =
+    copy(left = newLeft, right = newRight)
+}
+
 object BloomFunctions {
   def bloomPositions(h: Column, numBits: Int, numHashes: Int): Column =
     ColumnBridge.column(BloomPositions(ColumnBridge.expression(h), numBits, numHashes))
   def bloomCount(bits: Column, hashes: Column, numBits: Int, numHashes: Int): Column =
     ColumnBridge.column(BloomCount(
       ColumnBridge.expression(bits), ColumnBridge.expression(hashes), numBits, numHashes))
+  def bloomContains(bits: Column, key: Column, numBits: Int, numHashes: Int): Column =
+    ColumnBridge.column(BloomContains(
+      ColumnBridge.expression(bits), ColumnBridge.expression(key), numBits, numHashes))
 }

@@ -46,7 +46,10 @@ object GraftFunctions {
       intLit(es(2), "bloom_positions", "numHashes"))),
     "bloom_count" -> (es => BloomCount(es(0), es(1),
       intLit(es(2), "bloom_count", "numBits"),
-      intLit(es(3), "bloom_count", "numHashes"))))
+      intLit(es(3), "bloom_count", "numHashes"))),
+    "bloom_contains" -> (es => BloomContains(es(0), es(1),
+      intLit(es(2), "bloom_contains", "numBits"),
+      intLit(es(3), "bloom_contains", "numHashes"))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

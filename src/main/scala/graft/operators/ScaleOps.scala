@@ -92,6 +92,62 @@ object ScaleOps {
       .orderBy($"event_type")
   }
 
+  /** Bloom-pruned join (runtime-filter shape, spelled explicitly): the
+    * selective dimension side's join keys fold into a 256 KB bitset
+    * ([[graft.functions.BitsetOrAgg]] over the key's Bloom positions),
+    * which rides to every fact-side task in a single-row broadcast and
+    * prunes fact rows IN THE SCAN STAGE — before the join exchange ever
+    * sees them ([[graft.functions.BloomContains]], one codegen'd probe
+    * per row). The exact join then runs on the survivors, so Bloom false
+    * positives are eliminated and false negatives are impossible (a Bloom
+    * filter cannot miss a present key): the result is BIT-EQUAL to the
+    * plain join, which is exactly what the oracle checks.
+    *
+    * This is the manual, composable spelling of what engines call a
+    * runtime filter / semi-join reduction. At 100 TB the exchange is the
+    * bottleneck: with a dimension predicate selecting f of the fact rows,
+    * the probe-side shuffle shrinks to ~f + fp_rate of the corpus. Spark
+    * itself only injects this shape under narrow conditions
+    * (spark.sql.optimizer.runtime.bloomFilter, broadcast-able creation
+    * side); this operator makes it available wherever a build-side
+    * DataFrame exists — including against a PERSISTED bitset from a
+    * previous run, where the dimension side isn't even scanned today.
+    * BloomSpec measures the actual probe-side row reduction.
+    */
+  def bloomPrunedJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, numBits: Int = 1 << 21, numHashes: Int = 5): DataFrame = {
+    import fact.sparkSession.implicits._
+    import graft.functions.{Bitset, BloomFunctions}
+    val bits = dim
+      .select(explode(BloomFunctions.bloomPositions(
+        col(dimKey), numBits, numHashes)).as("pos"))
+      .agg(Bitset.bitsetOr($"pos", numBits).as("bits"))
+    fact
+      .crossJoin(broadcast(bits))
+      .filter(BloomFunctions.bloomContains($"bits", col(factKey), numBits, numHashes))
+      .drop("bits")
+      .join(dim, col(factKey) === col(dimKey))
+  }
+
+  /** q94 — urgent-order revenue through [[bloomPrunedJoin]]: lineitem
+    * pruned by the bitset of URGENT order keys before the exact join.
+    * The oracle is the PLAIN join — passing means the Bloom stage is
+    * invisible in the result, visible only in the exchange volume.
+    */
+  def q94BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_totalprice")
+    bloomPrunedJoin(Tables.lineitem(spark, dir), "l_orderkey", urgent, "o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct($"l_orderkey").as("n_orders"),
+        Relational.dsum($"l_extendedprice").as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Skew-salted join: replicate the (small) dimension side per salt
     * bucket so one hot key spreads over N reducers, then aggregate away
     * the salt. Result equals the plain join — the salt only reshapes the
@@ -351,6 +407,7 @@ object ScaleOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_approx_distinct" -> (q36ApproxDistinct _),
     "q93_hll_sketch" -> (q93HllSketch _),
+    "q94_bloom_join" -> (q94BloomJoin _),
     "q81_band_join" -> (q81BandJoin _),
     "q83_topk_per_group" -> (q83TopkPerGroup _),
     "q84_group_profile" -> (q84GroupProfile _),
@@ -387,6 +444,13 @@ object ScaleOps {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
         |  TRUE AS est_ok, TRUE AS merge_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q94_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q37_salted_join" ->
       """SELECT e.user_id, COUNT(*) AS n_events,
         |  ANY_VALUE(d.user_total) AS user_total,

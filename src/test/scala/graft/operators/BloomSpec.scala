@@ -155,4 +155,45 @@ class BloomSpec extends AnyFunSuite {
       assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
     } finally q.stop()
   }
+
+  test("bloomPrunedJoin == plain join, and the probe prunes BEFORE the join exchange") {
+    import spark.implicits._
+    val urgent = graft.Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    val fact = graft.Tables.lineitem(spark, dir)
+    val pruned = ScaleOps.bloomPrunedJoin(fact, "l_orderkey", urgent, "o_orderkey")
+      .select($"l_orderkey", $"l_linenumber")
+    val plain = fact.join(urgent, $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_linenumber")
+    val a = pruned.orderBy($"l_orderkey", $"l_linenumber").collect().map(_.toSeq).toSeq
+    val b = plain.orderBy($"l_orderkey", $"l_linenumber").collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+    // the bitset really prunes: surviving fact rows ≈ matching rows
+    // (+ fp sliver), far below the full table
+    val total = fact.count()
+    val survivors = fact
+      .crossJoin(broadcast(urgent
+        .select(explode(graft.functions.BloomFunctions
+          .bloomPositions($"o_orderkey", 1 << 21, 5)).as("pos"))
+        .agg(graft.functions.Bitset.bitsetOr($"pos", 1 << 21).as("bits"))))
+      .filter(graft.functions.BloomFunctions
+        .bloomContains($"bits", $"l_orderkey", 1 << 21, 5))
+      .count()
+    val matching = a.size.toLong
+    assert(survivors >= matching, "bloom dropped a true match (false negative!)")
+    assert(survivors <= matching + (total - matching) / 10,
+      s"bloom pruned too little: $survivors of $total for $matching matches")
+  }
+
+  test("q94 plan: the bloom_contains filter sits on the scan side, below the join") {
+    val df = ScaleOps.q94BloomJoin(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("bloom_contains"), s"probe filter missing:\n$p")
+    val probeIdx = p.indexOf("bloom_contains")
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      "probe filter should appear BELOW (after, in tree print order) the join")
+  }
 }
