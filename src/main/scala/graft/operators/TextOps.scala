@@ -292,7 +292,79 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** The q95 retrieval bench: three fixed keyword queries over the corpus
+    * vocabulary. A production caller passes its own (qid, qtext) frame to
+    * [[bm25TopK]]; the fixed set is what makes q95 oracle-checkable.
+    */
+  val bm25Queries: Seq[(Long, String)] = Seq(
+    (1L, "fast hash join"),
+    (2L, "stream window agg"),
+    (3L, "slow table scan"))
+
+  /** BM25 top-k keyword retrieval (Robertson–Spärck Jones; the Lucene
+    * `+1` idf variant so scores stay positive): per (query, doc),
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·len/avgdl))` with
+    * k1=1.2, b=0.75, ranked per query with doc_id tie-break.
+    *
+    * Engine-parity arithmetic (the q73 discipline): one libm `ln` per
+    * DISTINCT query term, micro-fixed-pointed (measure-zero boundary
+    * argument); the tf norm is made EXACT by clearing denominators —
+    * with k1=1.2, b=0.75, avgdl=L/N it equals 22·tf·L / (10·L·tf + 3·L
+    * + 9·len·N), all integers — so each term's contribution is one IEEE
+    * multiply+divide rounded to a micro long, and per-(query, doc)
+    * scores are order-invariant integer sums.
+    *
+    * Scale shape: tokens collapse to (doc, word) tf on ONE exchange; the
+    * query-term semi-join prunes that stream to the handful of scoring
+    * terms BEFORE df/idf work (never a full-vocabulary df pass — df for
+    * 9 words is countable from the pruned stream); doc lengths are a
+    * map-side-combined groupBy(doc_id); corpus totals and the idf table
+    * ride broadcasts. The only window is over ≤ |queries|·matched rows,
+    * partitioned by qid.
+    */
+  def bm25TopK(docs: DataFrame, queriesDf: DataFrame, k: Int = 10): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qterms = queriesDf.select($"qid", explode(split($"qtext", " ")).as("word"))
+    val tf = docs
+      .select($"doc_id", explode(words($"text")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val dlen = tf.groupBy($"doc_id").agg(sum($"tf").as("len"))
+    val stats = dlen.agg(count(lit(1)).as("n_docs"), sum($"len").as("l_total"))
+    val qtf = tf.join(broadcast(qterms.select($"word").distinct()), Seq("word"))
+    val idf = qtf.groupBy($"word").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select($"word", $"n_docs", $"l_total",
+        round(log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) * 1e6)
+          .cast("long").as("idf_micro"))
+    val contrib = qtf
+      .join(broadcast(idf), Seq("word"))
+      .join(dlen, Seq("doc_id"))
+      .join(broadcast(qterms), Seq("word"))
+      .select($"qid", $"doc_id",
+        round($"idf_micro" * (lit(22L) * $"tf" * $"l_total").cast("double")
+          / (lit(10L) * $"l_total" * $"tf" + lit(3L) * $"l_total"
+             + lit(9L) * $"len" * $"n_docs").cast("double"))
+          .cast("long").as("c_micro"))
+    val w = Window.partitionBy($"qid").orderBy($"s_micro".desc, $"doc_id".asc)
+    contrib.groupBy($"qid", $"doc_id").agg(sum($"c_micro").as("s_micro"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"qid", $"doc_id",
+        ($"s_micro".cast("double") / 1e6).as("score"), $"rk")
+  }
+
+  /** q95 — BM25 retrieval over `documents` for the fixed query set. */
+  def q95Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bm25TopK(
+      Tables.spreadBy(Tables.documents(spark, dir), "doc_id"),
+      bm25Queries.toDF("qid", "qtext"))
+      .orderBy($"qid", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_bm25" -> (q95Bm25 _),
     "q69_hash_classifier" -> (q69HashClassifier _),
     "q21_text_stats" -> (q21TextStats _),
     "q22_quality" -> (q22Quality _),
@@ -385,6 +457,29 @@ object TextOps {
        |  FROM qf)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q95_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, sum(len) AS l_total FROM dlen),
+        |q(qid, qtext) AS (VALUES
+        |  (1, 'fast hash join'), (2, 'stream window agg'), (3, 'slow table scan')),
+        |qterms AS (SELECT CAST(qid AS BIGINT) AS qid,
+        |  unnest(string_split(qtext, ' ')) AS word FROM q),
+        |qtf AS (SELECT tf.* FROM tf JOIN (SELECT DISTINCT word FROM qterms) t USING (word)),
+        |idf AS (SELECT word, n_docs, l_total,
+        |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_micro
+        |  FROM (SELECT word, count(*) AS df FROM qtf GROUP BY 1), stats),
+        |contrib AS (SELECT qid, doc_id,
+        |    CAST(round(idf_micro * CAST(22 * tf * l_total AS DOUBLE)
+        |      / CAST(10 * l_total * tf + 3 * l_total + 9 * len * n_docs AS DOUBLE)) AS BIGINT) AS c_micro
+        |  FROM qtf JOIN idf USING (word) JOIN dlen USING (doc_id) JOIN qterms USING (word)),
+        |sc AS (SELECT qid, doc_id, sum(c_micro) AS s_micro FROM contrib GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY s_micro DESC, doc_id ASC) AS rk FROM sc)
+        |SELECT qid, doc_id, CAST(s_micro AS DOUBLE) / 1e6 AS score, CAST(rk AS INT) AS rk
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "q86_heavy_hitters" ->
       s"""WITH words AS (
          |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),

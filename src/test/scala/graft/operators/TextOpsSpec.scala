@@ -90,4 +90,48 @@ class TextOpsSpec extends AnyFunSuite {
         lp >= math.log(minCw / nTotal) - 1e-6)
     }
   }
+
+  test("q95: BM25 scores equal a plain-Scala replay of the exact-rational spelling") {
+    import spark.implicits._
+    val out = TextOps.q95Bm25(spark, dir).collect()
+      .map(row => (row.getLong(0), row.getLong(1)) -> (row.getDouble(2), row.getInt(3))).toMap
+    // plain-Scala replay, same arithmetic: micro-fixed idf, exact-rational
+    // tf norm, integer sums
+    val tf = texts.map { case (id, toks) =>
+      id -> toks.groupBy(identity).map { case (w, ts) => w -> ts.size.toLong }
+    }
+    val dlen = tf.map { case (id, m) => id -> m.values.sum }
+    val nDocs = dlen.size.toLong
+    val lTotal = dlen.values.sum
+    val expected = TextOps.bm25Queries.flatMap { case (qid, qtext) =>
+      val terms = qtext.split(" ").toSeq
+      val idfMicro = terms.map { t =>
+        val df = tf.count(_._2.contains(t)).toLong
+        t -> JBigDecimal.valueOf(
+          math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0) * 1e6)
+          .setScale(0, RoundingMode.HALF_UP).longValue()
+      }.toMap
+      val scores = tf.toSeq.flatMap { case (id, m) =>
+        val sMicro = terms.flatMap { t =>
+          m.get(t).map { f =>
+            val num = (22L * f * lTotal).toDouble
+            val den = (10L * lTotal * f + 3L * lTotal + 9L * dlen(id) * nDocs).toDouble
+            JBigDecimal.valueOf(idfMicro(t) * num / den)
+              .setScale(0, RoundingMode.HALF_UP).longValue()
+          }
+        }.sum
+        if (sMicro != 0L || terms.exists(m.contains)) Some(id -> sMicro) else None
+      }
+      scores.sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex.map {
+        case ((id, s), i) => (qid, id) -> (s.toDouble / 1e6, i + 1)
+      }
+    }.toMap
+    assert(out == expected)
+    // ranks dense, scores non-increasing within each query
+    TextOps.bm25Queries.foreach { case (qid, _) =>
+      val rows = out.collect { case ((q, _), (s, rk)) if q == qid => (rk, s) }.toSeq.sorted
+      assert(rows.map(_._1) == (1 to rows.size))
+      assert(rows.map(_._2).reverse == rows.map(_._2).sorted)
+    }
+  }
 }
