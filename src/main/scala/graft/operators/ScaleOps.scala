@@ -207,6 +207,63 @@ object ScaleOps {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** q96 — gaps-and-islands: collapse each user's CONSECUTIVE same-type
+    * event runs into islands (start, end, length). The classic change-flag
+    * + running-sum spelling: `lag` marks type changes, the prefix sum
+    * numbers islands, one aggregate per island. The grouping key is
+    * (user_id, island) — derived, never content-wide.
+    *
+    * Scale shape: ONE exchange on user_id serves the lag window, the
+    * numbering window, and the final aggregate (all three are
+    * user_id-partitioned, so Catalyst plans a single Exchange; the
+    * aggregate combines map-side within the window's output partitions).
+    * Island ids are per-user ordinals — no global sequence, nothing
+    * driver-side.
+    */
+  def q96GapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .withColumn("chg",
+        when(lag($"event_type", 1).over(w).isNull
+          || lag($"event_type", 1).over(w) =!= $"event_type", 1).otherwise(0))
+      .withColumn("island", sum($"chg").over(run))
+      .groupBy($"user_id", $"island")
+      .agg(
+        first($"event_type").as("event_type"),
+        expr("min(ts) div 1000").as("start_us"),
+        expr("max(ts) div 1000").as("end_us"),
+        count(lit(1)).cast("int").as("n_events"))
+      .orderBy($"user_id", $"island")
+  }
+
+  /** q97 — cohort retention: users bucketed by first-seen epoch-week
+    * (cohort), distinct actives per (cohort, week offset). THE engagement
+    * rollup over an append-only event log.
+    *
+    * Scale shape: the (user, week) activity set collapses on one
+    * user-keyed exchange (distinct combines map-side); the per-user
+    * first-week aggregate reuses the same partitioning, and the final
+    * matrix is a count-distinct over the tiny (cohort, offset) key space.
+    * Nothing is windowed; at 100 TB this is three map-side-combining
+    * aggregates in a row.
+    */
+  def q97Retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weekly = Tables.events(spark, dir)
+      .select($"user_id", expr("ts div 604800000000000").as("week"))
+      .distinct()
+    val cohort = weekly.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    weekly.join(cohort, Seq("user_id"))
+      .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
   /** Quantile sketch next to the exact quantile — same shape as q36: the
     * sketches differ between engines, so the oracle-checked fact is the
     * exact median plus the CONTRACT that each engine's own approximation
@@ -408,6 +465,8 @@ object ScaleOps {
     "q36_approx_distinct" -> (q36ApproxDistinct _),
     "q93_hll_sketch" -> (q93HllSketch _),
     "q94_bloom_join" -> (q94BloomJoin _),
+    "q96_gaps_islands" -> (q96GapsIslands _),
+    "q97_retention" -> (q97Retention _),
     "q81_band_join" -> (q81BandJoin _),
     "q83_topk_per_group" -> (q83TopkPerGroup _),
     "q84_group_profile" -> (q84GroupProfile _),
@@ -466,6 +525,30 @@ object ScaleOps {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
+    "q96_gaps_islands" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id,
+        |    CASE WHEN LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |numbered AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM marked)
+        |SELECT user_id, CAST(island AS BIGINT) AS island, ANY_VALUE(event_type) AS event_type,
+        |  MIN(tsn) // 1000 AS start_us, MAX(tsn) // 1000 AS end_us,
+        |  CAST(COUNT(*) AS INT) AS n_events
+        |FROM numbered GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin,
+    "q97_retention" ->
+      """WITH weekly AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS week FROM events),
+        |cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM weekly JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q39_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, value,

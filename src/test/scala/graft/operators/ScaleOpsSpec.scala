@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-corpus semantics for the events-analytics additions (q96
+  * gaps-and-islands, q97 cohort retention): the DuckDB gate proves
+  * engine parity on the synthetic corpus; these prove the operators do
+  * the right thing on data where the interesting structure (broken
+  * runs, decaying cohorts) is planted and known.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  private val H = 3600000000000L // one hour in nanos
+  private val W = 604800000000000L // one week in nanos
+
+  /** Events staged through a temp dir so the operator runs its real read
+    * path (`Tables.events` normalizes ts at the boundary).
+    */
+  private def stage(rows: Seq[(Long, Long, Long, String, Double, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scaleops_events").toString
+    rows.toDF("event_id", "tsn", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_micros(expr("tsn div 1000")).as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q96: runs split exactly at type changes; island stats match the plant") {
+    // user 1: view view view | click | view view  → islands 3,1,2
+    // user 2: click | view | click                → islands 1,1,1
+    val rows = Seq(
+      (1L, 1L * H, 1L, "view", 1.0, ""), (2L, 2L * H, 1L, "view", 1.0, ""),
+      (3L, 3L * H, 1L, "view", 1.0, ""), (4L, 4L * H, 1L, "click", 1.0, ""),
+      (5L, 5L * H, 1L, "view", 1.0, ""), (6L, 6L * H, 1L, "view", 1.0, ""),
+      (7L, 1L * H, 2L, "click", 1.0, ""), (8L, 2L * H, 2L, "view", 1.0, ""),
+      (9L, 3L * H, 2L, "click", 1.0, ""))
+    val out = ScaleOps.q96GapsIslands(spark, stage(rows)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    val us = 3600000000L // hour in micros
+    assert(out == Map(
+      (1L, 1L) -> (("view", 1 * us, 3 * us, 3)),
+      (1L, 2L) -> (("click", 4 * us, 4 * us, 1)),
+      (1L, 3L) -> (("view", 5 * us, 6 * us, 2)),
+      (2L, 1L) -> (("click", 1 * us, 1 * us, 1)),
+      (2L, 2L) -> (("view", 2 * us, 2 * us, 1)),
+      (2L, 3L) -> (("click", 3 * us, 3 * us, 1))))
+  }
+
+  test("q96: a gapless same-type stream is ONE island regardless of time gaps") {
+    val rows = (0 until 5).map(i =>
+      ((i + 1).toLong, i.toLong * 50 * H, 7L, "view", 1.0, ""))
+    val out = ScaleOps.q96GapsIslands(spark, stage(rows)).collect()
+    assert(out.length == 1 && out(0).getInt(5) == 5)
+  }
+
+  test("q97: cohorts decay exactly as planted") {
+    // cohort week 0: users 1,2,3 — u1 active weeks 0,1,2; u2 weeks 0,1; u3 week 0
+    // cohort week 1: user 4 — active weeks 1,3
+    def ev(id: Long, week: Long, user: Long) = (id, week * W + H, user, "view", 1.0, "")
+    val rows = Seq(
+      ev(1, 0, 1), ev(2, 1, 1), ev(3, 2, 1),
+      ev(4, 0, 2), ev(5, 1, 2),
+      ev(6, 0, 3),
+      ev(7, 1, 4), ev(8, 3, 4))
+    val out = ScaleOps.q97Retention(spark, stage(rows)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 3L, (0L, 1L) -> 2L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L))
+  }
+
+  test("q96 plan: one exchange serves both windows and the island aggregate") {
+    val df = ScaleOps.q96GapsIslands(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges:\n$p")
+  }
+}
