@@ -49,7 +49,8 @@ object GraftFunctions {
       intLit(es(3), "bloom_count", "numHashes"))),
     "bloom_contains" -> (es => BloomContains(es(0), es(1),
       intLit(es(2), "bloom_contains", "numBits"),
-      intLit(es(3), "bloom_contains", "numHashes"))))
+      intLit(es(3), "bloom_contains", "numHashes"))),
+    "zorder2" -> (es => Zorder2(es(0), es(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

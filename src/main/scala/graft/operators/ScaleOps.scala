@@ -207,6 +207,70 @@ object ScaleOps {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Append the range-normalized Morton key: each coordinate is linearly
+    * scaled onto the full 16-bit grid from its global min/max (integer
+    * floor arithmetic, constant-degenerate columns pin to 0) BEFORE
+    * interleaving. The scaling is what makes Z-order work when the
+    * columns' ranges differ by orders of magnitude: interleaving RAW
+    * keys gives every high bit to the wide column and the curve
+    * degenerates to a single-column sort (measured in ZorderSpec) —
+    * the same reason production z-ordering (e.g. Delta OPTIMIZE ZORDER)
+    * range-partitions each column first. Cost: one tiny min/max
+    * aggregate broadcast alongside the corpus scan.
+    */
+  def withZval(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val mm = df.agg(
+      min(col(xCol)).as("zxmin"), max(col(xCol)).as("zxmax"),
+      min(col(yCol)).as("zymin"), max(col(yCol)).as("zymax"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("zx", when($"zxmax" === $"zxmin", 0L)
+        .otherwise(expr(s"(($xCol - zxmin) * 65535) div (zxmax - zxmin)")))
+      .withColumn("zy", when($"zymax" === $"zymin", 0L)
+        .otherwise(expr(s"(($yCol - zymin) * 65535) div (zymax - zymin)")))
+      .withColumn("zval", graft.functions.Zorder.zorder2($"zx", $"zy"))
+      .drop("zxmin", "zxmax", "zymin", "zymax", "zx", "zy")
+  }
+
+  /** Z-ordered write: sort by the range-normalized Morton interleave of
+    * two key columns ([[withZval]]) and range-partition into `numFiles`
+    * files. Every interleaved column keeps tight per-file min/max
+    * stats, so parquet row-group/file skipping works for predicates on
+    * EITHER key — the data-layout lever for a 100 TB fact table queried
+    * along more than one dimension. `ZorderSpec` measures per-file
+    * key-range width against a single-column sort layout.
+    */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String,
+      path: String, numFiles: Int = 8): Unit = {
+    import df.sparkSession.implicits._
+    withZval(df, xCol, yCol)
+      .repartitionByRange(numFiles, $"zval")
+      .sortWithinPartitions($"zval")
+      .drop("zval")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** q98 — Z-order locality profile over lineitem's (part, supp) plane:
+    * rows land in coarse Morton cells (zval >> 24: a 16×16 block of the
+    * 256×256 scaled grid), and each cell's aggregate shows the property
+    * the layout buys — a cell covers a TIGHT rectangle in BOTH raw
+    * dimensions at once (≈ range/16 each), which is what makes per-file
+    * stats selective after [[zorderWrite]]. Integer arithmetic end to
+    * end (scaling divisions are floor-exact, the spread is five mask
+    * ops), so the DuckDB oracle replays the whole key bit-identically.
+    */
+  def q98Zorder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withZval(Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey"), "l_partkey", "l_suppkey")
+      .groupBy(shiftright($"zval", 24).as("zcell"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min($"l_partkey").as("pmin"), max($"l_partkey").as("pmax"),
+        min($"l_suppkey").as("smin"), max($"l_suppkey").as("smax"))
+      .orderBy($"zcell")
+  }
+
   /** q96 — gaps-and-islands: collapse each user's CONSECUTIVE same-type
     * event runs into islands (start, end, length). The classic change-flag
     * + running-sum spelling: `lag` marks type changes, the prefix sum
@@ -467,6 +531,7 @@ object ScaleOps {
     "q94_bloom_join" -> (q94BloomJoin _),
     "q96_gaps_islands" -> (q96GapsIslands _),
     "q97_retention" -> (q97Retention _),
+    "q98_zorder" -> (q98Zorder _),
     "q81_band_join" -> (q81BandJoin _),
     "q83_topk_per_group" -> (q83TopkPerGroup _),
     "q84_group_profile" -> (q84GroupProfile _),
@@ -525,6 +590,21 @@ object ScaleOps {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
+    "q98_zorder" ->
+      s"""WITH mm AS (SELECT min(l_partkey) AS zxmin, max(l_partkey) AS zxmax,
+         |  min(l_suppkey) AS zymin, max(l_suppkey) AS zymax FROM lineitem),
+         |sc AS (SELECT l_partkey, l_suppkey,
+         |  CASE WHEN zxmax = zxmin THEN 0
+         |       ELSE ((l_partkey - zxmin) * 65535) // (zxmax - zxmin) END AS zx,
+         |  CASE WHEN zymax = zymin THEN 0
+         |       ELSE ((l_suppkey - zymin) * 65535) // (zymax - zymin) END AS zy
+         |  FROM lineitem, mm),
+         |z AS (SELECT l_partkey, l_suppkey,
+         |  ${graft.functions.ZorderOps.zorderSql("zx", "zy")} AS zval FROM sc)
+         |SELECT zval >> 24 AS zcell, COUNT(*) AS n_rows,
+         |  MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+         |  MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "q96_gaps_islands" ->
       """WITH marked AS (
         |  SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id,
