@@ -932,6 +932,34 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** q99 — EDIT-DISTANCE verification for the LSH candidate pairs: the
+    * third verifier next to Jaccard (q26/q66) and containment (q61).
+    * Shingle measures are blind to small in-token edits (a changed word
+    * breaks w shingles but moves Jaccard only slightly); character-level
+    * Levenshtein over a fixed 120-char prefix catches them, and the
+    * prefix cap bounds the O(len²) DP per pair — the production
+    * discipline for edit-verify at scale (full-text Levenshtein on two
+    * 100 KB documents is 10^10 cells; nobody runs that).
+    *
+    * Output per candidate pair: raw distance, normalized distance
+    * (÷ max prefix length, one IEEE division rounded at 6dp), and the
+    * near_dup verdict at 0.3. Plan shape: [[reunitePairs]] (role
+    * fan-out, AQE-chosen join), one codegen'd `levenshtein` per pair —
+    * work is |pairs|·120², never corpus².
+    */
+  def q99EditVerify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val prefs = Tables.documents(spark, dir)
+      .select($"doc_id", substring($"text", 1, 120).as("prefix"))
+    reunitePairs(lshCandidatePairs(spark, dir), prefs)
+      .select($"doc_a", $"doc_b",
+        levenshtein($"va.prefix", $"vb.prefix").cast("long").as("edit_dist"),
+        greatest(length($"va.prefix"), length($"vb.prefix")).cast("long").as("max_len"))
+      .withColumn("norm_dist", round($"edit_dist".cast("double") / $"max_len", 6))
+      .withColumn("near_dup", $"norm_dist" <= 0.3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** q64 — incremental dedup gate, the batch flavor of
     * [[graft.streaming.EventStream.neardupGate]]: a NEW batch of documents
     * (doc_id ≡ 0 mod 3 stands in for today's crawl) is admitted against
@@ -1029,6 +1057,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_edit_verify" -> (q99EditVerify _),
     "q61_containment" -> (q61Containment _),
     "q64_dedup_gate" -> (q64DedupGate _),
     "q66_sketch_calibration" -> (q66SketchCalibration _),
@@ -1284,6 +1313,23 @@ object Dedup {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q99_edit_verify" ->
+      s"""WITH $minhashBandsCtes,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.doc_id < b.doc_id),
+         |pref AS (SELECT doc_id, substring(text, 1, 120) AS prefix FROM documents),
+         |d AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(levenshtein(pa.prefix, pb.prefix) AS BIGINT) AS edit_dist,
+         |    CAST(greatest(length(pa.prefix), length(pb.prefix)) AS BIGINT) AS max_len
+         |  FROM pairs JOIN pref pa ON doc_a = pa.doc_id
+         |  JOIN pref pb ON doc_b = pb.doc_id)
+         |SELECT doc_a, doc_b, edit_dist, max_len,
+         |  round(CAST(edit_dist AS DOUBLE) / max_len, 6) AS norm_dist,
+         |  round(CAST(edit_dist AS DOUBLE) / max_len, 6) <= 0.3 AS near_dup
+         |FROM d ORDER BY doc_a, doc_b""".stripMargin,
     "q29_simhash" -> (simhashSqlFor(16) + " ORDER BY doc_id"),
     // connected components as a recursive min-label reachability closure
     // over the SAME band CTEs the q28 oracle uses: (doc, rep) ∈ cc when a

@@ -297,4 +297,29 @@ class DedupClusterSpec extends AnyFunSuite {
       assert(math.abs(cB - i.toDouble / sb.size) < 1e-6, s"containment_b ($a,$b)")
     }
   }
+
+  test("q99: distances equal a plain-Scala Levenshtein over the 120-char prefixes") {
+    val dir = "/root/testdata/sf0.001"
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val prefixes = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).take(120)).toMap
+    val out = Dedup.q99EditVerify(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val expected = lev(prefixes(a), prefixes(b)).toLong
+      assert(r.getLong(2) == expected, s"pair ($a,$b)")
+      assert(r.getLong(3) == math.max(prefixes(a).length, prefixes(b).length).toLong)
+      assert(r.getBoolean(5) == (r.getDouble(4) <= 0.3))
+    }
+  }
 }
