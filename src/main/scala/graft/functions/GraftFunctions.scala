@@ -25,6 +25,17 @@ object GraftFunctions {
       s"$fn: $arg must be an integer literal, got $other")
   }
 
+  private def numLit(e: Expression, fn: String, arg: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: java.math.BigDecimal, _) =>
+      v.doubleValue()
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+      v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a numeric literal, got $other")
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "portable_hash60" -> (es => PortableHash60(es.head)),
     "ddot" -> (es => DotProduct(es(0), es(1), exact = true)),
@@ -41,6 +52,12 @@ object GraftFunctions {
       HllSketchAgg(es(0), intLit(es(1), "hll_sketch", "p"))),
     "hll_merge" -> (es => HllMergeAgg(es.head)),
     "hll_est" -> (es => HllEstimate(es.head)),
+    "hist_sketch" -> (es => HistSketchAgg(es(0),
+      numLit(es(1), "hist_sketch", "lo"), numLit(es(2), "hist_sketch", "hi"),
+      intLit(es(3), "hist_sketch", "buckets"))),
+    "hist_merge" -> (es => HistMergeAgg(es.head)),
+    "hist_quantile" -> (es => HistQuantile(es(0),
+      numLit(es(1), "hist_quantile", "q"))),
     "bloom_positions" -> (es => BloomPositions(es(0),
       intLit(es(1), "bloom_positions", "numBits"),
       intLit(es(2), "bloom_positions", "numHashes"))),

@@ -53,6 +53,7 @@ final class HllBuffer(val p: Int) {
   }
 
   def mergeIn(other: HllBuffer): Unit = {
+    require(p == other.p, s"hll_merge: mixed precisions $p vs ${other.p}")
     var i = 0
     while (i < m) {
       if (other.registers(i) > registers(i)) registers(i) = other.registers(i)

@@ -92,6 +92,57 @@ object ScaleOps {
       .orderBy($"event_type")
   }
 
+  import graft.functions.HistSketch
+
+  /** The q100 grid geometry: events.value is a bounded metric; 4096
+    * cells over [0, 512) → 0.125 value resolution, 32 KB per sketch.
+    */
+  private val histLo = 0.0
+  private val histHi = 512.0
+  private val histBuckets = 4096
+
+  /** Per-(group, day) histogram sketch table — the quantile member of
+    * the persistable sketch warehouse (see [[buildUserSketches]] for the
+    * HLL twin and [[graft.functions.HistSketch]] for the guarantees).
+    */
+  def buildValueHists(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupBy($"event_type", expr("ts div 86400000000000").as("day"))
+      .agg(HistSketch.histSketch($"value", histLo, histHi, histBuckets).as("sketch"))
+  }
+
+  /** q100 — the histogram sketch family's contract query: per
+    * event_type, the exact interpolated median (the q41 cross-engine
+    * pair, rounded at 6dp), `p50_ok`/`p90_ok` (the sketch's quantile
+    * estimates within 4 bucket widths = 0.5 of the exact values), and
+    * `merge_ok` — per-day sketches merged with `hist_merge` are
+    * BIT-EQUAL to the one-shot sketch (vector addition is a function of
+    * the input multiset; same argument as q93's max-merge).
+    */
+  def q100HistSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val tol = 4.0 * (histHi - histLo) / histBuckets
+    val direct = events
+      .groupBy($"event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50_exact"),
+        expr("percentile(value, 0.9)").as("p90_exact"),
+        HistSketch.histSketch($"value", histLo, histHi, histBuckets).as("sk_direct"))
+    val merged = buildValueHists(events)
+      .groupBy($"event_type")
+      .agg(HistSketch.histMerge($"sketch").as("sk_merged"))
+    direct.join(merged, Seq("event_type"))
+      .select(
+        $"event_type",
+        round($"p50_exact", 6).as("p50_exact"),
+        (abs(HistSketch.histQuantile($"sk_direct", 0.5) - $"p50_exact") <= tol).as("p50_ok"),
+        (abs(HistSketch.histQuantile($"sk_direct", 0.9) - $"p90_exact") <= tol).as("p90_ok"),
+        ($"sk_merged" === $"sk_direct").as("merge_ok"))
+      .orderBy($"event_type")
+  }
+
   /** Bloom-pruned join (runtime-filter shape, spelled explicitly): the
     * selective dimension side's join keys fold into a 256 KB bitset
     * ([[graft.functions.BitsetOrAgg]] over the key's Bloom positions),
@@ -529,6 +580,7 @@ object ScaleOps {
     "q36_approx_distinct" -> (q36ApproxDistinct _),
     "q93_hll_sketch" -> (q93HllSketch _),
     "q94_bloom_join" -> (q94BloomJoin _),
+    "q100_hist_sketch" -> (q100HistSketch _),
     "q96_gaps_islands" -> (q96GapsIslands _),
     "q97_retention" -> (q97Retention _),
     "q98_zorder" -> (q98Zorder _),
@@ -590,6 +642,10 @@ object ScaleOps {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
+    "q100_hist_sketch" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS merge_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q98_zorder" ->
       s"""WITH mm AS (SELECT min(l_partkey) AS zxmin, max(l_partkey) AS zxmax,
          |  min(l_suppkey) AS zymin, max(l_suppkey) AS zymax FROM lineitem),
