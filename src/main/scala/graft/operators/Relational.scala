@@ -350,6 +350,41 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** q103 — set operations (INTERSECT / EXCEPT), the two relational
+    * algebra members q18's union left uncovered: the audience segments
+    * "viewed AND purchased" (intersect) and "clicked but NEVER
+    * purchased" (except), labeled and unioned. Both ops are distinct
+    * aggregates under the hood — one user_id exchange each, map-side
+    * combined; no joins.
+    */
+  def q103SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def users(t: String) = Tables.events(spark, dir)
+      .filter($"event_type" === t).select($"user_id").distinct()
+    val both = users("view").intersect(users("purchase"))
+      .withColumn("segment", lit("view_and_purchase"))
+    val lapsed = users("click").except(users("purchase"))
+      .withColumn("segment", lit("click_no_purchase"))
+    both.unionByName(lapsed).orderBy($"segment", $"user_id")
+  }
+
+  /** q104 — unpivot (wide → long): per-returnflag totals melted from
+    * columns into (metric, value) rows with the `stack` table generator,
+    * the inverse of q13's pivot. In-row fan-out — rows multiply by the
+    * metric count with no shuffle beyond the feeding aggregate.
+    */
+  def q104Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_price"))
+      .select($"l_returnflag",
+        expr("stack(2, 'sum_qty', sum_qty, 'sum_price', sum_price) AS (metric, value)"))
+      .orderBy($"l_returnflag", $"metric")
+  }
+
   /** Hourly tumbling-window aggregate (batch twin of the Structured
     * Streaming query in graft.streaming). `events.ts` arrives as epoch-nanos
     * LongType (see Sessions); the bucket is surfaced as epoch seconds.
@@ -364,6 +399,8 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_setops" -> (q103SetOps _),
+    "q104_unpivot" -> (q104Unpivot _),
     "q1_agg" -> (q1Agg _),
     "q2_topk" -> (q2TopK _),
     "q3_scalar" -> (q3Scalar _),
@@ -386,6 +423,27 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q103_setops" ->
+      """SELECT user_id, 'view_and_purchase' AS segment FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT user_id, 'click_no_purchase' AS segment FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY segment, user_id""".stripMargin,
+    "q104_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+        |ORDER BY l_returnflag, metric""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

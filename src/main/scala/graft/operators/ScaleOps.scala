@@ -379,6 +379,54 @@ object ScaleOps {
       .orderBy($"cohort_week", $"week_offset")
   }
 
+  /** q101 — rolling (trailing-5-row) aggregates per user: the moving
+    * count/sum/mean family over an ordered event stream, the ROWS
+    * BETWEEN window shape q15's lead/lag family doesn't cover. Sums run
+    * over DECIMAL inside the frame (exact, order-invariant) with the
+    * mean as one IEEE division rounded at 6dp — the dsum discipline
+    * applied to a sliding frame.
+    *
+    * Scale shape: one user_id exchange, one sort, one window pass; the
+    * frame is row-bounded so state per task is O(5), never O(history).
+    */
+  def q101Rolling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-4, 0)
+    Tables.events(spark, dir)
+      .withColumn("roll_n", count(lit(1)).over(w).cast("int"))
+      .withColumn("roll_sum",
+        sum($"value".cast(DecimalType(18, 2))).over(w).cast("double"))
+      .select($"user_id", $"event_id", expr("ts div 1000").as("ts_us"),
+        $"roll_n", $"roll_sum", round($"roll_sum" / $"roll_n", 6).as("roll_avg"))
+      .orderBy($"user_id", $"ts_us", $"event_id")
+  }
+
+  /** q102 — equi-depth decile histogram of the value distribution:
+    * ntile(10) over the (value, event_id)-ordered stream, then per-decile
+    * count/min/max/exact-sum. The rank-window family (ntile) next to the
+    * sketch spellings (q41 approx, q100 grid): exact boundaries, but the
+    * global sort is the price — at 100 TB you run q100's mergeable grid
+    * instead and keep this for bounded extracts. Tie-break by event_id
+    * makes the bucket assignment total and cross-engine deterministic.
+    */
+  def q102NtileHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"value", $"event_id")
+    Tables.events(spark, dir)
+      .select($"event_id", $"value")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"decile")
+      .agg(
+        count(lit(1)).as("n"),
+        min($"value").as("v_min"),
+        max($"value").as("v_max"),
+        Relational.dsum($"value").as("v_sum"))
+      .orderBy($"decile")
+  }
+
   /** Quantile sketch next to the exact quantile — same shape as q36: the
     * sketches differ between engines, so the oracle-checked fact is the
     * exact median plus the CONTRACT that each engine's own approximation
@@ -581,6 +629,8 @@ object ScaleOps {
     "q93_hll_sketch" -> (q93HllSketch _),
     "q94_bloom_join" -> (q94BloomJoin _),
     "q100_hist_sketch" -> (q100HistSketch _),
+    "q101_rolling" -> (q101Rolling _),
+    "q102_ntile_hist" -> (q102NtileHist _),
     "q96_gaps_islands" -> (q96GapsIslands _),
     "q97_retention" -> (q97Retention _),
     "q98_zorder" -> (q98Zorder _),
@@ -642,6 +692,24 @@ object ScaleOps {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
+    "q101_rolling" ->
+      """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+        |  CAST(COUNT(*) OVER w AS INT) AS roll_n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / CAST(COUNT(*) OVER w AS INT), 6) AS roll_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "q102_ntile_hist" ->
+      """WITH d AS (
+        |  SELECT event_id, value,
+        |    CAST(ntile(10) OVER (ORDER BY value, event_id) AS INT) AS decile
+        |  FROM events)
+        |SELECT decile, COUNT(*) AS n, MIN(value) AS v_min, MAX(value) AS v_max,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
     "q100_hist_sketch" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_exact,
         |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS merge_ok

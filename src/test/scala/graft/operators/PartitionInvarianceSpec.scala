@@ -44,7 +44,15 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // not), and A-ES selection (hash-u + total-order key)
     "q85_bloom_decontam" -> (() => TrainPrep.q85BloomDecontam(spark, dir)),
     "q86_heavy_hitters" -> (() => TextOps.q86HeavyHitters(spark, dir)),
-    "q87_weighted_sample" -> (() => TrainPrep.q87WeightedSample(spark, dir))
+    "q87_weighted_sample" -> (() => TrainPrep.q87WeightedSample(spark, dir)),
+    // round-8 second half: the sketch contracts (HLL max-merge, grid
+    // histogram vector-add — the emitted bools AND the underlying bytes
+    // must not move with partitioning), BM25's integer-sum scores, and
+    // the ntile global ranking
+    "q93_hll_sketch" -> (() => ScaleOps.q93HllSketch(spark, dir)),
+    "q100_hist_sketch" -> (() => ScaleOps.q100HistSketch(spark, dir)),
+    "q95_bm25" -> (() => TextOps.q95Bm25(spark, dir)),
+    "q102_ntile_hist" -> (() => ScaleOps.q102NtileHist(spark, dir))
   )
 
   private def runAt(parts: Int, fn: () => org.apache.spark.sql.DataFrame): Seq[String] = {
