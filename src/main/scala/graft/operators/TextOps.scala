@@ -324,12 +324,48 @@ object TextOps {
     */
   def bm25TopK(docs: DataFrame, queriesDf: DataFrame, k: Int = 10): DataFrame = {
     import docs.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val qterms = queriesDf.select($"qid", explode(split($"qtext", " ")).as("word"))
     val tf = docs
       .select($"doc_id", explode(words($"text")).as("word"))
       .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
     val dlen = tf.groupBy($"doc_id").agg(sum($"tf").as("len"))
+    bm25Score(tf, dlen, queriesDf, k)
+  }
+
+  /** Persistable inverted index for [[bm25FromIndex]]: one row per
+    * posting (word, doc_id, tf) with the document length denormalized
+    * alongside — a single parquet artifact from which corpus statistics
+    * (N, L) are re-derivable, so retrieval never touches raw text
+    * again. The text-retrieval member of the library's
+    * build-once/probe-many index family (LSH signatures, IVF cells,
+    * MinHash bands, chunk fingerprints, Bloom bitsets). Write it
+    * partitioned/bucketed by word and the per-query probe reads only
+    * the postings it scores.
+    */
+  def buildTextIndex(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tf = docs
+      .select($"doc_id", explode(words($"text")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    tf.join(tf.groupBy($"doc_id").agg(sum($"tf").as("len")), Seq("doc_id"))
+      .select($"word", $"doc_id", $"tf", $"len")
+  }
+
+  /** BM25 over a persisted [[buildTextIndex]] table — identical scores
+    * to [[bm25TopK]] (the spec pins the parquet round trip equal).
+    */
+  def bm25FromIndex(index: DataFrame, queriesDf: DataFrame, k: Int = 10): DataFrame = {
+    import index.sparkSession.implicits._
+    bm25Score(
+      index.select($"word", $"doc_id", $"tf"),
+      index.select($"doc_id", $"len").distinct(),
+      queriesDf, k)
+  }
+
+  private def bm25Score(tf: DataFrame, dlen: DataFrame,
+      queriesDf: DataFrame, k: Int): DataFrame = {
+    import tf.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qterms = queriesDf.select($"qid", explode(split($"qtext", " ")).as("word"))
     val stats = dlen.agg(count(lit(1)).as("n_docs"), sum($"len").as("l_total"))
     val qtf = tf.join(broadcast(qterms.select($"word").distinct()), Seq("word"))
     val idf = qtf.groupBy($"word").agg(count(lit(1)).as("df"))
@@ -363,8 +399,23 @@ object TextOps {
       .orderBy($"qid", $"rk")
   }
 
+  /** q105 — the same retrieval THROUGH the inverted-index path
+    * ([[buildTextIndex]] → [[bm25FromIndex]]): the oracle is q95's SQL
+    * verbatim — passing means the index artifact carries the full
+    * scoring state and the indexed path is score-identical to the
+    * from-text path.
+    */
+  def q105Bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bm25FromIndex(
+      buildTextIndex(Tables.spreadBy(Tables.documents(spark, dir), "doc_id")),
+      bm25Queries.toDF("qid", "qtext"))
+      .orderBy($"qid", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_bm25" -> (q95Bm25 _),
+    "q105_bm25_indexed" -> (q105Bm25Indexed _),
     "q69_hash_classifier" -> (q69HashClassifier _),
     "q21_text_stats" -> (q21TextStats _),
     "q22_quality" -> (q22Quality _),
@@ -456,8 +507,7 @@ object TextOps {
        |          CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END * 0.3, 6) AS quality_score
        |  FROM qf)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q95_bm25" ->
+  private val bm25OracleSql: String =
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -479,7 +529,11 @@ object TextOps {
         |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
         |    ORDER BY s_micro DESC, doc_id ASC) AS rk FROM sc)
         |SELECT qid, doc_id, CAST(s_micro AS DOUBLE) / 1e6 AS score, CAST(rk AS INT) AS rk
-        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q95_bm25" -> bm25OracleSql,
+    "q105_bm25_indexed" -> bm25OracleSql,
     "q86_heavy_hitters" ->
       s"""WITH words AS (
          |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),

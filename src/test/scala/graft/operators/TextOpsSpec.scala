@@ -134,4 +134,16 @@ class TextOpsSpec extends AnyFunSuite {
       assert(rows.map(_._2).reverse == rows.map(_._2).sorted)
     }
   }
+
+  test("q105: the parquet-persisted text index retrieves score-identical to the from-text path") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("text_index").toString
+    TextOps.buildTextIndex(graft.Tables.documents(spark, dir))
+      .write.mode("overwrite").parquet(idxDir)
+    val fromDisk = TextOps.bm25FromIndex(
+        spark.read.parquet(idxDir), TextOps.bm25Queries.toDF("qid", "qtext"))
+      .orderBy($"qid", $"rk").collect().map(_.toSeq).toSeq
+    val fromText = TextOps.q95Bm25(spark, dir).collect().map(_.toSeq).toSeq
+    assert(fromDisk == fromText && fromDisk.nonEmpty)
+  }
 }
