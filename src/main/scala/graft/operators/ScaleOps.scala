@@ -379,6 +379,40 @@ object ScaleOps {
       .orderBy($"cohort_week", $"week_offset")
   }
 
+  /** q106 — robust outlier detection (median/MAD): per event_type, the
+    * median and the median absolute deviation, then each event's robust
+    * z-score |v − med| / (1.4826·MAD) and an outlier verdict at 3.5
+    * (the Iglewicz–Hoaglin cutoff). The data-cleaning gate that
+    * mean/stddev can't be trusted for on heavy-tailed metrics — one
+    * contaminated batch moves a mean arbitrarily but moves a median
+    * not at all (breakdown point 50%).
+    *
+    * Engine parity: both medians are the exact interpolated percentile
+    * (the q41 cross-engine pair) rounded at 6dp; the z-score is two
+    * IEEE ops over rounded inputs, rounded again at 6dp. Output keeps
+    * only the outliers (plus per-type stats), so rows stay sparse.
+    *
+    * Scale shape: two percentile aggregates over the same event_type
+    * exchange, broadcast back; at 100 TB swap the exact percentile for
+    * the mergeable q100 grid sketch (the documented trade) — the gate's
+    * arithmetic is unchanged.
+    */
+  def q106MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val med = events.groupBy($"event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val mad = events.join(broadcast(med), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"),
+        first($"med").as("med"))
+    events.join(broadcast(mad), Seq("event_type"))
+      .withColumn("rz", round(abs($"value" - $"med") / (lit(1.4826) * $"mad"), 6))
+      .filter($"rz" > 3.5)
+      .select($"event_type", $"event_id", $"value", $"med", $"mad", $"rz")
+      .orderBy($"event_type", $"event_id")
+  }
+
   /** q101 — rolling (trailing-5-row) aggregates per user: the moving
     * count/sum/mean family over an ordered event stream, the ROWS
     * BETWEEN window shape q15's lead/lag family doesn't cover. Sums run
@@ -631,6 +665,7 @@ object ScaleOps {
     "q100_hist_sketch" -> (q100HistSketch _),
     "q101_rolling" -> (q101Rolling _),
     "q102_ntile_hist" -> (q102NtileHist _),
+    "q106_mad_outliers" -> (q106MadOutliers _),
     "q96_gaps_islands" -> (q96GapsIslands _),
     "q97_retention" -> (q97Retention _),
     "q98_zorder" -> (q98Zorder _),
@@ -692,6 +727,20 @@ object ScaleOps {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
+    "q106_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT event_type, round(quantile_cont(abs(value - med), 0.5), 6) AS mad,
+        |    ANY_VALUE(med) AS med
+        |  FROM events JOIN med USING (event_type) GROUP BY event_type),
+        |z AS (
+        |  SELECT event_type, event_id, value, med, mad,
+        |    round(abs(value - med) / (1.4826 * mad), 6) AS rz
+        |  FROM events JOIN mad USING (event_type))
+        |SELECT event_type, event_id, value, med, mad, rz FROM z
+        |WHERE rz > 3.5 ORDER BY event_type, event_id""".stripMargin,
     "q101_rolling" ->
       """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
         |  CAST(COUNT(*) OVER w AS INT) AS roll_n,
