@@ -370,6 +370,45 @@ object TrainPrep {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** q107 — the CHUNK-grain corpus pipeline (v3), ONE composed plan:
+    * (1) the q22 quality gate drops low-score documents BEFORE any
+    * token fan-out (cheapest first — the in-row score reads each doc
+    * once); (2) survivors chunk into q88's sliding windows (in-row);
+    * (3) chunk-grain exact dedup keeps each distinct window's first
+    * occurrence (q91's min-struct aggregate — cross-document
+    * boilerplate dies here); (4) the surviving chunk stream
+    * sequence-packs per language under the q50 budget convention.
+    * Every stage is individually oracled; the composition is oracled
+    * as one CTE chain. Beside q54 (document-grain, near-dup driven)
+    * and q74 (passage-grain, DSIR driven) this is the RAG/pretraining
+    * chunk path.
+    *
+    * Scale shape: score and chunk are in-row; dedup is one uniform-fp
+    * exchange with map-side combine; packing is one window over the
+    * (lang) key on already-narrow chunk rows. Nothing quadratic, no
+    * content-keyed window.
+    */
+  def q107CorpusPipelineV3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.spreadBy(Tables.documents(spark, dir), "doc_id")
+    val kept = docs
+      .filter(TextOps.qualityScoreExpr($"text", $"n_chars") >= 0.5)
+      .select($"doc_id", $"lang", split($"text", " ").as("toks"))
+    val survivors = chunkCore(kept)
+      .withColumn("fp", md5($"chunk_text"))
+      .groupBy($"fp")
+      .agg(min(struct($"doc_id", $"chunk_id", $"n_tok", $"lang")).as("first"))
+      .select($"first.doc_id".as("doc_id"), $"first.chunk_id".as("chunk_id"),
+        $"first.n_tok".as("n_tok"), $"first.lang".as("lang"))
+    val w = Window.partitionBy($"lang").orderBy($"doc_id", $"chunk_id")
+    survivors
+      .withColumn("start_off", sum($"n_tok").over(w) - $"n_tok")
+      .select($"doc_id", $"chunk_id", $"lang", $"n_tok",
+        floor($"start_off" / lit(packBudget.toDouble)).as("bin_id"),
+        ($"start_off" % packBudget).as("bin_offset"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   /** BUILD: the distinct chunk-fingerprint set of a reference corpus —
     * the narrow persistable artifact (one md5 string per distinct chunk)
     * the incremental chunk gate probes against; the chunk-grain member of
@@ -966,6 +1005,7 @@ object TrainPrep {
     "q79_dsir_sketch_contract" -> (q79DsirSketchContract _),
     "q54_corpus_pipeline" -> (q54CorpusPipeline _),
     "q74_corpus_pipeline_v2" -> (q74CorpusPipelineV2 _),
+    "q107_corpus_pipeline_v3" -> (q107CorpusPipelineV3 _),
     "q56_quality_survivor" -> (q56QualitySurvivor _)
   )
 
@@ -1169,6 +1209,34 @@ object TrainPrep {
          |FROM documents
          |WHERE $hashSql % 100 < CASE WHEN lang = 'en' THEN 20 ELSE 10 END
          |ORDER BY doc_id""".stripMargin,
+    "q107_corpus_pipeline_v3" ->
+      s"""WITH ${graft.operators.TextOps.qualityCtes},
+         |kept AS (
+         |  SELECT d.doc_id, d.lang, string_split(d.text, ' ') AS w
+         |  FROM documents d JOIN qscore q USING (doc_id)
+         |  WHERE q.quality_score >= 0.5),
+         |c AS (
+         |  SELECT doc_id, lang, len(w) AS n, w,
+         |    unnest(range(0, len(w), $chunkStride)) AS start_tok
+         |  FROM kept),
+         |ch AS (
+         |  SELECT doc_id, lang,
+         |    start_tok // $chunkStride AS chunk_id,
+         |    CAST(least($chunkTokens, n - start_tok) AS BIGINT) AS n_tok,
+         |    md5(array_to_string(w[start_tok + 1 : start_tok + $chunkTokens], ' ')) AS fp
+         |  FROM c),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, chunk_id) AS rk
+         |  FROM ch),
+         |s AS (SELECT doc_id, chunk_id, lang, n_tok FROM r WHERE rk = 1),
+         |p AS (
+         |  SELECT *, CAST(sum(n_tok) OVER (PARTITION BY lang
+         |    ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_off
+         |  FROM s)
+         |SELECT doc_id, chunk_id, lang, n_tok,
+         |  CAST(floor(start_off / ${packBudget}.0) AS BIGINT) AS bin_id,
+         |  start_off % $packBudget AS bin_offset
+         |FROM p ORDER BY doc_id, chunk_id""".stripMargin,
     "q50_seq_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, source,

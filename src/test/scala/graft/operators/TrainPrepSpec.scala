@@ -528,4 +528,36 @@ class TrainPrepSpec extends AnyFunSuite {
       }, s"scores not non-increasing for doc $id")
     }
   }
+
+  test("q107: v3 pipeline invariants — gate respected, chunks distinct, packing contiguous") {
+    import spark.implicits._
+    val out = TrainPrep.q107CorpusPipelineV3(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    // (1) every surviving chunk's document passed the q22 gate
+    val keep = TextOps.q22Quality(spark, dir).filter($"keep")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall { case (d, _, _, _, _, _) => keep(d) }, "gated doc leaked through")
+    // (2) surviving chunks are texturally distinct (replay the window text)
+    val toks = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val texts = out.map { case (d, c, _, _, _, _) =>
+      toks(d).slice((c * TrainPrep.chunkStride).toInt,
+        (c * TrainPrep.chunkStride).toInt + TrainPrep.chunkTokens).mkString(" ")
+    }
+    assert(texts.distinct.length == texts.length, "duplicate chunk text survived")
+    // (3) packing: per lang, offsets follow the running token sum and stay in budget
+    out.groupBy(_._3).foreach { case (lang, g) =>
+      val ordered = g.sortBy { case (d, c, _, _, _, _) => (d, c) }
+      var off = 0L
+      ordered.foreach { case (d, c, _, nTok, binId, binOff) =>
+        assert(binId == off / TrainPrep.packBudget && binOff == off % TrainPrep.packBudget,
+          s"pack drift at ($d,$c) in $lang")
+        assert(binOff >= 0 && binOff < TrainPrep.packBudget)
+        off += nTok
+      }
+    }
+  }
 }
