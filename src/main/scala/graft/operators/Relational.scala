@@ -385,6 +385,59 @@ object Relational {
       .orderBy($"l_returnflag", $"metric")
   }
 
+  /** MERGE INTO semantics as a composable operator: apply a typed
+    * changeset (op ∈ I/U/D keyed like the snapshot) to a snapshot in
+    * one full-outer join — matched 'U' rewrites, matched 'D' drops,
+    * unmatched 'I' inserts, untouched rows pass through. This is the
+    * CDC-apply / SCD-1 upsert a warehouse runs nightly; Spark has no
+    * MERGE over plain parquet (that's a Delta/Iceberg verb), so the
+    * join spelling IS the operator — and it scales as one co-keyed
+    * shuffle join (changeset side is usually small → AQE broadcasts
+    * it; the snapshot is never read twice).
+    */
+  def applyChangeSet(snapshot: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    import snapshot.sparkSession.implicits._
+    val dataCols = snapshot.columns.filterNot(_ == key)
+    val joined = snapshot.as("s").join(changes.as("c"),
+      col(s"s.$key") === col(s"c.$key"), "full_outer")
+    joined
+      .filter(!(col(s"c.op") <=> lit("D"))) // matched deletes drop
+      .filter(col(s"s.$key").isNotNull || col(s"c.op") === "I") // stray U/D ignored
+      .select(
+        coalesce(col(s"s.$key"), col(s"c.$key")).as(key) +:
+          dataCols.map { dc =>
+            when(col(s"c.op").isNotNull, col(s"c.$dc"))
+              .otherwise(col(s"s.$dc")).as(dc)
+          }: _*)
+  }
+
+  /** q108 — [[applyChangeSet]] driven by a deterministic changeset
+    * derived from orders: every ordering customer gets 'U' (account
+    * balance += their spend) except custkey % 10 == 0 which get 'D';
+    * custkey % 13 == 0 additionally spawn an 'I' under key + 1,000,000.
+    * The oracle replays the same FULL OUTER JOIN + CASE semantics —
+    * the merged snapshot must match row for row.
+    */
+  def q108MergeApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val spend = Tables.orders(spark, dir)
+      .groupBy($"o_custkey").agg(dsum($"o_totalprice").as("spend"))
+    val base = spend.join(cust, $"o_custkey" === $"c_custkey")
+    val upserts = base.select(
+      $"o_custkey".as("c_custkey"),
+      when($"o_custkey" % 10 === 0, "D").otherwise("U").as("op"),
+      $"c_name", $"c_nationkey",
+      round($"c_acctbal" + $"spend", 2).as("c_acctbal"), $"c_mktsegment")
+    val inserts = base.filter($"o_custkey" % 13 === 0).select(
+      ($"o_custkey" + 1000000L).as("c_custkey"), lit("I").as("op"),
+      concat(lit("NEW#"), $"o_custkey").as("c_name"),
+      ($"o_custkey" % 25).cast("int").as("c_nationkey"),
+      round($"spend", 2).as("c_acctbal"), lit("NEW").as("c_mktsegment"))
+    applyChangeSet(cust, upserts.unionByName(inserts), "c_custkey")
+      .orderBy($"c_custkey")
+  }
+
   /** Hourly tumbling-window aggregate (batch twin of the Structured
     * Streaming query in graft.streaming). `events.ts` arrives as epoch-nanos
     * LongType (see Sessions); the bucket is surfaced as epoch seconds.
@@ -401,6 +454,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_setops" -> (q103SetOps _),
     "q104_unpivot" -> (q104Unpivot _),
+    "q108_merge_apply" -> (q108MergeApply _),
     "q1_agg" -> (q1Agg _),
     "q2_topk" -> (q2TopK _),
     "q3_scalar" -> (q3Scalar _),
@@ -434,6 +488,35 @@ object Relational {
         |  EXCEPT
         |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
         |ORDER BY segment, user_id""".stripMargin,
+    "q108_merge_apply" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT * FROM spend JOIN customer ON o_custkey = c_custkey),
+        |ch AS (
+        |  SELECT o_custkey AS k,
+        |    CASE WHEN o_custkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    c_name, c_nationkey,
+        |    round(c_acctbal + spend, 2) AS c_acctbal, c_mktsegment
+        |  FROM base
+        |  UNION ALL
+        |  SELECT o_custkey + 1000000 AS k, 'I' AS op,
+        |    'NEW#' || CAST(o_custkey AS VARCHAR) AS c_name,
+        |    CAST(o_custkey % 25 AS INT) AS c_nationkey,
+        |    round(spend, 2) AS c_acctbal, 'NEW' AS c_mktsegment
+        |  FROM base WHERE o_custkey % 13 = 0),
+        |m AS (
+        |  SELECT coalesce(s.c_custkey, c.k) AS c_custkey,
+        |    CASE WHEN c.op IS NOT NULL THEN c.c_name ELSE s.c_name END AS c_name,
+        |    CASE WHEN c.op IS NOT NULL THEN c.c_nationkey ELSE s.c_nationkey END AS c_nationkey,
+        |    CASE WHEN c.op IS NOT NULL THEN c.c_acctbal ELSE s.c_acctbal END AS c_acctbal,
+        |    CASE WHEN c.op IS NOT NULL THEN c.c_mktsegment ELSE s.c_mktsegment END AS c_mktsegment,
+        |    c.op AS op, s.c_custkey AS sk
+        |  FROM customer s FULL OUTER JOIN ch c ON s.c_custkey = c.k)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM m
+        |WHERE (op IS DISTINCT FROM 'D') AND (sk IS NOT NULL OR op = 'I')
+        |ORDER BY c_custkey""".stripMargin,
     "q104_unpivot" ->
       """WITH wide AS (
         |  SELECT l_returnflag,

@@ -83,6 +83,21 @@ class ScaleOpsSpec extends AnyFunSuite {
       (1L, 0L) -> 1L, (1L, 2L) -> 1L))
   }
 
+  test("applyChangeSet: insert/update/delete/passthrough and stray ops, all pinned") {
+    import spark.implicits._
+    val snapshot = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (2L, "U", "b2", 25.0),  // update
+      (3L, "D", "", 0.0),     // delete
+      (9L, "I", "new9", 9.0), // insert
+      (7L, "U", "ghost", 0.0) // stray update on a missing key → ignored
+    ).toDF("k", "op", "name", "bal")
+    val out = Relational.applyChangeSet(snapshot, changes, "k")
+      .orderBy($"k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, "a", 10.0), (2L, "b2", 25.0), (9L, "new9", 9.0)))
+  }
+
   test("q96 plan: one exchange serves both windows and the island aggregate") {
     val df = ScaleOps.q96GapsIslands(spark, "/root/testdata/sf0.001")
     df.collect()
