@@ -379,6 +379,106 @@ object ScaleOps {
       .orderBy($"cohort_week", $"week_offset")
   }
 
+  /** q110 — population-stability-index drift monitor: split the event
+    * stream at its temporal midpoint, bin BOTH halves by the REFERENCE
+    * half's value deciles, and report per event_type
+    * `PSI = Σ_bins (p−q)·ln(p/q)` with Laplace smoothing
+    * ((n_bin+1)/(N+10) — empty bins stay finite) and the standard
+    * drifted-at-0.2 verdict. The monitoring twin of q106: MAD catches
+    * row-level outliers, PSI catches DISTRIBUTION movement between
+    * snapshots — the check an ML feature pipeline runs before trusting
+    * a new day's data.
+    *
+    * Engine parity: decile edges are exact interpolated percentiles
+    * rounded at 6dp (the q41 pair); bin assignment is exact comparison
+    * counting against those edges; each bin's PSI term takes one libm
+    * `ln` micro-rounded to a long (the q73 discipline), so the per-type
+    * sum is order-invariant integer arithmetic.
+    *
+    * Scale shape: one bounds aggregate broadcast; edges are a 5-row
+    * percentile aggregate over the reference half; binning is in-row
+    * against the broadcast edge array; counts collapse on the tiny
+    * (type, half, bin) key. The 10-bin grid is generated, not scanned,
+    * so empty bins cost nothing.
+    */
+  def q110PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val mid = events.agg(expr("(min(ts) + max(ts)) div 2").as("mid_ts"))
+    val tagged = events.crossJoin(broadcast(mid))
+      .select($"event_type", $"value", ($"ts" > $"mid_ts").as("cur"))
+    val edges = tagged.filter(!$"cur")
+      .groupBy($"event_type")
+      .agg(expr(
+        "transform(percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))," +
+          " e -> round(e, 6))").as("edges"))
+    val counts = tagged
+      .join(broadcast(edges), Seq("event_type"))
+      .withColumn("bin",
+        expr("aggregate(edges, 0, (acc, e) -> acc + CASE WHEN value >= e THEN 1 ELSE 0 END)"))
+      .groupBy($"event_type", $"bin")
+      .agg(
+        count(when(!$"cur", 1)).as("n_ref"),
+        count(when($"cur", 1)).as("n_cur"))
+    val totals = counts.groupBy($"event_type")
+      .agg(sum($"n_ref").as("t_ref"), sum($"n_cur").as("t_cur"))
+    val grid = edges.select($"event_type")
+      .crossJoin(spark.range(10).select($"id".cast("int").as("bin")))
+    val terms = grid
+      .join(counts, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .join(broadcast(totals), Seq("event_type"))
+      .select($"event_type",
+        (($"n_ref" + 1) / ($"t_ref" + 10)).as("p"),
+        (($"n_cur" + 1) / ($"t_cur" + 10)).as("q"))
+      .select($"event_type",
+        round(($"p" - $"q") * log($"p" / $"q") * 1e8).cast("long").as("term_micro"))
+    terms.groupBy($"event_type")
+      .agg((sum($"term_micro").cast("double") / 1e8).as("psi_raw"))
+      .select($"event_type", round($"psi_raw", 6).as("psi"),
+        ($"psi_raw" > 0.2).as("drifted"))
+      .orderBy($"event_type")
+  }
+
+  /** q109 — declarative data-quality constraint suite (the
+    * Deequ/expectation-test shape): each constraint is one aggregate
+    * over its table — key uniqueness (exact dup count), referential
+    * integrity (orphan count via anti-join), null counts, domain
+    * ranges — emitted as (constraint, metric, passed) rows. The gate a
+    * 100 TB ingest runs BEFORE publishing a partition: every check is
+    * a map-side-combining aggregate or a broadcast anti-join, the
+    * whole suite is one action, and the output is a tiny auditable
+    * fact table a scheduler can assert on.
+    */
+  def q109QualityChecks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val events = Tables.events(spark, dir)
+    def check(name: String, metric: DataFrame): DataFrame =
+      metric.select(lit(name).as("check_name"),
+        col("m").cast("long").as("metric"), (col("m") === 0).as("passed"))
+    val checks = Seq(
+      check("orders.o_orderkey unique",
+        orders.agg((count(lit(1)) - countDistinct($"o_orderkey")).as("m"))),
+      check("lineitem.(l_orderkey,l_linenumber) unique",
+        lineitem.agg((count(lit(1)) - countDistinct($"l_orderkey", $"l_linenumber")).as("m"))),
+      check("orders.o_custkey references customer",
+        orders.join(broadcast(customer.select($"c_custkey")),
+          $"o_custkey" === $"c_custkey", "left_anti").agg(count(lit(1)).as("m"))),
+      check("lineitem.l_orderkey references orders",
+        lineitem.join(orders.select($"o_orderkey"),
+          $"l_orderkey" === $"o_orderkey", "left_anti").agg(count(lit(1)).as("m"))),
+      check("orders.o_totalprice not null",
+        orders.agg(count(when($"o_totalprice".isNull, 1)).as("m"))),
+      check("lineitem.l_quantity in [1,50]",
+        lineitem.agg(count(when(!$"l_quantity".between(1, 50), 1)).as("m"))),
+      check("events.value positive",
+        events.agg(count(when($"value" <= 0, 1)).as("m"))))
+    checks.reduce(_ unionByName _).orderBy($"check_name")
+  }
+
   /** q106 — robust outlier detection (median/MAD): per event_type, the
     * median and the median absolute deviation, then each event's robust
     * z-score |v − med| / (1.4826·MAD) and an outlier verdict at 3.5
@@ -666,6 +766,8 @@ object ScaleOps {
     "q101_rolling" -> (q101Rolling _),
     "q102_ntile_hist" -> (q102NtileHist _),
     "q106_mad_outliers" -> (q106MadOutliers _),
+    "q109_quality_checks" -> (q109QualityChecks _),
+    "q110_psi_drift" -> (q110PsiDrift _),
     "q96_gaps_islands" -> (q96GapsIslands _),
     "q97_retention" -> (q97Retention _),
     "q98_zorder" -> (q98Zorder _),
@@ -727,6 +829,63 @@ object ScaleOps {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
+    "q110_psi_drift" ->
+      """WITH b AS (
+        |  SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS mid_ts FROM events),
+        |t AS (SELECT event_type, value, epoch_ns(ts) > mid_ts AS cur FROM events, b),
+        |e AS (SELECT event_type,
+        |    list_transform(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |      x -> round(x, 6)) AS edges
+        |  FROM t WHERE NOT cur GROUP BY 1),
+        |bi AS (SELECT t.event_type, cur,
+        |    len(list_filter(edges, x -> value >= x)) AS bin
+        |  FROM t JOIN e USING (event_type)),
+        |c AS (SELECT event_type, bin,
+        |    count(*) FILTER (NOT cur) AS n_ref, count(*) FILTER (cur) AS n_cur
+        |  FROM bi GROUP BY 1, 2),
+        |tot AS (SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM c GROUP BY 1),
+        |g AS (SELECT event_type, unnest(range(0, 10)) AS bin FROM e),
+        |pq AS (SELECT g.event_type,
+        |    (coalesce(n_ref, 0) + 1) / (t_ref + 10) AS p,
+        |    (coalesce(n_cur, 0) + 1) / (t_cur + 10) AS q
+        |  FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.bin = c.bin
+        |  JOIN tot ON g.event_type = tot.event_type),
+        |tm AS (SELECT event_type,
+        |    CAST(round((p - q) * ln(p / q) * 1e8) AS BIGINT) AS term_micro FROM pq),
+        |s AS (SELECT event_type, CAST(sum(term_micro) AS DOUBLE) / 1e8 AS psi_raw
+        |  FROM tm GROUP BY 1)
+        |SELECT event_type, round(psi_raw, 6) AS psi, psi_raw > 0.2 AS drifted
+        |FROM s ORDER BY event_type""".stripMargin,
+    "q109_quality_checks" ->
+      """SELECT * FROM (
+        |  SELECT 'orders.o_orderkey unique' AS check_name,
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS metric,
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey) = 0 AS passed FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem.(l_orderkey,l_linenumber) unique',
+        |    COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)),
+        |    COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) = 0 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey references customer', n, n = 0 FROM (
+        |    SELECT COUNT(*) AS n FROM orders
+        |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey references orders', n, n = 0 FROM (
+        |    SELECT COUNT(*) AS n FROM lineitem
+        |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |  UNION ALL
+        |  SELECT 'orders.o_totalprice not null',
+        |    COUNT(*) FILTER (o_totalprice IS NULL),
+        |    COUNT(*) FILTER (o_totalprice IS NULL) = 0 FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem.l_quantity in [1,50]',
+        |    COUNT(*) FILTER (l_quantity NOT BETWEEN 1 AND 50),
+        |    COUNT(*) FILTER (l_quantity NOT BETWEEN 1 AND 50) = 0 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events.value positive',
+        |    COUNT(*) FILTER (value <= 0),
+        |    COUNT(*) FILTER (value <= 0) = 0 FROM events)
+        |ORDER BY check_name""".stripMargin,
     "q106_mad_outliers" ->
       """WITH med AS (
         |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med

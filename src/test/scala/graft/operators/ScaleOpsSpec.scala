@@ -83,6 +83,57 @@ class ScaleOpsSpec extends AnyFunSuite {
       (1L, 0L) -> 1L, (1L, 2L) -> 1L))
   }
 
+  test("q109: clean corpus passes every constraint; planted violations are counted") {
+    import spark.implicits._
+    val clean = ScaleOps.q109QualityChecks(spark, "/root/testdata/sf0.001").collect()
+    assert(clean.length == 7)
+    // the synthetic generator does NOT enforce lineitem's compound key —
+    // the suite correctly reports that violation; every expectation below
+    // is recomputed directly so the spec asserts FACTS, not hopes
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val expectedDups = li.count() -
+      li.select($"l_orderkey", $"l_linenumber").distinct().count()
+    val byName = clean.map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(byName("lineitem.(l_orderkey,l_linenumber) unique") ==
+      ((expectedDups, expectedDups == 0L)))
+    byName.filterKeys(_ != "lineitem.(l_orderkey,l_linenumber) unique").foreach {
+      case (name, (m, passed)) => assert(m == 0L && passed, s"$name: $m")
+    }
+    // planted: two negative-value events in an otherwise clean copy
+    val dir = stage(Seq(
+      (1L, 1L * H, 1L, "view", -1.0, ""),
+      (2L, 2L * H, 1L, "view", -2.5, ""),
+      (3L, 3L * H, 2L, "view", 4.0, "")))
+    // copy the relational tables the other checks need
+    for (t <- Seq("orders", "lineitem", "customer")) {
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val planted = ScaleOps.q109QualityChecks(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(planted("events.value positive") == ((2L, false)))
+    assert(planted("orders.o_orderkey unique")._2)
+  }
+
+  test("q110: identical halves score ~0 PSI; a shifted half drifts") {
+    import spark.implicits._
+    // 400 events: first half values 0..99, second half identical → psi ~ 0
+    val same = (0 until 400).map(i =>
+      ((i + 1).toLong, i.toLong * H, 1L, "view", (i % 100).toDouble, ""))
+    val psiSame = ScaleOps.q110PsiDrift(spark, stage(same)).collect()
+    assert(psiSame.forall(r => !r.getAs[Boolean]("drifted") && r.getAs[Double]("psi") < 0.05),
+      psiSame.mkString(","))
+    // second half shifted +200 → every current row lands in the top bin
+    val drift = (0 until 400).map { i =>
+      val v = if (i < 200) (i % 100).toDouble else (i % 100).toDouble + 200.0
+      ((i + 1).toLong, i.toLong * H, 1L, "view", v, "")
+    }
+    val psiDrift = ScaleOps.q110PsiDrift(spark, stage(drift)).collect()
+    assert(psiDrift.forall(r => r.getAs[Boolean]("drifted") && r.getAs[Double]("psi") > 1.0),
+      psiDrift.mkString(","))
+  }
+
   test("applyChangeSet: insert/update/delete/passthrough and stray ops, all pinned") {
     import spark.implicits._
     val snapshot = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
