@@ -557,6 +557,49 @@ object Similarity {
       .select($"vec_id", $"cid", $"dist")
   }
 
+  /** q111 — embedding centroid drift: per label, the decimal-exact
+    * per-dimension mean of the even-vec_id half vs the odd-vec_id half
+    * (the q58 centroid discipline, 6dp-rounded), and the cosine between
+    * the two centroids — the monitoring check an embedding pipeline
+    * runs between snapshot versions (re-embedded corpus, new encoder
+    * checkpoint): centroids that stop agreeing mean the space moved.
+    * Beside q106 (row outliers) and q110 (scalar distributions) this
+    * completes the drift family on the vector column.
+    *
+    * Engine parity: means are decimal-exact sums over doubles rounded
+    * at 6dp; the cosine is one exact decimal dot over the ROUNDED
+    * centroids (the proven q58 product-cast spelling) with one sqrt +
+    * division at the end, rounded at 6dp.
+    *
+    * Scale shape: the only wide thing that moves is (label, half, pos,
+    * decimal) element rows into a map-side-combining mean aggregate;
+    * centroid pairs are |labels| rows. On the synthetic isotropic
+    * corpus both halves sample the same distribution, so cosines sit
+    * near 1 and `stable` is TRUE everywhere — the planted-drift spec
+    * exercises the detection direction.
+    */
+  def q111EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+      .select($"label", pmod($"vec_id", lit(2L)).as("half"),
+        posexplode($"embedding").as(Seq("pos", "x")))
+    val means = emb
+      .groupBy($"label", $"half", $"pos")
+      .agg(round(sum($"x".cast("double").cast("decimal(28,14)")).cast("double") /
+        count(lit(1)), 6).as("m"))
+    val cents = means.groupBy($"label", $"half")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+        s => s.getField("m")).as("ce"))
+      .select($"label", $"half", $"ce", dnorm2($"ce").as("nn"))
+    val a = cents.filter($"half" === 0).select($"label", $"ce".as("ce_a"), $"nn".as("nn_a"))
+    val b = cents.filter($"half" === 1).select($"label", $"ce".as("ce_b"), $"nn".as("nn_b"))
+    a.join(b, Seq("label"))
+      .select($"label",
+        round(ddot($"ce_a", $"ce_b") / sqrt($"nn_a" * $"nn_b"), 6).as("cos_sim"))
+      .withColumn("stable", $"cos_sim" >= 0.98)
+      .orderBy($"label")
+  }
+
   /** Cosine threshold for [[q62Semdedup]] — the family's near-dup bar. */
   val semdedupTau = 0.3
 
@@ -696,6 +739,7 @@ object Similarity {
     "q45_lsh_neardup" -> (q45LshNearDup _),
     "q55_int8_quant" -> (q55Int8Quant _),
     "q58_kmeans" -> (q58Kmeans _),
+    "q111_embedding_drift" -> (q111EmbeddingDrift _),
     "q89_random_projection" -> (q89RandomProjection _),
     "q90_proj_ann" -> (q90ProjAnn _)
   )
@@ -889,6 +933,32 @@ object Similarity {
          |SELECT v.vec_id,
          |  (v.vec_id IN (SELECT vec_b FROM dups)) AS is_dup
          |FROM (SELECT DISTINCT vec_id FROM embeddings) v ORDER BY vec_id""".stripMargin,
+    "q111_embedding_drift" ->
+      """WITH el AS (
+        |  SELECT label, vec_id % 2 AS half, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT label, half, i,
+        |    round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE)
+        |      / COUNT(*), 6) AS m
+        |  FROM el GROUP BY 1, 2, 3),
+        |nn AS (
+        |  SELECT label, half,
+        |    CAST(SUM(CAST(m * m AS DECIMAL(28,14))) AS DOUBLE) AS nn
+        |  FROM m GROUP BY 1, 2),
+        |d AS (
+        |  SELECT a.label,
+        |    CAST(SUM(CAST(a.m * b.m AS DECIMAL(28,14))) AS DOUBLE) AS dot
+        |  FROM m a JOIN m b ON a.label = b.label AND a.i = b.i
+        |  WHERE a.half = 0 AND b.half = 1 GROUP BY 1),
+        |c AS (
+        |  SELECT d.label, round(dot / sqrt(na.nn * nb.nn), 6) AS cos_sim
+        |  FROM d
+        |  JOIN nn na ON na.label = d.label AND na.half = 0
+        |  JOIN nn nb ON nb.label = d.label AND nb.half = 1)
+        |SELECT label, cos_sim, cos_sim >= 0.98 AS stable
+        |FROM c ORDER BY label""".stripMargin,
     "q58_kmeans" ->
       s"""WITH $kmeansAssign1Ctes,
          |m AS (

@@ -255,4 +255,33 @@ class SimilaritySpec extends AnyFunSuite {
     val p = approx.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(p.contains("partial_bounded_top_k"), s"coarse stage not the heap agg:\n$p")
   }
+
+  test("q111: identical halves cos=1; a flipped half reads as drift") {
+    import spark.implicits._
+    def stage(rows: Seq[(Long, Seq[Float], Int)]): String = {
+      val d = java.nio.file.Files.createTempDirectory("drift_emb").toString
+      rows.toDF("vec_id", "embedding", "label")
+        .select($"vec_id", $"embedding".cast("array<float>"), $"label".cast("int"))
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    val base = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => ((i % 7) + j).toFloat / 10f), 1)
+    }
+    // duplicate each vector at id*2 (even) and id*2+1 (odd): the two
+    // parity halves are identical by construction
+    val mirrored = base.flatMap { case (id, e, l) =>
+      Seq((id * 2, e, l), (id * 2 + 1, e, l))
+    }
+    val outSame = Similarity.q111EmbeddingDrift(spark, stage(mirrored)).collect()
+    assert(outSame.forall(r => r.getDouble(1) == 1.0 && r.getBoolean(2)),
+      outSame.mkString(","))
+    // odd half negated: centroids anti-parallel, cosine -1 → not stable
+    val flipped = base.flatMap { case (id, e, l) =>
+      Seq((id * 2, e, l), (id * 2 + 1, e.map(-_), l))
+    }
+    val outFlip = Similarity.q111EmbeddingDrift(spark, stage(flipped)).collect()
+    assert(outFlip.forall(r => r.getDouble(1) <= -0.99 && !r.getBoolean(2)),
+      outFlip.mkString(","))
+  }
 }
