@@ -379,6 +379,33 @@ object ScaleOps {
       .orderBy($"cohort_week", $"week_offset")
   }
 
+  /** q112 — hourly distinct users, the sketch warehouse at window
+    * grain: per (hour, event_type), the exact distinct count next to
+    * the HLL estimate's contract bool. The batch face of the streaming
+    * twin ([[graft.streaming.EventStream.hourlyDistinct]]): because the
+    * aggregate is [[graft.functions.HllSketchAgg]], the SAME query runs
+    * under a watermark in update mode, and its per-window sketch state
+    * is the 4 KB register array — bounded, mergeable, evictable. The
+    * exact `countDistinct` here exists only for the oracle; a streaming
+    * job cannot run it (unbounded per-window distinct state), which is
+    * the point of the sketch.
+    */
+  def q112HourlyDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(expr("ts div 3600000000000").as("hour_bucket"), $"event_type")
+      .agg(
+        countDistinct($"user_id").as("n_exact"),
+        Hll.hllSketch($"user_id").as("sk"))
+      .select($"hour_bucket", $"event_type", $"n_exact",
+        // 5% relative OR ±2 absolute: a tiny window holding a pair of
+        // register-colliding users must not read as a broken sketch —
+        // the relative promise only makes sense above ~50 distinct
+        (abs(Hll.hllEst($"sk") - $"n_exact") <=
+          greatest(lit(2L), ceil($"n_exact" * 0.05).cast("long"))).as("est_ok"))
+      .orderBy($"hour_bucket", $"event_type")
+  }
+
   /** q110 — population-stability-index drift monitor: split the event
     * stream at its temporal midpoint, bin BOTH halves by the REFERENCE
     * half's value deciles, and report per event_type
@@ -768,6 +795,7 @@ object ScaleOps {
     "q106_mad_outliers" -> (q106MadOutliers _),
     "q109_quality_checks" -> (q109QualityChecks _),
     "q110_psi_drift" -> (q110PsiDrift _),
+    "q112_hourly_distinct" -> (q112HourlyDistinct _),
     "q96_gaps_islands" -> (q96GapsIslands _),
     "q97_retention" -> (q97Retention _),
     "q98_zorder" -> (q98Zorder _),
@@ -829,6 +857,10 @@ object ScaleOps {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
+    "q112_hourly_distinct" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |  COUNT(DISTINCT user_id) AS n_exact, TRUE AS est_ok
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q110_psi_drift" ->
       """WITH b AS (
         |  SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS mid_ts FROM events),

@@ -51,6 +51,30 @@ object EventStream {
         col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Streaming twin of the q112 hourly distinct-user sketch: the HLL
+    * aggregate under a watermarked hourly window. This is the query the
+    * exact `countDistinct` CANNOT express in a stream (per-window
+    * distinct state is unbounded); the sketch's state is the 4 KB
+    * register array per open window, merged across micro-batches by
+    * register max and evicted at the watermark. The emitted sketch
+    * bytes are BIT-EQUAL to the batch build over the same data —
+    * max-merge is arrival-order invariant — which the spec pins.
+    */
+  def hourlyDistinct(spark: SparkSession, eventsDir: String): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    graft.Tables.withNanosTs(
+      spark.readStream.schema(schema).parquet(eventsDir))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(graft.functions.Hll.hllSketch(col("user_id")).as("sk"))
+      .select(
+        unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"),
+        graft.functions.Hll.hllEst(col("sk")).as("est_users"),
+        col("sk"))
+  }
+
   /** Session gap in nanoseconds (30 minutes). */
   val SessionGapNs: Long = 30L * 60 * 1000000000L
 

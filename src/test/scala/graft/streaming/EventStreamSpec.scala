@@ -54,6 +54,44 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hourly HLL distinct == batch sketch bytes and q112 counts on replay") {
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target/stream_hll"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val q = EventStream.hourlyDistinct(spark, dir.toString)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hourly_hll").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT bucket_start, event_type, est_users, sk FROM hourly_hll")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getAs[Array[Byte]](3).toSeq))).toMap
+      // batch twin over the same corpus: identical keys, identical BYTES
+      // (max-merge is arrival-order invariant), and the estimate honors
+      // the q112 contract against the exact count
+      import org.apache.spark.sql.functions._
+      val batch = graft.Tables.events(spark, sfDir)
+        .groupBy(expr("ts div 3600000000000").as("hb"), col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_exact"),
+          graft.functions.Hll.hllSketch(col("user_id")).as("sk"))
+        .collect()
+        .map(r => (r.getLong(0) * 3600L, r.getString(1)) ->
+          ((r.getLong(2), r.getAs[Array[Byte]](3).toSeq))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, (est, bytes)) =>
+        val (exact, batchBytes) = batch(k)
+        assert(bytes == batchBytes, s"sketch bytes diverged at $k")
+        assert(math.abs(est - exact).toDouble / math.max(exact, 1L) <= 0.05, s"est at $k")
+      }
+    } finally q.stop()
+  }
+
   test("streaming chunker == batch q88 on full replay (stateless in-row)") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createDirectories(
