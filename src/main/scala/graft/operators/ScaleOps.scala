@@ -379,6 +379,72 @@ object ScaleOps {
       .orderBy($"cohort_week", $"week_offset")
   }
 
+  /** Write–audit–publish: stage the frame next to the target, run the
+    * caller's audit (typically a [[q109QualityChecks]]-style constraint
+    * suite over the STAGED files — the bytes that would go live, not
+    * the plan that produced them), and only then swap the staging
+    * directory into place; a failing audit leaves the previous publish
+    * untouched and the staging dir behind for inspection. This is the
+    * publish discipline every 100 TB ingest needs: consumers never see
+    * a partition that hasn't passed its checks, and the swap is a
+    * directory rename, not a data copy. On object stores the rename
+    * becomes the catalog/manifest flip; the contract is the same.
+    */
+  def publishPartition(df: DataFrame, path: String)
+      (audit: DataFrame => Boolean): Boolean = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val staging = Paths.get(path + ".staging")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val staged = df.sparkSession.read.parquet(staging.toString)
+    if (!audit(staged)) false
+    else {
+      val target = Paths.get(path)
+      val old = Paths.get(path + ".old")
+      if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(old)) {
+        Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      true
+    }
+  }
+
+  /** q113 — one-pass column profile (the data-catalog staple): per
+    * column of `orders`, null count, distinct count, and numeric
+    * min/max (null for non-numeric columns — cross-engine string casts
+    * of doubles/timestamps are not portable, so the profile stays in
+    * the numeric domain). ONE scan computes every column's statistics
+    * as parallel aggregates; the per-column rows are unpivoted from
+    * that single aggregate row, so profiling N columns costs one pass,
+    * not N.
+    */
+  def q113ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+    val aggs = orders.columns.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct")) ++
+        (if (numeric(c))
+          Seq(min(col(c)).cast("double").as(s"${c}__min"),
+            max(col(c)).cast("double").as(s"${c}__max"))
+        else Nil)
+    }
+    val row = orders.agg(aggs.head, aggs.tail: _*)
+    val stacked = orders.columns.map { c =>
+      val mm =
+        if (numeric(c)) Seq(col(s"${c}__min"), col(s"${c}__max"))
+        else Seq(lit(null).cast("double"), lit(null).cast("double"))
+      row.select(lit(c).as("col_name"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        mm(0).as("min_num"), mm(1).as("max_num"))
+    }
+    stacked.reduce(_ unionByName _).orderBy($"col_name")
+  }
+
   /** q112 — hourly distinct users, the sketch warehouse at window
     * grain: per (hour, event_type), the exact distinct count next to
     * the HLL estimate's contract bool. The batch face of the streaming
@@ -796,6 +862,7 @@ object ScaleOps {
     "q109_quality_checks" -> (q109QualityChecks _),
     "q110_psi_drift" -> (q110PsiDrift _),
     "q112_hourly_distinct" -> (q112HourlyDistinct _),
+    "q113_column_profile" -> (q113ColumnProfile _),
     "q96_gaps_islands" -> (q96GapsIslands _),
     "q97_retention" -> (q97Retention _),
     "q98_zorder" -> (q98Zorder _),
@@ -857,6 +924,31 @@ object ScaleOps {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
+    "q113_column_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name,
+        |    COUNT(*) FILTER (o_orderkey IS NULL) AS n_nulls,
+        |    COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+        |    CAST(MAX(o_orderkey) AS DOUBLE) AS max_num FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*) FILTER (o_custkey IS NULL),
+        |    COUNT(DISTINCT o_custkey),
+        |    CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*) FILTER (o_orderstatus IS NULL),
+        |    COUNT(DISTINCT o_orderstatus), NULL, NULL FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*) FILTER (o_totalprice IS NULL),
+        |    COUNT(DISTINCT o_totalprice),
+        |    CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', COUNT(*) FILTER (o_orderdate IS NULL),
+        |    COUNT(DISTINCT o_orderdate), NULL, NULL FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(*) FILTER (o_orderpriority IS NULL),
+        |    COUNT(DISTINCT o_orderpriority), NULL, NULL FROM orders)
+        |ORDER BY col_name""".stripMargin,
     "q112_hourly_distinct" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
         |  COUNT(DISTINCT user_id) AS n_exact, TRUE AS est_ok

@@ -134,6 +134,26 @@ class ScaleOpsSpec extends AnyFunSuite {
       psiDrift.mkString(","))
   }
 
+  test("publishPartition: a failing audit never touches the live data") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("wap").toString + "/part"
+    val v1 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    assert(ScaleOps.publishPartition(v1, path)(_ => true))
+    assert(spark.read.parquet(path).count() == 2)
+    // bad batch: audit rejects → v1 stays live, staging left for inspection
+    val v2 = Seq((3L, -1.0)).toDF("k", "v")
+    assert(!ScaleOps.publishPartition(v2, path) { staged =>
+      staged.filter($"v" <= 0).isEmpty
+    })
+    assert(spark.read.parquet(path).count() == 2, "failed audit replaced live data!")
+    assert(new java.io.File(path + ".staging").exists, "staging evidence discarded")
+    // good batch publishes over v1 and cleans up
+    val v3 = Seq((4L, 1.0), (5L, 2.0), (6L, 3.0)).toDF("k", "v")
+    assert(ScaleOps.publishPartition(v3, path)(_ => true))
+    assert(spark.read.parquet(path).count() == 3)
+    assert(!new java.io.File(path + ".old").exists)
+  }
+
   test("applyChangeSet: insert/update/delete/passthrough and stray ops, all pinned") {
     import spark.implicits._
     val snapshot = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
