@@ -241,6 +241,46 @@ object ScaleOps {
       .orderBy($"priority", $"status")
   }
 
+  /** q114 — CUBE over (returnflag, linestatus): all four grouping
+    * combinations in one pass, each level tagged with its grouping id
+    * so consumers can tell "<all>" the label from an actual null. With
+    * q38's ROLLUP this completes the grouping-sets family; Spark plans
+    * one Expand + one aggregate — the corpus is scanned once for every
+    * level, not once per level.
+    */
+  def q114Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping_id($"l_returnflag", $"l_linestatus").cast("long").as("gid"),
+        count(lit(1)).as("n"), Relational.dsum($"l_quantity").as("total_qty"))
+      .select(
+        coalesce($"l_returnflag", lit("<all>")).as("returnflag"),
+        coalesce($"l_linestatus", lit("<all>")).as("linestatus"),
+        $"gid", $"n", $"total_qty")
+      .orderBy($"gid", $"returnflag", $"linestatus")
+  }
+
+  /** q115 — the remaining rank-window functions in one query: per
+    * event_type, each event's dense_rank / percent_rank / cume_dist
+    * over the (value, event_id) total order. The tie-break makes every
+    * rank cross-engine deterministic; the fractional ranks are single
+    * IEEE divisions rounded at 6dp. One exchange on event_type serves
+    * all three functions (same window spec).
+    */
+  def q115RankWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"value", $"event_id")
+    Tables.events(spark, dir)
+      .select($"event_type", $"event_id", $"value",
+        dense_rank().over(w).cast("long").as("drank"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy($"event_type", $"event_id")
+  }
+
   /** Batch sessionization surfaced through the gate (the stateful
     * streaming twin lives in graft.streaming.EventStream and is checked
     * for agreement in EventStreamSpec).
@@ -863,6 +903,8 @@ object ScaleOps {
     "q110_psi_drift" -> (q110PsiDrift _),
     "q112_hourly_distinct" -> (q112HourlyDistinct _),
     "q113_column_profile" -> (q113ColumnProfile _),
+    "q114_cube" -> (q114Cube _),
+    "q115_rank_windows" -> (q115RankWindows _),
     "q96_gaps_islands" -> (q96GapsIslands _),
     "q97_retention" -> (q97Retention _),
     "q98_zorder" -> (q98Zorder _),
@@ -924,6 +966,22 @@ object ScaleOps {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
+    "q114_cube" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+        |  coalesce(l_linestatus, '<all>') AS linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
+    "q115_rank_windows" ->
+      """SELECT event_type, event_id, value,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |  round(percent_rank() OVER w, 6) AS prank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, event_id""".stripMargin,
     "q113_column_profile" ->
       """SELECT * FROM (
         |  SELECT 'o_orderkey' AS col_name,
