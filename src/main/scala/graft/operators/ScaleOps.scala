@@ -450,6 +450,53 @@ object ScaleOps {
     }
   }
 
+  /** q116 — exact two-sample Kolmogorov–Smirnov drift test between the
+    * stream's temporal halves, per event_type: D = max_v |F_ref(v) −
+    * F_cur(v)| over the pooled support, with the 95% rejection bound
+    * 1.36·√((n+m)/(n·m)). The nonparametric sibling of q110's PSI —
+    * no bins, no smoothing, sensitive anywhere in the distribution.
+    *
+    * Engine parity: the ECDF difference is computed with CLEARED
+    * denominators — max over |cum_ref·m − cum_cur·n| as exact integer
+    * arithmetic, divided ONCE at the end — so D is deterministic to
+    * the last bit before its final 6dp round.
+    *
+    * Scale shape: one (type, value) pre-aggregate collapses ties
+    * map-side; the running sums are one window over the value order
+    * within each type; the max is an ordinary aggregate. Nothing but
+    * narrow count rows move.
+    */
+  def q116KsTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val mid = events.agg(expr("(min(ts) + max(ts)) div 2").as("mid_ts"))
+    val counts = events.crossJoin(broadcast(mid))
+      .groupBy($"event_type", $"value")
+      .agg(
+        count(when($"ts" <= $"mid_ts", 1)).as("c_ref"),
+        count(when($"ts" > $"mid_ts", 1)).as("c_cur"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"value")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val diffs = counts
+      .withColumn("cum_ref", sum($"c_ref").over(w))
+      .withColumn("cum_cur", sum($"c_cur").over(w))
+    val byType = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+    diffs
+      .withColumn("n_ref", sum($"c_ref").over(byType))
+      .withColumn("n_cur", sum($"c_cur").over(byType))
+      .withColumn("num", abs($"cum_ref" * $"n_cur" - $"cum_cur" * $"n_ref"))
+      .groupBy($"event_type")
+      .agg(first($"n_ref").as("n_ref"), first($"n_cur").as("n_cur"),
+        max($"num").as("num_max"))
+      .select($"event_type", $"n_ref", $"n_cur",
+        round($"num_max" / ($"n_ref" * $"n_cur"), 6).as("d_stat"),
+        ($"num_max" / ($"n_ref" * $"n_cur") >
+          lit(1.36) * sqrt(($"n_ref" + $"n_cur") / ($"n_ref" * $"n_cur")))
+          .as("drifted"))
+      .orderBy($"event_type")
+  }
+
   /** q113 — one-pass column profile (the data-catalog staple): per
     * column of `orders`, null count, distinct count, and numeric
     * min/max (null for non-numeric columns — cross-engine string casts
@@ -905,6 +952,7 @@ object ScaleOps {
     "q113_column_profile" -> (q113ColumnProfile _),
     "q114_cube" -> (q114Cube _),
     "q115_rank_windows" -> (q115RankWindows _),
+    "q116_ks_test" -> (q116KsTest _),
     "q96_gaps_islands" -> (q96GapsIslands _),
     "q97_retention" -> (q97Retention _),
     "q98_zorder" -> (q98Zorder _),
@@ -966,6 +1014,33 @@ object ScaleOps {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
+    "q116_ks_test" ->
+      """WITH b AS (
+        |  SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS mid_ts FROM events),
+        |c AS (
+        |  SELECT event_type, value,
+        |    count(*) FILTER (epoch_ns(ts) <= mid_ts) AS c_ref,
+        |    count(*) FILTER (epoch_ns(ts) > mid_ts) AS c_cur
+        |  FROM events, b GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type,
+        |    sum(c_ref) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS UNBOUNDED PRECEDING) AS cum_ref,
+        |    sum(c_cur) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS UNBOUNDED PRECEDING) AS cum_cur,
+        |    sum(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+        |    sum(c_cur) OVER (PARTITION BY event_type) AS n_cur
+        |  FROM c),
+        |m AS (
+        |  SELECT event_type, CAST(ANY_VALUE(n_ref) AS BIGINT) AS n_ref,
+        |    CAST(ANY_VALUE(n_cur) AS BIGINT) AS n_cur,
+        |    CAST(max(abs(cum_ref * n_cur - cum_cur * n_ref)) AS BIGINT) AS num_max
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_ref, n_cur,
+        |  round(num_max / (n_ref * n_cur), 6) AS d_stat,
+        |  num_max / (n_ref * n_cur) >
+        |    1.36 * sqrt((n_ref + n_cur) / (n_ref * n_cur)) AS drifted
+        |FROM m ORDER BY event_type""".stripMargin,
     "q114_cube" ->
       """SELECT coalesce(l_returnflag, '<all>') AS returnflag,
         |  coalesce(l_linestatus, '<all>') AS linestatus,

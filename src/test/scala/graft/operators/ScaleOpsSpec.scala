@@ -134,6 +134,31 @@ class ScaleOpsSpec extends AnyFunSuite {
       psiDrift.mkString(","))
   }
 
+  test("q116: KS statistic equals a plain-Scala ECDF replay; planted shift rejects") {
+    import spark.implicits._
+    // identical halves → D ~ 0 (tiny sampling noise), no rejection
+    val same = (0 until 400).map(i =>
+      ((i + 1).toLong, i.toLong * H, 1L, "view", (i % 100).toDouble, ""))
+    val outSame = ScaleOps.q116KsTest(spark, stage(same)).collect()
+    assert(outSame.forall(r => !r.getAs[Boolean]("drifted")), outSame.mkString(","))
+    // +50 shift in the second half → D = 0.5, far past the 95% bound
+    val drift = (0 until 400).map { i =>
+      val v = if (i < 200) (i % 100).toDouble else (i % 100).toDouble + 50.0
+      ((i + 1).toLong, i.toLong * H, 1L, "view", v, "")
+    }
+    val outDrift = ScaleOps.q116KsTest(spark, stage(drift)).collect()
+    assert(outDrift.forall(r => r.getAs[Boolean]("drifted")), outDrift.mkString(","))
+    // exact replay of D on the drifted corpus
+    val (ref, cur) = ((0 until 200).map(i => (i % 100).toDouble),
+      (200 until 400).map(i => (i % 100).toDouble + 50.0))
+    val pooled = (ref ++ cur).distinct.sorted
+    val dExact = pooled.map { v =>
+      math.abs(ref.count(_ <= v).toDouble / ref.size -
+        cur.count(_ <= v).toDouble / cur.size)
+    }.max
+    assert(math.abs(outDrift(0).getAs[Double]("d_stat") - dExact) <= 1e-6)
+  }
+
   test("publishPartition: a failing audit never touches the live data") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("wap").toString + "/part"
