@@ -450,6 +450,56 @@ object ScaleOps {
     }
   }
 
+  /** q117 — incremental aggregate maintenance (materialized-view
+    * refresh): a per-(event_type, day) partial-aggregate table carries
+    * count, decimal-exact sum, AND the HLL user sketch; the day the
+    * data grows, only the new day's partials are computed and the
+    * rollup is pure merge arithmetic — count/sum by addition, distinct
+    * by register max. The query runs BOTH paths (incremental:
+    * history-partials ∪ delta-partials → merge; direct: full rescan)
+    * and pins them against each other: counts and decimal sums equal
+    * EXACTLY (associativity), the sketch estimate within its contract.
+    * This is why every aggregate in the warehouse must be mergeable —
+    * at 100 TB the full-rescan path exists only as this oracle.
+    */
+  def q117IncrAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val withDay = events.withColumn("day", expr("ts div 86400000000000"))
+    val lastDay = withDay.agg(max($"day").as("last_day"))
+    val partials = withDay
+      .groupBy($"event_type", $"day")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 2))).as("tot"),
+        Hll.hllSketch($"user_id").as("sk"))
+    // the incremental path: history partials and the delta day's
+    // partials are SEPARATE subtrees (as they would be separate files),
+    // merged by pure aggregate arithmetic
+    val tagged = partials.crossJoin(broadcast(lastDay))
+    val history = tagged.filter($"day" < $"last_day")
+    val delta = tagged.filter($"day" === $"last_day")
+    val incr = history.unionByName(delta)
+      .groupBy($"event_type")
+      .agg(
+        sum($"n").as("n_incr"),
+        sum($"tot").as("tot_incr"),
+        Hll.hllMerge($"sk").as("sk_incr"))
+    val direct = events
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 2))).cast("double").as("total_value"),
+        countDistinct($"user_id").as("exact_users"),
+        Hll.hllSketch($"user_id").as("sk_direct"))
+    direct.join(incr, Seq("event_type"))
+      .select($"event_type", $"n_events", $"total_value", $"exact_users",
+        ($"n_incr" === $"n_events").as("count_ok"),
+        ($"tot_incr".cast("double") === $"total_value").as("total_ok"),
+        ($"sk_incr" === $"sk_direct").as("users_ok"))
+      .orderBy($"event_type")
+  }
+
   /** q116 — exact two-sample Kolmogorov–Smirnov drift test between the
     * stream's temporal halves, per event_type: D = max_v |F_ref(v) −
     * F_cur(v)| over the pooled support, with the 95% rejection bound
@@ -953,6 +1003,7 @@ object ScaleOps {
     "q114_cube" -> (q114Cube _),
     "q115_rank_windows" -> (q115RankWindows _),
     "q116_ks_test" -> (q116KsTest _),
+    "q117_incr_agg" -> (q117IncrAgg _),
     "q96_gaps_islands" -> (q96GapsIslands _),
     "q97_retention" -> (q97Retention _),
     "q98_zorder" -> (q98Zorder _),
@@ -1014,6 +1065,12 @@ object ScaleOps {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY priority, status""".stripMargin,
+    "q117_incr_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS count_ok, TRUE AS total_ok, TRUE AS users_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q116_ks_test" ->
       """WITH b AS (
         |  SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS mid_ts FROM events),
