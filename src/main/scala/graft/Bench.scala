@@ -88,18 +88,20 @@ object Bench {
     }.min
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def r3(v: Double) = f"$v%.3f"
+    def r2(v: Double) = f"$v%.2f"
     // the harness keeps only the LAST ~2000 chars of stdout: the reported
     // line must fit that window WHOLE or the artifact is head-truncated
-    // and unparseable (round 6's was). Two levers: per-query keys shrink
-    // to their unique qNN prefix, and timings round to milliseconds. The
-    // full-name full-precision map goes to target/bench_full.json for
+    // and unparseable (round 6's was). Three levers: per-query keys shrink
+    // to their unique qNN prefix, per-query timings round to centiseconds
+    // (at 123 queries the millisecond line would brush the window), and
+    // the full-name full-precision map goes to target/bench_full.json for
     // round-over-round diffing.
     val shortName: Map[String, String] = {
       val pref = names.map(n => n -> n.takeWhile(_ != '_')).toMap
       if (pref.values.toSet.size == names.size) pref
       else names.map(n => n -> n).toMap // prefix collision → keep full names
     }
-    val qs = results.map { case (k, v) => jstr(shortName(k)) + ":" + r3(v) }
+    val qs = results.map { case (k, v) => jstr(shortName(k)) + ":" + r2(v) }
       .mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(shortName(k)) + ":" + jstr(v.take(80)) }

@@ -58,6 +58,12 @@ object GraftFunctions {
     "hist_merge" -> (es => HistMergeAgg(es.head)),
     "hist_quantile" -> (es => HistQuantile(es(0),
       numLit(es(1), "hist_quantile", "q"))),
+    "cm_sketch" -> (es => CmSketchAgg(es(0),
+      intLit(es(1), "cm_sketch", "depth"), intLit(es(2), "cm_sketch", "width"))),
+    "cm_merge" -> (es => CmMergeAgg(es.head)),
+    "cm_query" -> (es => CmQuery(es(0), es(1))),
+    "kmv_sketch" -> (es =>
+      KmvAgg(es(0), intLit(es(1), "kmv_sketch", "k"))),
     "bloom_positions" -> (es => BloomPositions(es(0),
       intLit(es(1), "bloom_positions", "numBits"),
       intLit(es(2), "bloom_positions", "numHashes"))),

@@ -743,6 +743,119 @@ object ScaleOps {
       .orderBy($"event_type", $"event_id")
   }
 
+  /** q120 — q106's documented 100 TB trade, EXECUTED: the same robust
+    * median/MAD outlier gate with both cutoff statistics read from the
+    * mergeable q100 fixed-grid histogram sketch instead of the exact
+    * `percentile` (which buffers a whole event_type's values in one
+    * aggregation buffer — the same scale defect the DSIR threshold had
+    * before q79). Three passes over the events scan, each a map-side-
+    * combining 32 KB-per-type aggregate broadcast back: value sketch →
+    * median; residual sketch → MAD; gate. The exact gate (q106
+    * arithmetic, bit-identical) runs beside it ONLY as the audit.
+    *
+    * Oracle-pinned contract: `med_ok`/`mad_ok` (sketch statistics within
+    * one 4-cell grid tolerance of exact — the q100 bound), and `gate_ok`
+    * (the sketch gate and the exact gate disagree on at most 1% of rows
+    * + 2; a verdict can only flip inside the thin shell where the robust
+    * z-score straddles 3.5 under a sub-cell threshold shift). The grid
+    * sketch is deterministic and merge-order-invariant, so these are
+    * facts of the corpus, not flakes.
+    */
+  def q120MadSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val tol = 4.0 * (histHi - histLo) / histBuckets
+    val med = events.groupBy($"event_type").agg(
+      HistSketch.histQuantile(
+        HistSketch.histSketch($"value", histLo, histHi, histBuckets), 0.5).as("med_sk"),
+      round(expr("percentile(value, 0.5)"), 6).as("med_exact"))
+    val mad = events.join(broadcast(med), Seq("event_type"))
+      .groupBy($"event_type").agg(
+        HistSketch.histQuantile(
+          HistSketch.histSketch(abs($"value" - $"med_sk"), histLo, histHi, histBuckets),
+          0.5).as("mad_sk"),
+        round(expr("percentile(abs(value - med_exact), 0.5)"), 6).as("mad_exact"),
+        first($"med_sk").as("med_sk"), first($"med_exact").as("med_exact"))
+    events.join(broadcast(mad), Seq("event_type"))
+      .withColumn("out_sk",
+        abs($"value" - $"med_sk") / (lit(1.4826) * $"mad_sk") > 3.5)
+      .withColumn("out_exact",
+        round(abs($"value" - $"med_exact") / (lit(1.4826) * $"mad_exact"), 6) > 3.5)
+      .groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sum(when($"out_exact", 1L).otherwise(0L)).as("n_out_exact"),
+        first($"med_exact").as("med_exact"),
+        (abs(first($"med_sk") - first($"med_exact")) <= tol).as("med_ok"),
+        (abs(first($"mad_sk") - first($"mad_exact")) <= tol).as("mad_ok"),
+        (sum(when($"out_sk" =!= $"out_exact", 1L).otherwise(0L)) <=
+          lit(2L) + count(lit(1)) / lit(100L)).as("gate_ok"))
+      .orderBy($"event_type")
+  }
+
+  /** KMV sample size for q119: rel. std. error ≈ 1/√(k−2) ≈ 4.4%. */
+  val kmvK = 512
+
+  /** q119 — KMV/bottom-k distinct sketch with SET ALGEBRA, the capability
+    * [[graft.functions.HllSketchAgg]] cannot provide: because the sketch
+    * retains the k smallest distinct hashes themselves (a deterministic
+    * property of the data SET — partition- and merge-order-invariant),
+    * two snapshots' sketches compose by plain Catalyst array built-ins:
+    * bottom-k of the union is `slice(array_sort(array_union(a, b)), 1, k)`
+    * — provably equal to sketching the union directly, pinned bit-wise by
+    * `union_ok` — and the intersection estimate |K(A∪B) ∩ A ∩ B| / k ·
+    * |A∪B|̂ needs nothing beyond `array_intersect`. The deliverable is
+    * the 100 TB snapshot-overlap question — "how much of crawl B's
+    * vocabulary/URL space is already in crawl A?" — answered from two
+    * 4 KB sketches with NO join between the corpora; the exact
+    * distinct-join here is only the audit. est_* booleans pin each
+    * estimate within 15% (~3.4σ for k=512) of its exact count, and the
+    * estimator θ-inverts only when the sketch saturated (a short array
+    * IS its exact set, error zero).
+    *
+    * The two "snapshots" are the even/odd doc_id halves of `documents`;
+    * items are word hashes ([[graft.functions.PortableHash60]], uniform
+    * on [0, 2^60)).
+    */
+  def q119KmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Kmv, PortableHash60}
+    val H = math.pow(2.0, 60)
+    val w = Tables.documents(spark, dir)
+      .select((($"doc_id" % 2) === 0).as("in_a"), explode(split($"text", " ")).as("word"))
+      .withColumn("h", PortableHash60.portableHash60($"word"))
+    // one scan, one exchange on the word hash: per-word half membership;
+    // sketches + exact counts both derive from it
+    val perWord = w.groupBy($"h").agg(
+      max(when($"in_a", 1).otherwise(0)).as("a"),
+      max(when(!$"in_a", 1).otherwise(0)).as("b"))
+    val agg = perWord.agg(
+      Kmv.kmvSketch(when($"a" === 1, $"h"), kmvK).as("sk_a"),
+      Kmv.kmvSketch(when($"b" === 1, $"h"), kmvK).as("sk_b"),
+      Kmv.kmvSketch($"h", kmvK).as("sk_u"),
+      sum($"a").cast("long").as("n_a_exact"),
+      sum($"b").cast("long").as("n_b_exact"),
+      count(lit(1)).as("n_union_exact"),
+      sum($"a" * $"b").cast("long").as("n_inter_exact"))
+    def est(sk: org.apache.spark.sql.Column) =
+      when(size(sk) < kmvK, size(sk).cast("double"))
+        .otherwise(lit((kmvK - 1).toDouble * H) / element_at(sk, kmvK).cast("double"))
+    def relOk(e: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      abs(e - exact) / exact.cast("double") <= 0.15
+    agg
+      .withColumn("union_k", slice(array_sort(array_union($"sk_a", $"sk_b")), 1, kmvK))
+      .withColumn("est_u", est($"union_k"))
+      .withColumn("n_common",
+        size(array_intersect(array_intersect($"union_k", $"sk_a"), $"sk_b")))
+      .withColumn("est_inter", $"est_u" * $"n_common" / size($"union_k"))
+      .select(
+        $"n_a_exact", $"n_b_exact", $"n_union_exact", $"n_inter_exact",
+        ($"union_k" === $"sk_u").as("union_ok"),
+        relOk(est($"sk_a"), $"n_a_exact").as("est_a_ok"),
+        relOk(est($"sk_b"), $"n_b_exact").as("est_b_ok"),
+        relOk($"est_u", $"n_union_exact").as("est_u_ok"),
+        relOk($"est_inter", $"n_inter_exact").as("est_inter_ok"))
+  }
+
   /** q101 — rolling (trailing-5-row) aggregates per user: the moving
     * count/sum/mean family over an ordered event stream, the ROWS
     * BETWEEN window shape q15's lead/lag family doesn't cover. Sums run
@@ -996,6 +1109,8 @@ object ScaleOps {
     "q101_rolling" -> (q101Rolling _),
     "q102_ntile_hist" -> (q102NtileHist _),
     "q106_mad_outliers" -> (q106MadOutliers _),
+    "q119_kmv_overlap" -> (q119KmvOverlap _),
+    "q120_mad_sketch" -> (q120MadSketch _),
     "q109_quality_checks" -> (q109QualityChecks _),
     "q110_psi_drift" -> (q110PsiDrift _),
     "q112_hourly_distinct" -> (q112HourlyDistinct _),
@@ -1200,6 +1315,38 @@ object ScaleOps {
         |    COUNT(*) FILTER (value <= 0),
         |    COUNT(*) FILTER (value <= 0) = 0 FROM events)
         |ORDER BY check_name""".stripMargin,
+    "q119_kmv_overlap" ->
+      """WITH w AS (
+        |  SELECT doc_id % 2 = 0 AS in_a,
+        |    unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |p AS (
+        |  SELECT word,
+        |    max(CASE WHEN in_a THEN 1 ELSE 0 END) AS a,
+        |    max(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS b
+        |  FROM w GROUP BY 1)
+        |SELECT CAST(sum(a) AS BIGINT) AS n_a_exact,
+        |  CAST(sum(b) AS BIGINT) AS n_b_exact,
+        |  count(*) AS n_union_exact,
+        |  CAST(sum(a * b) AS BIGINT) AS n_inter_exact,
+        |  TRUE AS union_ok, TRUE AS est_a_ok, TRUE AS est_b_ok,
+        |  TRUE AS est_u_ok, TRUE AS est_inter_ok
+        |FROM p""".stripMargin,
+    "q120_mad_sketch" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT event_type, round(quantile_cont(abs(value - med), 0.5), 6) AS mad,
+        |    ANY_VALUE(med) AS med
+        |  FROM events JOIN med USING (event_type) GROUP BY event_type)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN round(abs(value - med) / (1.4826 * mad), 6) > 3.5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_exact,
+        |  ANY_VALUE(med) AS med_exact,
+        |  TRUE AS med_ok, TRUE AS mad_ok, TRUE AS gate_ok
+        |FROM events JOIN mad USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q106_mad_outliers" ->
       """WITH med AS (
         |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med

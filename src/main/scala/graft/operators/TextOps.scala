@@ -424,7 +424,8 @@ object TextOps {
     "q46_bpe_tokens" -> (q46BpeTokens _),
     "q59_repetition" -> (q59Repetition _),
     "q60_unigram_lm" -> (q60UnigramLm _),
-    "q86_heavy_hitters" -> (q86HeavyHitters _)
+    "q86_heavy_hitters" -> (q86HeavyHitters _),
+    "q118_cm_freq" -> (q118CmFreq _)
   )
 
   /** Sketch width for q86: the Misra–Gries guarantees kick in at true
@@ -483,6 +484,69 @@ object TextOps {
         coalesce($"recall_ok", lit(true)).as("recall_ok"),
         coalesce($"underest_ok", lit(true)).as("underest_ok"),
         coalesce($"err_ok", lit(true)).as("err_ok"))
+      .orderBy($"lang")
+  }
+
+  /** Count-min grid for q118: expected overcount per probe row is
+    * n_tokens/cmWidth; the min over cmDepth rows concentrates far below
+    * the audit bound.
+    */
+  val cmDepth = 4
+  val cmWidth = 4096
+
+  /** q118 — the count-min frequency sketch's contract oracle, the
+    * complement of q86's Misra–Gries: MG stores the heavy ITEMS, CM
+    * stores no items at all and answers point frequency for any item
+    * supplied at query time in fixed depth×width space. Per language,
+    * one pass builds the sketch ([[graft.functions.CmSketchAgg]]) next
+    * to the token count; the audit joins EVERY distinct word's exact
+    * count against its [[graft.functions.CmQuery]] estimate (sketches
+    * ride broadcast — one 128 KB row per language) and emits the CM
+    * guarantees as oracle-pinned booleans: `overest_ok` (a count-min
+    * estimate can never undercount — every counter an item touches got
+    * all its increments) and `err_ok` (max overcount within 8·N/w + 8,
+    * ~8× the expected collision mass — the Markov tail at depth 4 puts
+    * the minimum this high with probability ≪ 1e-4 per item; the hashes
+    * are fixed, so for a given corpus this is a deterministic fact, not
+    * a flake). `merge_ok` pins mergeability the strong way: per-source
+    * partial sketches [[graft.functions.CmMergeAgg]]-folded are
+    * BIT-EQUAL to the direct build — counter-wise addition is
+    * commutative, so unlike MG slot residue the sketch bytes are
+    * partition- and merge-order-invariant end to end.
+    *
+    * Why it matters at 100 TB: "how often does THIS phrase/URL/n-gram
+    * occur per stratum" over a Zipf vocabulary is a corpus-sized
+    * `groupBy(stratum, item)` exactly; the sketch answers from
+    * depth·width·8 bytes per stratum, builds map-side in one pass,
+    * re-aggregates across days/shards by pure addition (the q117
+    * discipline), and is streaming-legal. The exact side here exists
+    * only to audit at oracle scale.
+    */
+  def q118CmFreq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.CountMin
+    val w = Tables.documents(spark, dir)
+      .select($"lang", $"source", explode(words($"text")).as("word"))
+      .withColumn("h", graft.functions.PortableHash60.portableHash60($"word"))
+    val direct = w.groupBy($"lang").agg(
+      CountMin.cmSketch($"h", cmDepth, cmWidth).as("sk"),
+      count(lit(1)).as("n_tokens"))
+    val merged = w.groupBy($"lang", $"source")
+      .agg(CountMin.cmSketch($"h", cmDepth, cmWidth).as("part"))
+      .groupBy($"lang").agg(CountMin.cmMerge($"part").as("sk_merged"))
+    val exact = w.groupBy($"lang", $"word")
+      .agg(first($"h").as("h"), count(lit(1)).as("cnt"))
+    val audit = exact
+      .join(broadcast(direct), Seq("lang"))
+      .withColumn("est", CountMin.cmQuery($"sk", $"h"))
+      .groupBy($"lang").agg(
+        count(lit(1)).as("n_words"),
+        (min($"est" - $"cnt") >= 0L).as("overest_ok"),
+        (max($"est" - $"cnt") <=
+          lit(8L) + (lit(8L) * first($"n_tokens")) / lit(cmWidth)).as("err_ok"))
+    direct.join(merged, Seq("lang")).join(audit, Seq("lang"))
+      .select($"lang", $"n_tokens", $"n_words",
+        $"overest_ok", $"err_ok", ($"sk" === $"sk_merged").as("merge_ok"))
       .orderBy($"lang")
   }
 
@@ -548,6 +612,13 @@ object TextOps {
          |  CAST(coalesce(n_heavy_exact, 0) AS BIGINT) AS n_heavy_exact,
          |  TRUE AS recall_ok, TRUE AS underest_ok, TRUE AS err_ok
          |FROM n LEFT JOIN h ON n.lang = h.lang ORDER BY n.lang""".stripMargin,
+    "q118_cm_freq" ->
+      """WITH words AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+        |SELECT lang, count(*) AS n_tokens,
+        |  CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+        |  TRUE AS overest_ok, TRUE AS err_ok, TRUE AS merge_ok
+        |FROM words GROUP BY lang ORDER BY lang""".stripMargin,
     "q69_hash_classifier" ->
       s"""WITH w AS (
          |  SELECT CAST(k AS INT) AS k,

@@ -293,6 +293,44 @@ object TrainPrep {
       .orderBy($"doc_id")
   }
 
+  /** Per-stratum sample size for q121. */
+  val stratN = 20
+
+  /** q121 — deterministic stratified fixed-N sampling: exactly N docs per
+    * language stratum, selected by PORTABLE hash order (the top 52 bits
+    * of md5(doc_id) — `conv(substring(md5(..),1,13),16,10)`, replayable
+    * in any engine, exactly representable in a double). Hash-order
+    * selection is the reproducibility contract q49's Bernoulli sampler
+    * can't give: q49 keeps a FRACTION (per-stratum size is binomial,
+    * never exact), while audits, eval splits and human-annotation
+    * batches need "exactly N per stratum, same N docs on every engine
+    * and every re-run, no RNG state".
+    *
+    * Scale shape: selection is [[graft.functions.TopKAgg]] — the bounded
+    * heap reduces each partition to ≤ N rows per stratum BEFORE the
+    * exchange, so the shuffle carries O(N·strata·tasks) rows and no full
+    * per-stratum sort ever runs (the row_number spelling the oracle uses
+    * IS that sort on the DuckDB side, where it's fine at oracle scale).
+    * Ties are impossible in distinct 52-bit prefixes of distinct doc_ids
+    * at any plausible stratum size; the heap's (value desc, id asc)
+    * total order pins the result anyway.
+    */
+  def q121StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .withColumn("h",
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint)"))
+    docs.groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_stratum"),
+        graft.functions.TopK.topK($"h".cast("double"), $"doc_id", stratN).as("tk"))
+      .select($"lang", $"n_stratum", posexplode($"tk"))
+      .select($"lang", $"n_stratum",
+        ($"pos" + lit(1)).cast("long").as("rank"),
+        $"col.event_id".as("doc_id"))
+      .orderBy($"lang", $"rank")
+  }
+
   /** Chunk geometry for q88: window of 128 tokens advancing by 96 (32
     * tokens of overlap — context continuity across chunk boundaries).
     */
@@ -996,6 +1034,7 @@ object TrainPrep {
     "q52_contamination" -> (q52Contamination _),
     "q85_bloom_decontam" -> (q85BloomDecontam _),
     "q87_weighted_sample" -> (q87WeightedSample _),
+    "q121_stratified_sample" -> (q121StratifiedSample _),
     "q88_chunk_docs" -> (q88ChunkDocs _),
     "q91_chunk_dedup" -> (q91ChunkDedup _),
     "q92_chunk_gate" -> (q92ChunkGate _),
@@ -1282,6 +1321,19 @@ object TrainPrep {
         |  round(CAST(count(*) AS DOUBLE) / any_value(n_shingles), 6) AS contamination
         |FROM corpus WHERE sh_h IN (SELECT sh_h FROM bench)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q121_stratified_sample" ->
+      s"""WITH h AS (
+         |  SELECT lang, doc_id,
+         |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hv
+         |  FROM documents),
+         |n AS (SELECT lang, count(*) AS n_stratum FROM h GROUP BY 1),
+         |r AS (
+         |  SELECT lang, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv DESC, doc_id) AS rn
+         |  FROM h)
+         |SELECT r.lang, n_stratum, CAST(rn AS BIGINT) AS rank, doc_id
+         |FROM r JOIN n ON r.lang = n.lang
+         |WHERE rn <= $stratN ORDER BY r.lang, rank""".stripMargin,
     "q87_weighted_sample" ->
       s"""WITH ${TextOps.qualityCtes},
          |s AS (
