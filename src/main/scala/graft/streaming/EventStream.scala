@@ -75,6 +75,34 @@ object EventStream {
         col("sk"))
   }
 
+  /** Streaming twin of the q118 count-min build at window grain: per
+    * (hour, event_type), the CM sketch of user activity under the same
+    * 2-hour watermark. The exact formulation — `groupBy(window, type,
+    * user)` — keys state on the USER dimension and grows without bound;
+    * the sketch holds one fixed depth×width grid per open window,
+    * merged across micro-batches by counter addition and evicted at the
+    * watermark. Addition commutes, so the emitted bytes are BIT-EQUAL
+    * to the batch build on replay whatever the arrival order — the spec
+    * pins that, plus the no-undercount guarantee against exact batch
+    * counts ([[graft.functions.CmOps]]). Any key's hourly frequency is
+    * then `cm_query(sk, hash)` at read time — items never stored.
+    */
+  def hourlyFreqSketch(spark: SparkSession, eventsDir: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    graft.Tables.withNanosTs(
+      spark.readStream.schema(schema).parquet(eventsDir))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(graft.functions.CountMin.cmSketch(
+        graft.functions.PortableHash60.portableHash60(
+          col("user_id").cast("string")), depth, width).as("sk"))
+      .select(
+        unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"), col("sk"))
+  }
+
   /** Session gap in nanoseconds (30 minutes). */
   val SessionGapNs: Long = 30L * 60 * 1000000000L
 

@@ -92,6 +92,53 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hourly CM sketch == batch bytes on replay; never undercounts") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target/stream_cm"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val q = EventStream.hourlyFreqSketch(spark, dir.toString)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hourly_cm").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT bucket_start, event_type, sk FROM hourly_cm")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getAs[Array[Byte]](2).toSeq)
+        .toMap
+      // batch twin: identical window keys, identical BYTES (counter
+      // addition is arrival-order invariant)
+      val hashed = graft.Tables.events(spark, sfDir)
+        .withColumn("h", graft.functions.PortableHash60
+          .portableHash60(col("user_id").cast("string")))
+      val batch = hashed
+        .groupBy(expr("ts div 3600000000000").as("hb"), col("event_type"))
+        .agg(graft.functions.CountMin.cmSketch(col("h"), 4, 1024).as("sk"))
+        .collect()
+        .map(r => (r.getLong(0) * 3600L, r.getString(1)) ->
+          r.getAs[Array[Byte]](2).toSeq).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, bytes) =>
+        assert(bytes == batch(k), s"sketch bytes diverged at $k")
+      }
+      // the probe side holds the CM guarantee against exact hourly counts
+      val exact = hashed
+        .groupBy(expr("ts div 3600000000000").as("hb"), col("event_type"), col("h"))
+        .agg(count(lit(1)).as("cnt"))
+        .limit(200).collect()
+      exact.foreach { r =>
+        val key = (r.getLong(0) * 3600L, r.getString(1))
+        val est = graft.functions.CmOps.query(
+          streamed(key).toArray, r.getLong(2))
+        assert(est >= r.getLong(3), s"undercount at $key")
+      }
+    } finally q.stop()
+  }
+
   test("streaming chunker == batch q88 on full replay (stateless in-row)") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createDirectories(
