@@ -52,7 +52,14 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q93_hll_sketch" -> (() => ScaleOps.q93HllSketch(spark, dir)),
     "q100_hist_sketch" -> (() => ScaleOps.q100HistSketch(spark, dir)),
     "q95_bm25" -> (() => TextOps.q95Bm25(spark, dir)),
-    "q102_ntile_hist" -> (() => ScaleOps.q102NtileHist(spark, dir))
+    "q102_ntile_hist" -> (() => ScaleOps.q102NtileHist(spark, dir)),
+    // round-9: CM grid vector-add, KMV bottom-k set, grid-sketch MAD
+    // gate, and bounded-heap stratified selection — all must emit the
+    // same rows whatever the exchange layout
+    "q118_cm_freq" -> (() => TextOps.q118CmFreq(spark, dir)),
+    "q119_kmv_overlap" -> (() => ScaleOps.q119KmvOverlap(spark, dir)),
+    "q120_mad_sketch" -> (() => ScaleOps.q120MadSketch(spark, dir)),
+    "q121_stratified_sample" -> (() => TrainPrep.q121StratifiedSample(spark, dir))
   )
 
   private def runAt(parts: Int, fn: () => org.apache.spark.sql.DataFrame): Seq[String] = {

@@ -310,4 +310,27 @@ class PlanSpec extends AnyFunSuite {
       s"bucket join not keyed on band columns:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
   }
+
+  test("q121: stratified selection is a bounded-heap aggregate — no Window, no per-stratum sort") {
+    val p = plan(TrainPrep.q121StratifiedSample(spark, dir))
+    assert(!p.contains("Window"), s"selection regressed to a window sort:\n$p")
+    assert(p.contains("bounded_top_k"), s"bounded top-k aggregate absent:\n$p")
+    // the only Sort is the final display orderBy, above the aggregate
+    assert(p.linesIterator.count(_.trim.startsWith("Sort ")) <= 1,
+      s"extra sort below the selection:\n$p")
+  }
+
+  test("q120: the sketch gate's cutoffs broadcast back — no stratum-sized exchange of values") {
+    val p = plan(ScaleOps.q120MadSketch(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"cutoff join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
+  }
+
+  test("q119: sketches and exact audit ride one hash-keyed aggregate, no join between corpora") {
+    val df = ScaleOps.q119KmvOverlap(spark, dir)
+    val p = plan(df)
+    // the overlap answer involves NO join at all: one groupBy(h) pass
+    // then a single global aggregate
+    assert(!p.contains("Join"), s"a join crept into the sketch-overlap plan:\n$p")
+  }
 }
