@@ -990,6 +990,49 @@ object ScaleOps {
       .orderBy($"user_id")
   }
 
+  /** q122 attribution window: views count toward a click for 30 minutes. */
+  val AttrWindowUs: Long = 1800L * 1000000L
+
+  /** q122 — KEYED interval join, the per-entity sibling of q81's keyless
+    * band join: for every click, ALL views by the SAME user in the
+    * preceding 30 minutes (count + most recent view time) — the
+    * attribution / feature-window shape, and the general form of what
+    * q42's as-of join (latest single match) and q57's funnel (first
+    * match per stage) specialize.
+    *
+    * Plan shape: the range predicate alone would leave Catalyst a
+    * per-user cross product (quadratic in a hot user's events). Adding
+    * the derived equi-key `epoch = time div window` reduces it to a
+    * hash join on (user_id, epoch) — each click probes exactly two
+    * epochs (its own and the previous), the residual range filter runs
+    * post-join, and candidate volume is bounded by per-(user, epoch)
+    * density, never per-user history. Both sides shuffle once on the
+    * composite key; AQE's skew split handles a hot (user, epoch). The
+    * same derived-key discipline as q81, with the key prepended — and
+    * unlike q81 it stays valid in Structured Streaming's stream-stream
+    * join, which REQUIRES an equality component.
+    */
+  def q122IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", expr("ts div 1000").as("c_us"))
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", expr("ts div 1000").as("v_us"))
+      .withColumn("epoch", expr(s"v_us div $AttrWindowUs"))
+    val probes = clicks
+      .withColumn("e0", expr(s"c_us div $AttrWindowUs"))
+      .withColumn("epoch", explode(array($"e0" - 1, $"e0")))
+    val hits = probes.join(views, Seq("user_id", "epoch"))
+      .filter($"v_us" >= $"c_us" - AttrWindowUs && $"v_us" < $"c_us")
+      .groupBy($"event_id")
+      .agg(count(lit(1)).as("n_views"), max($"v_us").as("last_v_us"))
+    clicks.join(hits, Seq("event_id"), "left")
+      .select($"event_id", $"user_id", $"c_us",
+        coalesce($"n_views", lit(0L)).as("n_views"), $"last_v_us")
+      .orderBy($"event_id")
+  }
+
   /** Half-width of the q81 time band: ±5 minutes, in microseconds. */
   val BandUs: Long = 300L * 1000000L
 
@@ -1123,6 +1166,7 @@ object ScaleOps {
     "q97_retention" -> (q97Retention _),
     "q98_zorder" -> (q98Zorder _),
     "q81_band_join" -> (q81BandJoin _),
+    "q122_interval_join" -> (q122IntervalJoin _),
     "q83_topk_per_group" -> (q83TopkPerGroup _),
     "q84_group_profile" -> (q84GroupProfile _),
     "q37_salted_join" -> (q37SaltedJoin _),
@@ -1455,6 +1499,17 @@ object ScaleOps {
         |ORDER BY e.event_id""".stripMargin,
     // the oracle states the SEMANTICS as the naive inequality join the
     // operator refuses to run at scale (DuckDB plans it as an IEJoin)
+    "q122_interval_join" ->
+      s"""WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS c_us FROM events
+         |           WHERE event_type = 'click'),
+         |v AS (SELECT user_id, epoch_us(ts) AS v_us FROM events
+         |      WHERE event_type = 'view')
+         |SELECT c.event_id, c.user_id, c.c_us,
+         |  count(v.v_us) AS n_views, max(v.v_us) AS last_v_us
+         |FROM c LEFT JOIN v ON c.user_id = v.user_id
+         |  AND v.v_us >= c.c_us - $AttrWindowUs AND v.v_us < c.c_us
+         |GROUP BY c.event_id, c.user_id, c.c_us
+         |ORDER BY c.event_id""".stripMargin,
     "q81_band_join" ->
       """WITH p AS (SELECT event_id, epoch_us(ts) AS p_us FROM events
         |           WHERE event_type = 'purchase'),

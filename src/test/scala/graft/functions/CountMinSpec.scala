@@ -65,6 +65,18 @@ class CountMinSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(direct, merged))
   }
 
+  test("persisted partials re-merge to the direct bytes (parquet round trip)") {
+    import spark.implicits._
+    items.withColumn("part", $"h" % 3)
+      .groupBy($"part").agg(CountMin.cmSketch($"h", 4, 1024).as("p"))
+      .write.mode("overwrite").parquet("target/cm_rt")
+    val direct = items
+      .agg(CountMin.cmSketch($"h", 4, 1024)).collect()(0).getAs[Array[Byte]](0)
+    val reloaded = spark.read.parquet("target/cm_rt")
+      .agg(CountMin.cmMerge($"p")).collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(direct, reloaded))
+  }
+
   test("SQL registration: cm_sketch / cm_merge / cm_query") {
     GraftFunctions.register(spark)
     items.createOrReplaceTempView("cm_items")

@@ -72,6 +72,19 @@ class KmvSpec extends AnyFunSuite {
     assert(math.abs(est - n) / n <= 0.20, s"est=$est exact=$n")
   }
 
+  test("persisted snapshot sketches compose after a parquet round trip") {
+    import spark.implicits._
+    val a = hashes("ra", 2000)
+    val b = hashes("rb", 2000)
+    a.agg(Kmv.kmvSketch($"h", 64).as("sk")).withColumn("snap", lit("a"))
+      .union(b.agg(Kmv.kmvSketch($"h", 64).as("sk")).withColumn("snap", lit("b")))
+      .write.mode("overwrite").parquet("target/kmv_rt")
+    val re = spark.read.parquet("target/kmv_rt")
+      .orderBy("snap").collect().map(_.getSeq[Long](0))
+    val skU = a.union(b).agg(Kmv.kmvSketch($"h", 64)).collect()(0).getSeq[Long](0)
+    assert((re(0) ++ re(1)).distinct.sorted.take(64) == skU)
+  }
+
   test("SQL registration: kmv_sketch") {
     GraftFunctions.register(spark)
     hashes("q", 100).createOrReplaceTempView("kmv_items")
