@@ -278,6 +278,42 @@ object EventStream {
       docs.withWatermark("ingest_time", lateness),
       carry = Seq("ingest_time"))
 
+  /** Streaming twin of the batch q122 keyed interval join — and the
+    * CANONICAL stream-stream time-range join: because the user_id
+    * equality is part of the predicate, Structured Streaming accepts the
+    * event-time range directly (state shuffles on user_id; no epoch
+    * quantization needed, unlike [[bandJoinStream]] where the band is
+    * keyless). The two watermarks plus the 30-minute range bound the
+    * buffered state: a view is droppable once the click-side watermark
+    * passes v_time + 30min, a click once the view-side watermark passes
+    * c_time. Emits matched (click, view) PAIRS append-mode; the
+    * per-click count/latest aggregation is the foreachBatch half (the
+    * [[bandJoinStream]] split), where zero-view clicks left-join back in.
+    */
+  def attributionStream(spark: SparkSession, eventsDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    def side(tp: String): DataFrame = {
+      val reader = spark.readStream.schema(schema)
+      maxFilesPerTrigger.foreach(n =>
+        reader.option("maxFilesPerTrigger", n.toString))
+      graft.Tables.withNanosTs(reader.parquet(eventsDir))
+        .filter(col("event_type") === tp)
+    }
+    val clicks = side("click")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("c_us"),
+        timestamp_micros(expr("ts div 1000")).as("c_time"))
+      .withWatermark("c_time", "10 minutes")
+    val views = side("view")
+      .select(col("user_id").as("v_user"), expr("ts div 1000").as("v_us"),
+        timestamp_micros(expr("ts div 1000")).as("v_time"))
+      .withWatermark("v_time", "10 minutes")
+    clicks.join(views,
+      expr("user_id = v_user AND " +
+        "v_time >= c_time - interval 30 minutes AND v_time < c_time"))
+      .select(col("event_id"), col("user_id"), col("c_us"), col("v_us"))
+  }
+
   /** Streaming twin of the batch q81 keyless time-band join. Structured
     * Streaming's stream-stream join REFUSES a pure range condition — an
     * equality predicate is mandatory because join state must shuffle on

@@ -614,6 +614,65 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream keyed interval join: 3-batch replay equals batch q122 (cross-batch pairs included)") {
+    import spark.implicits._
+    import graft.operators.ScaleOps
+    val ev = graft.Tables.events(spark, sfDir)
+    val raw = ev.selectExpr("ts", "event_type", "user_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val winNs = ScaleOps.AttrWindowUs * 1000L
+    // cut inside a REAL same-user view→click window so a pair provably
+    // spans a micro-batch boundary
+    val split = (for {
+      (c, tc, uc) <- raw if tc == "click"
+      (v, tv, uv) <- raw if tv == "view" && uv == uc && v < c && c - v <= winNs
+    } yield (v, c)).headOption
+      .getOrElse(fail("fixture has no same-user attribution pair"))
+    val t1 = split._1 / 2 + split._2 / 2 + 1
+    val cuts = raw.map(_._1).sorted
+    val t2 = math.max(t1 + 1, cuts(5 * cuts.length / 6))
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target/stream_attr"))
+    dir.toFile.listFiles().foreach(_.delete())
+    Seq($"ts" < t1, $"ts" >= t1 && $"ts" < t2, $"ts" >= t2).zipWithIndex
+      .foreach { case (pred, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"attr$i")
+        ev.filter(pred).coalesce(1).write.mode("overwrite")
+          .parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet")).get.toPath
+        val dst = dir.resolve(s"batch$i.parquet")
+        java.nio.file.Files.copy(part, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+    val q = EventStream.attributionStream(spark, dir.toString, Some(1))
+      .writeStream.outputMode("append").format("memory").queryName("attr").start()
+    try {
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT event_id, c_us, v_us FROM attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // foreachBatch half: per-click count + latest view
+      val streamed = pairs.groupBy(_._1).view
+        .mapValues(g => (g.length.toLong, g.map(_._3).max)).toMap
+      val batch = ScaleOps.q122IntervalJoin(spark, sfDir).collect()
+        .filter(r => r.getLong(3) > 0)
+        .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+      assert(streamed.keySet == batch.keySet,
+        "clicks with attributed views diverge between stream and batch")
+      streamed.foreach { case (id, (n, last)) =>
+        assert(n == batch(id)._1, s"view count for click $id")
+        assert(last == batch(id)._2, s"latest view for click $id")
+      }
+      assert(streamed.nonEmpty, "fixture produced no attribution pairs")
+      val crossed = pairs.exists { case (_, cUs, vUs) =>
+        (vUs < t1 / 1000 && cUs >= t1 / 1000) || (vUs < t2 / 1000 && cUs >= t2 / 1000)
+      }
+      assert(crossed, "no attribution pair spans a micro-batch boundary — join state untested")
+    } finally q.stop()
+  }
+
   test("stream-stream band join: time-ordered 3-batch replay equals batch q81 (cross-batch pairs included)") {
     import spark.implicits._
     import graft.operators.ScaleOps
