@@ -990,6 +990,69 @@ object ScaleOps {
       .orderBy($"user_id")
   }
 
+  /** KMV key-sample size for q123. */
+  val joinEstK = 512
+
+  /** q123 — join-size estimation from a sketch key sample: the planner
+    * dry run that decides broadcast vs shuffle vs "don't run this join"
+    * BEFORE committing the fact table to an exchange. The build side's
+    * distinct join keys fold into a KMV bottom-k sketch; because the k
+    * retained hashes are a uniform sample of the DISTINCT key space, the
+    * estimator is
+    *
+    *   |A ⋈ B|̂ = (D̂ / k) · Σ_{key ∈ sample} |B(key)|
+    *
+    * with D̂ the sketch's own θ distinct estimate. The fact side is
+    * probed ONLY by the k sampled keys riding a broadcast — the fact
+    * table never shuffles, and the probe is a scan-side hash semi-join
+    * (the q94 runtime-filter shape with the sketch as the filter). The
+    * exact join runs beside it purely as the audit; the oracle pins
+    * `est_ok` (within 20% — ~4.4% σ from k=512 on the distinct count
+    * plus per-key multiplicity variance) as a deterministic fact of the
+    * corpus (fixed hashes).
+    *
+    * At 100 TB this is the difference between asking "how expensive is
+    * orders('F') ⋈ lineitem" with a k-row broadcast over one fact scan,
+    * and finding out by paying the full shuffle. The same sketch is the
+    * q119 artifact — one build serves overlap AND join-size questions.
+    */
+  def q123JoinSizeEst(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Kmv, PortableHash60}
+    val H = math.pow(2.0, 60)
+    val keys = Tables(spark, dir, "orders")
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey",
+        PortableHash60.portableHash60($"o_orderkey".cast("string")).as("h"))
+    val sk = keys.agg(
+      Kmv.kmvSketch($"h", joinEstK).as("sk"),
+      countDistinct($"o_orderkey").as("n_filtered_keys"))
+    // the k sampled KEYS recovered by an equi-join on the hash (the
+    // sketch stores hashes; the dimension side is re-scanned — cheap)
+    val sampled = keys.join(
+      broadcast(sk.select(explode($"sk").as("h"))), Seq("h"))
+      .select($"o_orderkey")
+    val lineitem = Tables(spark, dir, "lineitem").select($"l_orderkey")
+    val sampleHits = lineitem
+      .join(broadcast(sampled), $"l_orderkey" === $"o_orderkey")
+      .agg(count(lit(1)).as("sample_join_rows"))
+    // audit: the exact join the estimate replaces
+    val exact = lineitem
+      .join(broadcast(keys.select($"o_orderkey")), $"l_orderkey" === $"o_orderkey")
+      .agg(count(lit(1)).as("exact_join_size"))
+    sk.crossJoin(sampleHits).crossJoin(exact)
+      .withColumn("d_est",
+        when(size($"sk") < joinEstK, size($"sk").cast("double"))
+          .otherwise(lit((joinEstK - 1).toDouble * H) /
+            element_at($"sk", joinEstK).cast("double")))
+      // scale by the RETAINED sample size: a short (unsaturated) sketch
+      // is the whole key set, where the estimate degrades to exact
+      .withColumn("est_join_size", $"d_est" / size($"sk") * $"sample_join_rows")
+      .select($"n_filtered_keys", $"exact_join_size",
+        (abs($"est_join_size" - $"exact_join_size") /
+          $"exact_join_size".cast("double") <= 0.20).as("est_ok"))
+  }
+
   /** q122 attribution window: views count toward a click for 30 minutes. */
   val AttrWindowUs: Long = 1800L * 1000000L
 
@@ -1167,6 +1230,7 @@ object ScaleOps {
     "q98_zorder" -> (q98Zorder _),
     "q81_band_join" -> (q81BandJoin _),
     "q122_interval_join" -> (q122IntervalJoin _),
+    "q123_join_size_est" -> (q123JoinSizeEst _),
     "q83_topk_per_group" -> (q83TopkPerGroup _),
     "q84_group_profile" -> (q84GroupProfile _),
     "q37_salted_join" -> (q37SaltedJoin _),
@@ -1499,6 +1563,11 @@ object ScaleOps {
         |ORDER BY e.event_id""".stripMargin,
     // the oracle states the SEMANTICS as the naive inequality join the
     // operator refuses to run at scale (DuckDB plans it as an IEJoin)
+    "q123_join_size_est" ->
+      """WITH f AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT (SELECT count(*) FROM f) AS n_filtered_keys,
+        |  count(*) AS exact_join_size, TRUE AS est_ok
+        |FROM lineitem l JOIN f ON l.l_orderkey = f.o_orderkey""".stripMargin,
     "q122_interval_join" ->
       s"""WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS c_us FROM events
          |           WHERE event_type = 'click'),
