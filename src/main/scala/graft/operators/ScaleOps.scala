@@ -462,6 +462,59 @@ object ScaleOps {
     * This is why every aggregate in the warehouse must be mergeable —
     * at 100 TB the full-rescan path exists only as this oracle.
     */
+  /** q124 — incremental maintenance of a JOIN view, the two-table sibling
+    * of q117's aggregate refresh. The view is revenue per order priority
+    * over orders ⋈ lineitem; "yesterday's" materialization covers
+    * O_old ⋈ L_old, and when BOTH tables receive a delta (the newest
+    * o_orderdate day; the newest l_shipdate slice), the refresh is the
+    * algebraic expansion
+    *
+    *   (O_old+ΔO) ⋈ (L_old+ΔL) = old ∪ O_old⋈ΔL ∪ ΔO⋈L_old ∪ ΔO⋈ΔL
+    *
+    * — three DELTA-SIDED joins (each with at least one delta input, so
+    * each is broadcast-sized on one side) folded into the view by pure
+    * merge arithmetic: counts add, revenue partials add as exact scaled
+    * decimals (DECIMAL(38) sums of the library's DecScaledLong fixed-
+    * point — associative, overflow-headroomed far past 100 TB row
+    * counts). NO rescan of the old fact data ever happens in the
+    * refresh; the full recompute runs here only as the audit, and
+    * `inc_ok` pins both paths EXACTLY equal — the associativity
+    * argument, oracle-checked. This is the shape that keeps a 100 TB
+    * join materialization fresh for the cost of the day's delta.
+    */
+  def q124IncrJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.DecScaledLong.decScaledLong
+    val o = Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderdate")
+    val l = Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_shipdate",
+        decScaledLong($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("rev4"))
+    val lCut = l.agg(max($"l_shipdate").as("lcut"))
+    val oCut = o.agg(max($"o_orderdate").as("ocut"))
+    val lOld = l.crossJoin(broadcast(lCut)).filter($"l_shipdate" < $"lcut").drop("lcut")
+    val lNew = l.crossJoin(broadcast(lCut)).filter($"l_shipdate" === $"lcut").drop("lcut")
+    val oOld = o.crossJoin(broadcast(oCut)).filter($"o_orderdate" < $"ocut").drop("ocut")
+    val oNew = o.crossJoin(broadcast(oCut)).filter($"o_orderdate" === $"ocut").drop("ocut")
+    def part(os: DataFrame, ls: DataFrame): DataFrame =
+      ls.join(os, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"rev4".cast(DecimalType(38, 0))).as("r4"))
+    val incr = part(oOld, lOld)
+      .unionByName(part(oOld, lNew))
+      .unionByName(part(oNew, lOld))
+      .unionByName(part(oNew, lNew))
+      .groupBy($"o_orderpriority")
+      .agg(sum($"n").as("n_i"), sum($"r4").as("r4_i"))
+    val direct = part(o, l)
+    direct.join(incr, Seq("o_orderpriority"))
+      .select($"o_orderpriority", $"n",
+        ($"r4".cast("double") / 1e4).as("revenue"),
+        ($"n_i" === $"n" && $"r4_i" === $"r4").as("inc_ok"))
+      .orderBy($"o_orderpriority")
+  }
+
   def q117IncrAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val events = Tables.events(spark, dir)
@@ -1231,6 +1284,7 @@ object ScaleOps {
     "q81_band_join" -> (q81BandJoin _),
     "q122_interval_join" -> (q122IntervalJoin _),
     "q123_join_size_est" -> (q123JoinSizeEst _),
+    "q124_incr_join" -> (q124IncrJoin _),
     "q83_topk_per_group" -> (q83TopkPerGroup _),
     "q84_group_profile" -> (q84GroupProfile _),
     "q37_salted_join" -> (q37SaltedJoin _),
@@ -1563,6 +1617,12 @@ object ScaleOps {
         |ORDER BY e.event_id""".stripMargin,
     // the oracle states the SEMANTICS as the naive inequality join the
     // operator refuses to run at scale (DuckDB plans it as an IEJoin)
+    "q124_incr_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  TRUE AS inc_ok
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q123_join_size_est" ->
       """WITH f AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
         |SELECT (SELECT count(*) FROM f) AS n_filtered_keys,
