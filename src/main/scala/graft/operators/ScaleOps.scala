@@ -1043,6 +1043,42 @@ object ScaleOps {
       .orderBy($"user_id")
   }
 
+  /** q125 — time-series resample + forward fill: each user's event stream
+    * regularized onto an hourly grid (min..max observed hour), carrying
+    * the last observation forward through the gaps — the feature-store /
+    * training-grid shape ("the value AS OF each hour, no lookahead").
+    * "Last" is pinned to the total order (ts, event_id) so the result is
+    * partition-invariant; unobserved grid hours are flagged, never
+    * fabricated.
+    *
+    * Scale shape: one (user, hour) exchange for the per-cell `max_by`
+    * (map-side combined), the grid explodes IN-ROW from each user's span
+    * (`sequence` — no cross join against a global calendar), and the
+    * fill is a user-keyed running `last(ignoreNulls)` window — O(1)
+    * state per row, no per-gap work. Grid volume is Σ user spans, which
+    * the corpus window bounds; a production deployment caps the fill
+    * horizon per user (idle-entity guard) — the grid is data-derived
+    * here precisely so a dead user costs rows only up to their last
+    * observation.
+    */
+  def q125ResampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, dir)
+      .withColumn("hb", expr("ts div 3600000000000"))
+      .groupBy($"user_id", $"hb")
+      .agg(expr("max_by(value, struct(ts, event_id))").as("v_last"))
+    val grid = hourly.groupBy($"user_id")
+      .agg(min($"hb").as("h0"), max($"hb").as("h1"))
+      .select($"user_id", explode(sequence($"h0", $"h1")).as("hb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"hb")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("user_id", "hb"), "left")
+      .select($"user_id", $"hb", $"v_last".isNotNull.as("observed"),
+        last($"v_last", ignoreNulls = true).over(w).as("v_ffill"))
+      .orderBy($"user_id", $"hb")
+  }
+
   /** KMV key-sample size for q123. */
   val joinEstK = 512
 
@@ -1285,6 +1321,7 @@ object ScaleOps {
     "q122_interval_join" -> (q122IntervalJoin _),
     "q123_join_size_est" -> (q123JoinSizeEst _),
     "q124_incr_join" -> (q124IncrJoin _),
+    "q125_resample_ffill" -> (q125ResampleFfill _),
     "q83_topk_per_group" -> (q83TopkPerGroup _),
     "q84_group_profile" -> (q84GroupProfile _),
     "q37_salted_join" -> (q37SaltedJoin _),
@@ -1617,6 +1654,19 @@ object ScaleOps {
         |ORDER BY e.event_id""".stripMargin,
     // the oracle states the SEMANTICS as the naive inequality join the
     // operator refuses to run at scale (DuckDB plans it as an IEJoin)
+    "q125_resample_ffill" ->
+      """WITH h AS (
+        |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS hb,
+        |    arg_max(value, CAST(epoch_ns(ts) AS HUGEINT) * 10000000000 + event_id) AS v_last
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, min(hb) AS h0, max(hb) AS h1 FROM h GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hb FROM r),
+        |j AS (SELECT g.user_id, g.hb, h.v_last
+        |      FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hb = h.hb)
+        |SELECT user_id, CAST(hb AS BIGINT) AS hb, v_last IS NOT NULL AS observed,
+        |  last_value(v_last IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hb
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+        |FROM j ORDER BY user_id, hb""".stripMargin,
     "q124_incr_join" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
