@@ -293,6 +293,66 @@ object TrainPrep {
       .orderBy($"doc_id")
   }
 
+  /** BPE merge learning at corpus scale (Sennrich et al. 2016): learn the
+    * top-N byte-pair merges from the corpus' WORD-FREQUENCY table — the
+    * tokenizer-training primitive. The key scale fact: after one
+    * corpus-sized `groupBy(word)` (map-side combined), training runs
+    * entirely on the distinct-word table with counts — millions of rows
+    * at 100 TB, not trillions — and that table STAYS a DataFrame, so a
+    * web-scale vocabulary never has to fit on the driver.
+    *
+    * Each round: (1) adjacent symbol pairs explode IN-ROW weighted by
+    * word count and aggregate to pair totals; (2) the argmax pair (count
+    * desc, then lexicographic — a TOTAL order, so the result is
+    * partition-invariant and engine-reproducible) comes back as ONE
+    * driver row — the same bounded driver-side control flow as the CC
+    * iteration, never the data; (3) every word's symbol array folds
+    * through a greedy left-to-right non-overlapping merge (`aggregate`
+    * higher-order fold — in-row, no shuffle). The word table is
+    * localCheckpoint'ed per round (tiny) so lineage stays flat across
+    * rounds. N Spark rounds for N merges; pair counting re-aggregates
+    * only because symbols changed — each round is one exchange over the
+    * distinct-word table.
+    *
+    * Returns the learned merge table (rank, left, right, pair_count) —
+    * deterministic for a given corpus; BpeSpec replays it against an
+    * in-memory reference implementation and pins partition invariance.
+    */
+  def bpeLearn(docs: DataFrame, nMerges: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    var words = docs
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .select(expr("filter(split(word, ''), x -> x <> '')").as("syms"), $"cnt")
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    for (rank <- 1 to nMerges if !done) {
+      val pairs = words
+        .select($"cnt", explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), " +
+            "(x, i) -> struct(x AS l, element_at(syms, i + 2) AS r))")).as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"cnt").as("c"))
+      val top = pairs.orderBy($"c".desc, $"l".asc, $"r".asc).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, c))
+        // greedy left-to-right non-overlapping merge, in-row fold
+        words = words
+          .select(aggregate($"syms", array().cast("array<string>"), (acc, x) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(x)))).as("syms"), $"cnt")
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
   /** Per-stratum sample size for q121. */
   val stratN = 20
 
