@@ -413,8 +413,66 @@ object TextOps {
       .orderBy($"qid", $"rk")
   }
 
+  /** Collocation support floor: a bigram must occur this many times
+    * corpus-wide before it is PMI-scored. Low-support pairs have
+    * unstable PMI (one co-occurrence of two rare words maximizes it),
+    * and at scale the floor is also the cost lever — it prunes the
+    * bigram table BEFORE the two vocabulary joins.
+    */
+  val pmiMinSupport = 5
+
+  /** Result size for the collocation ranking. */
+  val pmiTopK = 100
+
+  /** q126 — PMI collocation mining: the standard "which word pairs occur
+    * together far more than chance" statistic (pointwise mutual
+    * information, Church & Hanks 1990) over adjacent whitespace bigrams.
+    *
+    * Plan shape for 100 TB: bigrams are an IN-ROW zip of the token array
+    * with its own tail — one explode, no self-join, no window (the naive
+    * spelling joins the word table to itself on (doc_id, pos+1), a
+    * corpus-sized shuffle join this formulation never performs; the
+    * DuckDB oracle zips positionally too). Three map-side-combining
+    * aggregates (pair counts, unigram counts, two scalar totals) and two
+    * vocabulary-sized joins AFTER the support floor has cut the pair
+    * table. The PMI ratio is assembled left-to-right in double in both
+    * engines and micro-fixed through one `ln` (the q95/q60/q110
+    * convention), so the ranking is order-invariant and hash-stable; the
+    * final top-k is a `TakeOrderedAndProject` (per-partition heaps, no
+    * global sort materialization) under the total order
+    * (pmi desc, w1, w2).
+    */
+  def q126PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir).select(words($"text").as("ws"))
+    val uni = toks.select(explode($"ws").as("word"))
+    val ucnt = uni.groupBy($"word").agg(count(lit(1)).as("n_w"))
+    val tot = uni.agg(count(lit(1)).as("t"))
+    val bg = toks.filter(size($"ws") >= 2)
+      .select(explode(zip_with(
+        slice($"ws", lit(1), size($"ws") - 1),
+        slice($"ws", lit(2), size($"ws") - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select($"p.w1", $"p.w2")
+    val pcnt = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_xy"))
+      .filter($"n_xy" >= pmiMinSupport)
+    val btot = bg.agg(count(lit(1)).as("b"))
+    pcnt
+      .join(ucnt.select($"word".as("w1"), $"n_w".as("n_x")), Seq("w1"))
+      .join(ucnt.select($"word".as("w2"), $"n_w".as("n_y")), Seq("w2"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .withColumn("pmi_micro",
+        round(log(($"n_xy".cast("double") * $"t" * $"t") /
+          ($"b".cast("double") * $"n_x" * $"n_y")) * 1e6).cast("long"))
+      .orderBy($"pmi_micro".desc, $"w1", $"w2")
+      .limit(pmiTopK)
+      .select($"w1", $"w2", $"n_xy", $"n_x", $"n_y",
+        ($"pmi_micro".cast("double") / 1e6).as("pmi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_bm25" -> (q95Bm25 _),
+    "q126_pmi_collocations" -> (q126PmiCollocations _),
     "q105_bm25_indexed" -> (q105Bm25Indexed _),
     "q69_hash_classifier" -> (q69HashClassifier _),
     "q21_text_stats" -> (q21TextStats _),
@@ -597,6 +655,28 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q95_bm25" -> bm25OracleSql,
+    "q126_pmi_collocations" ->
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |uni AS (SELECT unnest(ws) AS word FROM toks),
+         |ucnt AS (SELECT word, count(*) AS n_w FROM uni GROUP BY 1),
+         |tot AS (SELECT count(*) AS t FROM uni),
+         |bg AS (
+         |  SELECT unnest(list_slice(ws, 1, len(ws) - 1)) AS w1,
+         |         unnest(list_slice(ws, 2, len(ws))) AS w2
+         |  FROM toks WHERE len(ws) >= 2),
+         |pcnt AS (SELECT w1, w2, count(*) AS n_xy FROM bg
+         |         GROUP BY 1, 2 HAVING count(*) >= $pmiMinSupport),
+         |btot AS (SELECT count(*) AS b FROM bg),
+         |scored AS (
+         |  SELECT w1, w2, n_xy, u1.n_w AS n_x, u2.n_w AS n_y,
+         |    CAST(round(ln((CAST(n_xy AS DOUBLE) * t * t)
+         |      / (CAST(b AS DOUBLE) * u1.n_w * u2.n_w)) * 1e6) AS BIGINT)
+         |      AS pmi_micro
+         |  FROM pcnt JOIN ucnt u1 ON pcnt.w1 = u1.word
+         |            JOIN ucnt u2 ON pcnt.w2 = u2.word
+         |  CROSS JOIN tot CROSS JOIN btot)
+         |SELECT w1, w2, n_xy, n_x, n_y, pmi_micro / 1e6 AS pmi
+         |FROM scored ORDER BY pmi_micro DESC, w1, w2 LIMIT $pmiTopK""".stripMargin,
     "q105_bm25_indexed" -> bm25OracleSql,
     "q86_heavy_hitters" ->
       s"""WITH words AS (

@@ -146,4 +146,32 @@ class TextOpsSpec extends AnyFunSuite {
     val fromText = TextOps.q95Bm25(spark, dir).collect().map(_.toSeq).toSeq
     assert(fromDisk == fromText && fromDisk.nonEmpty)
   }
+
+  test("q126: PMI equals a plain-Scala bigram replay; ranking is the declared total order") {
+    val out = TextOps.q126PmiCollocations(spark, dir).collect()
+      .map(row => (row.getString(0), row.getString(1)) ->
+        (row.getLong(2), row.getLong(3), row.getLong(4), row.getDouble(5)))
+    // plain-Scala replay of the whole statistic from the raw text
+    val uni = texts.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = texts.values.map(_.length.toLong).sum
+    val bgAll = texts.values.toSeq.flatMap(ws => ws.zip(ws.drop(1)))
+    val b = bgAll.size.toLong
+    val pc = bgAll.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= TextOps.pmiMinSupport).toMap
+    val expected = pc.map { case ((w1, w2), nxy) =>
+      val micro = math.round(math.log(
+        (nxy.toDouble * t * t) / (b.toDouble * uni(w1) * uni(w2))) * 1e6)
+      (w1, w2) -> (nxy, uni(w1), uni(w2), micro)
+    }
+    out.foreach { case (pair, (nxy, nx, ny, pmi)) =>
+      val (enxy, enx, eny, emicro) = expected(pair)
+      assert((nxy, nx, ny) == (enxy, enx, eny), s"counts for $pair")
+      assert(pmi == emicro / 1e6, s"pmi for $pair")
+    }
+    // the emitted page is exactly the top-k of the replay's total order
+    val want = expected.toSeq
+      .sortBy { case ((w1, w2), (_, _, _, m)) => (-m, w1, w2) }
+      .take(TextOps.pmiTopK).map(_._1)
+    assert(out.map(_._1).toSeq == want)
+  }
 }
