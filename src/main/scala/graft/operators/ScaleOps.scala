@@ -1296,7 +1296,69 @@ object ScaleOps {
       .orderBy($"event_type", $"rank")
   }
 
+  /** Per-basket item cap for [[q127MarketBasket]]: the pair fan-out of a
+    * basket is k·(k−1)/2, so one pathological mega-order would otherwise
+    * expand quadratically in-row. Items are capped AFTER the ascending
+    * sort, so the kept prefix — and therefore every emitted pair — is
+    * deterministic. TPC-H orders hold ≤ 7 lineitems; the cap is a scale
+    * guard for real skewed baskets, mirroring `boundedPairs`' 256-element
+    * posting-row cap.
+    */
+  val basketCap = 64
+
+  /** Support floor and page size for the market-basket ranking. */
+  val basketMinSupport = 2
+  val basketTopK = 100
+
+  /** q127 — market-basket pair co-occurrence: which parts are ordered
+    * TOGETHER more than their popularity predicts (the a-priori first
+    * pass / recommendation co-view statistic). For every unordered part
+    * pair co-occurring in ≥ [[basketMinSupport]] orders: the pair count,
+    * each part's order count, and the lift n_ab·N / (n_a·n_b).
+    *
+    * Plan shape for 100 TB: the naive spelling self-joins the
+    * (order, part) table on the order key — a corpus-sized shuffle join
+    * whose output is the QUADRATIC pair expansion (that spelling is the
+    * DuckDB oracle). Here each order's distinct parts collapse to ONE
+    * sorted in-row array (`collect_set` on the single l_orderkey
+    * exchange), pairs fan out in-row from the capped array (i<j nested
+    * transform — bounded by basketCap²/2 per row, no join), and the pair
+    * counts map-side-combine on the (p1, p2) key. The two part-count
+    * joins run AFTER the support floor prunes the pair table; lift is a
+    * pure rational micro-fixed in double (assembled left-to-right
+    * identically in both engines). Top-k is a TakeOrdered under the
+    * (n_ab desc, p1, p2) total order.
+    */
+  def q127MarketBasket(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val op = Tables(spark, dir, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val nOrders = op.agg(countDistinct($"ok").as("n_orders"))
+    val ic = op.groupBy($"pk").agg(count(lit(1)).as("n_item"))
+    val baskets = op.groupBy($"ok")
+      .agg(slice(array_sort(collect_set($"pk")), lit(1), lit(basketCap)).as("parts"))
+    val pairs = baskets
+      .select(explode(flatten(transform($"parts", (x, i) =>
+        transform(slice($"parts", i + lit(2), size($"parts")),
+          y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
+      .select($"pr.p1", $"pr.p2")
+    val pcnt = pairs.groupBy($"p1", $"p2").agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= basketMinSupport)
+    pcnt
+      .join(ic.select($"pk".as("p1"), $"n_item".as("n_a")), Seq("p1"))
+      .join(ic.select($"pk".as("p2"), $"n_item".as("n_b")), Seq("p2"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift_micro",
+        round(($"n_ab".cast("double") * $"n_orders" * 1e6) /
+          ($"n_a".cast("double") * $"n_b")).cast("long"))
+      .orderBy($"n_ab".desc, $"p1", $"p2")
+      .limit(basketTopK)
+      .select($"p1", $"p2", $"n_ab", $"n_a", $"n_b", $"n_orders",
+        ($"lift_micro".cast("double") / 1e6).as("lift"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_market_basket" -> (q127MarketBasket _),
     "q36_approx_distinct" -> (q36ApproxDistinct _),
     "q93_hll_sketch" -> (q93HllSketch _),
     "q94_bloom_join" -> (q94BloomJoin _),
@@ -1333,6 +1395,26 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle IS the naive quadratic spelling (self-join on the order
+    // key) the in-row formulation avoids; basketCap never binds at TPC-H
+    // basket geometry (≤ 7 lineitems/order), so the capped plan must
+    // reproduce the uncapped truth exactly
+    "q127_market_basket" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |n AS (SELECT count(DISTINCT ok) AS n_orders FROM op),
+         |ic AS (SELECT pk, count(*) AS n_item FROM op GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_ab
+         |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= $basketMinSupport),
+         |scored AS (
+         |  SELECT p1, p2, n_ab, i1.n_item AS n_a, i2.n_item AS n_b, n_orders,
+         |    CAST(round((CAST(n_ab AS DOUBLE) * n_orders * 1e6)
+         |      / (CAST(i1.n_item AS DOUBLE) * i2.n_item)) AS BIGINT) AS lift_micro
+         |  FROM pairs JOIN ic i1 ON p1 = i1.pk JOIN ic i2 ON p2 = i2.pk
+         |  CROSS JOIN n)
+         |SELECT p1, p2, n_ab, n_a, n_b, n_orders, lift_micro / 1e6 AS lift
+         |FROM scored ORDER BY n_ab DESC, p1, p2 LIMIT $basketTopK""".stripMargin,
     "q57_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),

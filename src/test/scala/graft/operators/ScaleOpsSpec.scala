@@ -201,4 +201,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges:\n$p")
   }
+
+  test("q127: pairs/lift equal a plain-Scala basket replay; the cap binds deterministically") {
+    import spark.implicits._
+    // planted baskets: (2,3) co-ordered in three orders (one with a
+    // duplicate lineitem for the same part — distinct must collapse it);
+    // order 4 is a singleton; orders 10/11 are identical 70-part hot
+    // baskets, so the 64-part cap BINDS and truncates the same sorted
+    // prefix in both — every surviving hot pair must come from parts
+    // 100..163 only
+    val hot = (100L to 169L)
+    val rows =
+      Seq((1L, 1L), (1L, 2L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L),
+        (3L, 2L), (3L, 3L), (3L, 4L), (4L, 5L)) ++
+        hot.map(p => (10L, p)) ++ hot.map(p => (11L, p))
+    val dir = java.nio.file.Files.createTempDirectory("scaleops_lineitem").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = ScaleOps.q127MarketBasket(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    // plain-Scala replay of the full contract, cap included
+    val op = rows.distinct
+    val nOrders = op.map(_._1).distinct.size.toLong
+    val ic = op.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val pc = op.groupBy(_._1).values.toSeq
+      .map(_.map(_._2).distinct.sorted.take(ScaleOps.basketCap))
+      .flatMap(ps => for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= ScaleOps.basketMinSupport).toMap
+    val expected = pc.map { case ((a, b), nab) =>
+      val micro = math.round(nab.toDouble * nOrders * 1e6 / (ic(a).toDouble * ic(b)))
+      (a, b) -> (nab, ic(a), ic(b), nOrders, micro / 1e6)
+    }
+    val wantPage = expected.toSeq
+      .sortBy { case ((a, b), (nab, _, _, _, _)) => (-nab, a, b) }
+      .take(ScaleOps.basketTopK)
+    assert(out.toSeq.map(_._1) == wantPage.map(_._1))
+    out.foreach { case (pair, got) => assert(got == expected(pair), s"$pair") }
+    // the planted anchor survived the page: (2,3) in 3 of the 6 orders,
+    // lift = 3·6/(3·3) = 2.0
+    assert(expected((2L, 3L)) == ((3L, 3L, 3L, 6L, 2.0)))
+    // cap truncation is real: no surviving pair touches the dropped tail
+    assert(out.map(_._1).forall { case (a, b) => a < 164L && b < 164L })
+    assert(expected.keys.count { case (a, _) => a >= 100L } == 64 * 63 / 2)
+  }
 }
