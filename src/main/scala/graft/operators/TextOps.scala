@@ -470,9 +470,48 @@ object TextOps {
         ($"pmi_micro".cast("double") / 1e6).as("pmi"))
   }
 
+  /** RRF damping constant (Cormack, Clarke & Buettcher 2009's k=60). */
+  val rrfK = 60
+
+  /** q128 — reciprocal-rank-fusion hybrid retrieval: the standard way a
+    * RAG stack combines heterogeneous rankers without score calibration
+    * (scores from BM25, vector cosine, and priors live on incomparable
+    * scales; RANKS always compose). Here the q95 BM25 ranking is fused
+    * with a document-quality prior (the q22 score) per query:
+    * rrf = 1/(k+r_bm25) + 1/(k+r_quality) over the BM25 candidate set.
+    *
+    * Plan shape for 100 TB: the expensive ranker (BM25, corpus-wide)
+    * runs ONCE and bounds the candidate set to k docs per query; the
+    * prior joins by BROADCASTING those candidates against the corpus-
+    * sized quality scan — the corpus is never shuffled for the fusion,
+    * and both rank windows partition by qid over ≤ k candidate rows
+    * (bounded state, never corpus-ordered). Each reciprocal term is
+    * micro-fixed before the sum (the library's order-invariance
+    * convention), and every ranking uses a doc_id-tiebroken total order.
+    */
+  def q128RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cand = q95Bm25(spark, dir).select($"qid", $"doc_id", $"rk".as("bm25_rk"))
+    val withQ = qualityRaw(spark, dir).select($"doc_id", $"quality_score")
+      .join(broadcast(cand), Seq("doc_id"))
+    val wq = Window.partitionBy($"qid").orderBy($"quality_score".desc, $"doc_id".asc)
+    val wf = Window.partitionBy($"qid").orderBy($"rrf_micro".desc, $"doc_id".asc)
+    withQ
+      .withColumn("quality_rk", row_number().over(wq))
+      .withColumn("rrf_micro",
+        round(lit(1e6) / ($"bm25_rk" + lit(rrfK))).cast("long") +
+          round(lit(1e6) / ($"quality_rk" + lit(rrfK))).cast("long"))
+      .withColumn("fused_rk", row_number().over(wf))
+      .select($"qid", $"doc_id", $"bm25_rk", $"quality_rk",
+        ($"rrf_micro".cast("double") / 1e6).as("rrf"), $"fused_rk")
+      .orderBy($"qid", $"fused_rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_bm25" -> (q95Bm25 _),
     "q126_pmi_collocations" -> (q126PmiCollocations _),
+    "q128_rrf_fusion" -> (q128RrfFusion _),
     "q105_bm25_indexed" -> (q105Bm25Indexed _),
     "q69_hash_classifier" -> (q69HashClassifier _),
     "q21_text_stats" -> (q21TextStats _),
@@ -629,8 +668,12 @@ object TextOps {
        |          CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END * 0.3, 6) AS quality_score
        |  FROM qf)""".stripMargin
 
-  private val bm25OracleSql: String =
-      """WITH toks AS (
+  /** The BM25 chain as a reusable CTE block (shared by the q95/q105
+    * oracle and the q128 fusion oracle, which composes it with
+    * [[qualityCtes]]). Ends at the ranked candidate table `rk`.
+    */
+  private[operators] val bm25Ctes: String =
+      """toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
         |dlen AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1),
@@ -649,12 +692,32 @@ object TextOps {
         |  FROM qtf JOIN idf USING (word) JOIN dlen USING (doc_id) JOIN qterms USING (word)),
         |sc AS (SELECT qid, doc_id, sum(c_micro) AS s_micro FROM contrib GROUP BY 1, 2),
         |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
-        |    ORDER BY s_micro DESC, doc_id ASC) AS rk FROM sc)
-        |SELECT qid, doc_id, CAST(s_micro AS DOUBLE) / 1e6 AS score, CAST(rk AS INT) AS rk
-        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+        |    ORDER BY s_micro DESC, doc_id ASC) AS rk FROM sc)""".stripMargin
+
+  private val bm25OracleSql: String =
+    s"""WITH $bm25Ctes
+       |SELECT qid, doc_id, CAST(s_micro AS DOUBLE) / 1e6 AS score, CAST(rk AS INT) AS rk
+       |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q95_bm25" -> bm25OracleSql,
+    "q128_rrf_fusion" ->
+      s"""WITH $bm25Ctes,
+         |$qualityCtes,
+         |cand AS (SELECT qid, doc_id, CAST(rk AS INT) AS bm25_rk
+         |         FROM rk WHERE rk <= 10),
+         |qr AS (SELECT c.qid, c.doc_id, c.bm25_rk,
+         |    CAST(row_number() OVER (PARTITION BY c.qid
+         |      ORDER BY quality_score DESC, c.doc_id ASC) AS INT) AS quality_rk
+         |  FROM cand c JOIN qscore USING (doc_id)),
+         |f AS (SELECT qid, doc_id, bm25_rk, quality_rk,
+         |    CAST(round(1e6 / (bm25_rk + $rrfK)) AS BIGINT)
+         |      + CAST(round(1e6 / (quality_rk + $rrfK)) AS BIGINT) AS rrf_micro
+         |  FROM qr)
+         |SELECT qid, doc_id, bm25_rk, quality_rk, rrf_micro / 1e6 AS rrf,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY rrf_micro DESC, doc_id ASC) AS INT) AS fused_rk
+         |FROM f ORDER BY qid, fused_rk""".stripMargin,
     "q126_pmi_collocations" ->
       s"""WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
          |uni AS (SELECT unnest(ws) AS word FROM toks),

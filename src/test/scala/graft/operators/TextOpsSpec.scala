@@ -147,6 +147,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fromDisk == fromText && fromDisk.nonEmpty)
   }
 
+  test("q128: fusion equals an RRF replay over the q95 candidates and q22 prior") {
+    val bm = TextOps.q95Bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val quality = TextOps.q22Quality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val expected = bm.groupBy(_._1._1).flatMap { case (qid, cands) =>
+      val qrk = cands.keys.toSeq.map(_._2)
+        .sortBy(d => (-quality(d), d)).zipWithIndex
+        .map { case (d, i) => d -> (i + 1) }.toMap
+      val fused = cands.map { case ((_, d), brk) =>
+        d -> (brk, qrk(d),
+          math.round(1e6 / (brk + TextOps.rrfK)) + math.round(1e6 / (qrk(d) + TextOps.rrfK)))
+      }
+      val frk = fused.toSeq.sortBy { case (d, (_, _, m)) => (-m, d) }.zipWithIndex
+        .map { case ((d, _), i) => d -> (i + 1) }.toMap
+      fused.map { case (d, (brk, qr, m)) => (qid, d) -> (brk, qr, m / 1e6, frk(d)) }
+    }
+    val out = TextOps.q128RrfFusion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getDouble(4), r.getInt(5))).toMap
+    assert(out == expected && out.nonEmpty)
+  }
+
   test("q126: PMI equals a plain-Scala bigram replay; ranking is the declared total order") {
     val out = TextOps.q126PmiCollocations(spark, dir).collect()
       .map(row => (row.getString(0), row.getString(1)) ->
