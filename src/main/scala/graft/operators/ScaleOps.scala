@@ -1331,13 +1331,18 @@ object ScaleOps {
     */
   def q127MarketBasket(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val op = Tables(spark, dir, "lineitem")
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-    val nOrders = op.agg(countDistinct($"ok").as("n_orders"))
-    val ic = op.groupBy($"pk").agg(count(lit(1)).as("n_item"))
-    val baskets = op.groupBy($"ok")
-      .agg(slice(array_sort(collect_set($"pk")), lit(1), lit(basketCap)).as("parts"))
-    val pairs = baskets
+    // ONE order-key exchange carries the whole query: collect_set IS the
+    // per-order distinct (no separate distinct() shuffle), and the order
+    // count, per-part order counts, and pair fan-out all derive from the
+    // basket table (the part/order-count scans reuse its exchange)
+    val baskets0 = Tables(spark, dir, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      .groupBy($"ok").agg(array_sort(collect_set($"pk")).as("all_parts"))
+    val nOrders = baskets0.agg(count(lit(1)).as("n_orders"))
+    val ic = baskets0.select(explode($"all_parts").as("pk"))
+      .groupBy($"pk").agg(count(lit(1)).as("n_item"))
+    val pairs = baskets0
+      .select(slice($"all_parts", lit(1), lit(basketCap)).as("parts"))
       .select(explode(flatten(transform($"parts", (x, i) =>
         transform(slice($"parts", i + lit(2), size($"parts")),
           y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
