@@ -445,26 +445,28 @@ object TextOps {
   def q126PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.documents(spark, dir).select(words($"text").as("ws"))
-    // totals derive from the AGGREGATED streams, not the raw token
-    // stream: ucnt/pcntAll each consume one corpus explode, and their
-    // shuffle feeds both consumers through a ReusedExchange — the corpus
-    // is exploded exactly twice (once per grain), not once per statistic
+    // the two corpus totals never explode anything: token count t and
+    // bigram count b are in-row array-size sums (Σn and Σmax(n−1, 0)
+    // over per-doc token counts) — one scalar aggregate over the scan.
+    // The corpus is exploded exactly twice (once per count grain), and
+    // the unigram shuffle feeds both vocabulary joins via ReusedExchange
+    val tots = toks.agg(
+      sum(size($"ws")).cast("long").as("t"),
+      sum(greatest(size($"ws") - 1, lit(0))).cast("long").as("b"))
     val ucnt = toks.select(explode($"ws").as("word"))
       .groupBy($"word").agg(count(lit(1)).as("n_w"))
-    val tot = ucnt.agg(sum($"n_w").as("t"))
     val bg = toks.filter(size($"ws") >= 2)
       .select(explode(zip_with(
         slice($"ws", lit(1), size($"ws") - 1),
         slice($"ws", lit(2), size($"ws") - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select($"p.w1", $"p.w2")
-    val pcntAll = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_xy"))
-    val pcnt = pcntAll.filter($"n_xy" >= pmiMinSupport)
-    val btot = pcntAll.agg(sum($"n_xy").as("b"))
+    val pcnt = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_xy"))
+      .filter($"n_xy" >= pmiMinSupport)
     pcnt
       .join(ucnt.select($"word".as("w1"), $"n_w".as("n_x")), Seq("w1"))
       .join(ucnt.select($"word".as("w2"), $"n_w".as("n_y")), Seq("w2"))
-      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .crossJoin(broadcast(tots))
       .withColumn("pmi_micro",
         round(log(($"n_xy".cast("double") * $"t" * $"t") /
           ($"b".cast("double") * $"n_x" * $"n_y")) * 1e6).cast("long"))

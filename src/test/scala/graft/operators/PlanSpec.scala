@@ -326,6 +326,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
   }
 
+  test("q126: corpus totals reuse the aggregated streams' exchanges (two explodes, not four)") {
+    // reuse is visible only in the AQE-finalized plan → collect first
+    // (the q53/q60 convention)
+    val df = TextOps.q126PmiCollocations(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // the token/bigram totals must NOT re-explode the corpus: the t/b
+    // scalars consume the ucnt/pcntAll shuffles through ReusedExchange —
+    // count in the FINAL AQE plan only (the formatted string repeats
+    // every node in its "== Initial Plan ==" section)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("ReusedExchange"), s"totals re-explode the corpus:\n$fin")
+    assert(fin.linesIterator.count(_.contains(" Generate ")) <= 2,
+      s"more than two corpus explodes:\n$fin")
+  }
+
+  test("q127: the basket exchange is shared; no separate distinct() shuffle exists") {
+    val df = ScaleOps.q127MarketBasket(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // collect_set IS the per-order distinct: no (ok, pk)-keyed exchange
+    // anywhere, and the basket consumers reuse the one ok exchange
+    assert(!"hashpartitioning\\(ok#\\d+L?, pk".r.findFirstIn(p).isDefined,
+      s"a distinct() (ok, pk) exchange crept back:\n$p")
+    assert(p.contains("ReusedExchange"), s"basket consumers re-shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian present:\n$p")
+  }
+
+  test("q128: the fusion never shuffles the corpus — candidates broadcast to the quality scan") {
+    val p = plan(TextOps.q128RrfFusion(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"candidate join not broadcast:\n$p")
+  }
+
   test("q119: sketches and exact audit ride one hash-keyed aggregate, no join between corpora") {
     val df = ScaleOps.q119KmvOverlap(spark, dir)
     val p = plan(df)
