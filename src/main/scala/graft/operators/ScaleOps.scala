@@ -1296,6 +1296,40 @@ object ScaleOps {
       .orderBy($"event_type", $"rank")
   }
 
+  /** q129 — user-journey Markov transition matrix: for every ordered
+    * pair of event types, how often does a user's NEXT event follow the
+    * current one, and with what conditional probability (the first-order
+    * Markov model product/journey analytics fits on clickstreams; the
+    * probabilistic complement of q57's fixed funnel and q96's run
+    * collapse).
+    *
+    * Plan shape for 100 TB: ONE user_id exchange feeds the per-user
+    * event-time lead (per-task state is one row lookahead), transitions
+    * collapse into a |types|² count matrix by map-side-combining
+    * aggregate, and the row-marginal join is over that tiny matrix —
+    * nothing after the window touches corpus-sized data. The conditional
+    * probability is a micro-fixed rational with the (ts, event_id)
+    * total order making every lead deterministic under ties.
+    */
+  def q129Transitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val tr = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+    val cnt = tr.groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val marginal = cnt.groupBy($"from_type").agg(sum($"n").as("n_from"))
+    cnt.join(broadcast(marginal), Seq("from_type"))
+      .withColumn("p_micro",
+        round($"n".cast("double") * 1e6 / $"n_from").cast("long"))
+      .select($"from_type", $"to_type", $"n", $"n_from",
+        ($"p_micro".cast("double") / 1e6).as("p"))
+      .orderBy($"from_type", $"to_type")
+  }
+
   /** Per-basket item cap for [[q127MarketBasket]]: the pair fan-out of a
     * basket is k·(k−1)/2, so one pathological mega-order would otherwise
     * expand quadratically in-row. Items are capped AFTER the ascending
@@ -1364,6 +1398,7 @@ object ScaleOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_market_basket" -> (q127MarketBasket _),
+    "q129_transitions" -> (q129Transitions _),
     "q36_approx_distinct" -> (q36ApproxDistinct _),
     "q93_hll_sketch" -> (q93HllSketch _),
     "q94_bloom_join" -> (q94BloomJoin _),
@@ -1400,6 +1435,18 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q129_transitions" ->
+      """WITH tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |cnt AS (SELECT from_type, to_type, count(*) AS n FROM tr
+        |        WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM cnt GROUP BY 1)
+        |SELECT cnt.from_type, to_type, n, n_from,
+        |  CAST(round(CAST(n AS DOUBLE) * 1e6 / n_from) AS BIGINT) / 1e6 AS p
+        |FROM cnt JOIN m USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     // the oracle IS the naive quadratic spelling (self-join on the order
     // key) the in-row formulation avoids; basketCap never binds at TPC-H
     // basket geometry (≤ 7 lineitems/order), so the capped plan must

@@ -202,6 +202,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges:\n$p")
   }
 
+  test("q129: transitions follow each user's event-time order and never cross users") {
+    // user 1: view→click→click→purchase; user 2: view→view
+    // transitions: (view,click) (click,click) (click,purchase) (view,view)
+    // user 2's last event must NOT chain into user 1's stream
+    val rows = Seq(
+      (1L, 1L * H, 1L, "view", 1.0, ""), (2L, 2L * H, 1L, "click", 1.0, ""),
+      (3L, 3L * H, 1L, "click", 1.0, ""), (4L, 4L * H, 1L, "purchase", 1.0, ""),
+      (5L, 1L * H, 2L, "view", 1.0, ""), (6L, 9L * H, 2L, "view", 1.0, ""))
+    val out = ScaleOps.q129Transitions(spark, stage(rows)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out == Map(
+      ("view", "click") -> ((1L, 2L, 0.5)),
+      ("view", "view") -> ((1L, 2L, 0.5)),
+      ("click", "click") -> ((1L, 2L, 0.5)),
+      ("click", "purchase") -> ((1L, 2L, 0.5))))
+  }
+
   test("q127: pairs/lift equal a plain-Scala basket replay; the cap binds deterministically") {
     import spark.implicits._
     // planted baskets: (2,3) co-ordered in three orders (one with a
