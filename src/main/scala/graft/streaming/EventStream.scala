@@ -441,6 +441,44 @@ object EventStream {
     * user's already-folded event-time high-water mark is counted in
     * `late_dropped` (monotone per user), never folded.
     */
+  final case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Per-user last-event state for [[transitionsStream]]: ONE triple. */
+  final case class LastEvent(ts: Long, event_id: Long, event_type: String)
+
+  /** Streaming twin of the batch q129 Markov transition matrix: each
+    * user's LAST event is the whole state (one (ts, event_id, type)
+    * triple), and every arriving event emits its (from, to) transition
+    * pair — the downstream count/probability matrix is an ordinary
+    * streaming groupBy over |types|² keys. Within a micro-batch rows are
+    * folded in (ts, event_id) event-time order; across batches the
+    * arrival contract is [[funnelStream]]'s (event-time-ordered
+    * batches — `funnelStreamWatermarked` shows the buffered-sort upgrade
+    * path for scrambled arrivals). An unbounded deployment bounds the
+    * per-user state with GroupStateTimeout, exactly as documented on
+    * [[neardupGate]].
+    */
+  def transitionsStream(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        transitionsFold)
+  }
+
+  private[streaming] def transitionsFold(
+      userId: Long, rows: Iterator[Event],
+      state: GroupState[LastEvent]): Iterator[Transition] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+    var last = state.getOption
+    val out = Seq.newBuilder[Transition]
+    sorted.foreach { e =>
+      last.foreach(l => out += Transition(userId, l.event_type, e.event_type))
+      last = Some(LastEvent(e.ts, e.event_id, e.event_type))
+    }
+    last.foreach(state.update)
+    out.result().iterator
+  }
+
   def funnelStream(events: Dataset[Event]): Dataset[FunnelRow] = {
     import events.sparkSession.implicits._
     events

@@ -510,6 +510,34 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transitions equal the batch q129 matrix on event-time-ordered replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val events = graft.Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[EventStream.Event].collect().sortBy(e => (e.ts, e.event_id)).toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[EventStream.Event]
+    val q = EventStream.transitionsStream(source.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("trans").start()
+    try {
+      // three event-time-ordered micro-batches: users span batches, so a
+      // transition provably crosses a batch boundary through the state
+      events.grouped(math.max(1, events.size / 3 + 1)).foreach { batch =>
+        source.addData(batch)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql(
+        "SELECT from_type, to_type, count(*) AS n FROM trans GROUP BY 1, 2")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.operators.ScaleOps.q129Transitions(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+      assert(batch.values.sum > events.size / 2, "fixture has too few transitions")
+    } finally q.stop()
+  }
+
   test("watermarked funnel equals the batch q57 on scrambled (reverse-time) replay") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
