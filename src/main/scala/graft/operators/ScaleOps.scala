@@ -1330,6 +1330,44 @@ object ScaleOps {
       .orderBy($"from_type", $"to_type")
   }
 
+  /** Journey length cap for [[q130TopPaths]]: only each user's first
+    * pathLen events form the path, so per-user state is bounded and the
+    * path vocabulary is at most |types|^pathLen.
+    */
+  val pathLen = 5
+
+  /** Result page for the path ranking. */
+  val pathTopK = 50
+
+  /** q130 — top user-journey paths (the GA-style behavior-flow report):
+    * each user's first [[pathLen]] event types in event-time order join
+    * into a `a>b>c` path string; paths rank by user count.
+    *
+    * Plan shape for 100 TB: the row_number window rides the SAME
+    * user_id exchange every other per-user operator uses, the
+    * `rn <= pathLen` filter cuts the stream to ≤ pathLen rows per user
+    * BEFORE the per-user aggregation (bounded collect_list — never a
+    * whole clickstream in one buffer), and the path table collapses to
+    * ≤ |types|^pathLen rows by map-side-combining count. Top-k is a
+    * TakeOrdered under the (n_users desc, path) total order.
+    */
+  def q130TopPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= pathLen)
+      .groupBy($"user_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct($"rn", $"event_type"))),
+        p => p.getField("event_type")), ">").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n_users"))
+      .orderBy($"n_users".desc, $"path")
+      .limit(pathTopK)
+  }
+
   /** Per-basket item cap for [[q127MarketBasket]]: the pair fan-out of a
     * basket is k·(k−1)/2, so one pathological mega-order would otherwise
     * expand quadratically in-row. Items are capped AFTER the ascending
@@ -1399,6 +1437,7 @@ object ScaleOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_market_basket" -> (q127MarketBasket _),
     "q129_transitions" -> (q129Transitions _),
+    "q130_top_paths" -> (q130TopPaths _),
     "q36_approx_distinct" -> (q36ApproxDistinct _),
     "q93_hll_sketch" -> (q93HllSketch _),
     "q94_bloom_join" -> (q94BloomJoin _),
@@ -1435,6 +1474,17 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q130_top_paths" ->
+      s"""WITH rn AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |paths AS (
+         |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+         |  FROM rn WHERE rn <= $pathLen GROUP BY user_id),
+         |pc AS (SELECT path, count(*) AS n_users FROM paths GROUP BY 1)
+         |SELECT path, n_users FROM pc
+         |ORDER BY n_users DESC, path LIMIT $pathTopK""".stripMargin,
     "q129_transitions" ->
       """WITH tr AS (
         |  SELECT event_type AS from_type,

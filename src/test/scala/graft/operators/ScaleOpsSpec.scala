@@ -220,6 +220,24 @@ class ScaleOpsSpec extends AnyFunSuite {
       ("click", "purchase") -> ((1L, 2L, 0.5))))
   }
 
+  test("q130: paths are event-time ordered, capped at pathLen, counted per user") {
+    // user 1: view>click>view (3 events); user 2: same path; user 3:
+    // seven views → path capped to the first pathLen (5); user 4: click
+    val rows = Seq(
+      (1L, 1L * H, 1L, "view", 1.0, ""), (2L, 2L * H, 1L, "click", 1.0, ""),
+      (3L, 3L * H, 1L, "view", 1.0, ""),
+      (4L, 5L * H, 2L, "view", 1.0, ""), (5L, 6L * H, 2L, "click", 1.0, ""),
+      (6L, 7L * H, 2L, "view", 1.0, "")) ++
+      (1 to 7).map(i => (10L + i, i.toLong * H, 3L, "view", 1.0, "")) :+
+      (20L, 1L * H, 4L, "click", 1.0, "")
+    val out = ScaleOps.q130TopPaths(spark, stage(rows)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      "view>click>view" -> 2L,
+      "view>view>view>view>view" -> 1L,
+      "click" -> 1L))
+  }
+
   test("q127: pairs/lift equal a plain-Scala basket replay; the cap binds deterministically") {
     import spark.implicits._
     // planted baskets: (2,3) co-ordered in three orders (one with a
