@@ -1330,6 +1330,54 @@ object ScaleOps {
       .orderBy($"from_type", $"to_type")
   }
 
+  /** q131 — CUSUM change-point detection on the hourly event series (the
+    * drift family's SEQUENTIAL member: PSI/KS (q110/q116) compare two
+    * fixed windows; CUSUM localizes WHEN a level shift happened and is
+    * the classic production-metrics monitor). Per event type, over the
+    * observed hourly counts: the one-sided tabular CUSUM
+    * S_i = max(0, S_{i-1} + (x_i − μ)) against the first-half reference
+    * mean μ, with an alarm at 4σ of the reference hours.
+    *
+    * The sequential recursion is NOT a prefix sum — but it factors into
+    * two O(1)-state running windows (S_i = P_i − min(0, min_{j≤i} P_j)
+    * for the drift prefix P), so the plan is ONE event_type exchange
+    * carrying a cumulative sum and a cumulative min; no per-row
+    * iteration, no driver loop. Arithmetic is integer end-to-end in
+    * units of 1/n_ref (d_t = n_ref·x_t − Σ_ref x scaled to clear the
+    * rational mean), micro-fixed only at the emitted score and the σ
+    * threshold, so hashes are engine-exact. The series is the OBSERVED
+    * hour grid (q125's resample operator supplies densification where
+    * gap hours must count as zero).
+    */
+  def q131Cusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"hour")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val hourly = Tables.events(spark, dir)
+      .groupBy($"event_type", expr("ts div 3600000000000").as("hour"))
+      .agg(count(lit(1)).as("x"))
+    val bounds = hourly.agg(min($"hour").as("h0"), max($"hour").as("h1"))
+    val half = hourly.crossJoin(broadcast(bounds))
+      .withColumn("is_ref", $"hour" < ($"h0" + $"h1" + 1) / 2)
+    val ref = half.filter($"is_ref").groupBy($"event_type")
+      .agg(count(lit(1)).as("n_ref"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"))
+      .withColumn("h_micro",
+        round(lit(4e6) * sqrt(($"n_ref" * $"sxx" - $"sx" * $"sx").cast("double"))
+          / $"n_ref").cast("long"))
+    half.join(broadcast(ref), Seq("event_type"))
+      .withColumn("d", $"n_ref" * $"x" - $"sx")
+      .withColumn("pre", sum($"d").over(w))
+      .withColumn("runmin", least(min($"pre").over(w), lit(0L)))
+      .withColumn("s_micro",
+        round(($"pre" - $"runmin").cast("double") * 1e6 / $"n_ref").cast("long"))
+      .select($"event_type", $"hour", $"x",
+        ($"s_micro".cast("double") / 1e6).as("cusum"),
+        ($"s_micro" > $"h_micro").as("alarm"))
+      .orderBy($"event_type", $"hour")
+  }
+
   /** Journey length cap for [[q130TopPaths]]: only each user's first
     * pathLen events form the path, so per-user state is bounded and the
     * path vocabulary is at most |types|^pathLen.
@@ -1438,6 +1486,7 @@ object ScaleOps {
     "q127_market_basket" -> (q127MarketBasket _),
     "q129_transitions" -> (q129Transitions _),
     "q130_top_paths" -> (q130TopPaths _),
+    "q131_cusum" -> (q131Cusum _),
     "q36_approx_distinct" -> (q36ApproxDistinct _),
     "q93_hll_sketch" -> (q93HllSketch _),
     "q94_bloom_join" -> (q94BloomJoin _),
@@ -1474,6 +1523,35 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q131_cusum" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM hourly),
+        |half AS (SELECT hourly.*, hour < (h0 + h1 + 1) // 2 AS is_ref
+        |         FROM hourly CROSS JOIN bounds),
+        |ref AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_ref,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM half WHERE is_ref GROUP BY 1),
+        |refh AS (
+        |  SELECT *, CAST(round(4e6 * sqrt(CAST(n_ref * sxx - sx * sx AS DOUBLE))
+        |    / n_ref) AS BIGINT) AS h_micro FROM ref),
+        |pre AS (
+        |  SELECT half.event_type, hour, x, n_ref, h_micro,
+        |    CAST(sum(n_ref * x - sx) OVER (PARTITION BY half.event_type
+        |      ORDER BY hour ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+        |  FROM half JOIN refh USING (event_type)),
+        |s AS (
+        |  SELECT *, least(CAST(min(p) OVER (PARTITION BY event_type
+        |      ORDER BY hour ROWS UNBOUNDED PRECEDING) AS BIGINT), 0) AS runmin
+        |  FROM pre),
+        |sc AS (SELECT *, CAST(round(CAST(p - runmin AS DOUBLE) * 1e6 / n_ref)
+        |         AS BIGINT) AS s_micro FROM s)
+        |SELECT event_type, hour, x, s_micro / 1e6 AS cusum,
+        |  s_micro > h_micro AS alarm
+        |FROM sc ORDER BY event_type, hour""".stripMargin,
     "q130_top_paths" ->
       s"""WITH rn AS (
          |  SELECT user_id, event_type,

@@ -220,6 +220,33 @@ class ScaleOpsSpec extends AnyFunSuite {
       ("click", "purchase") -> ((1L, 2L, 0.5))))
   }
 
+  test("q131: window factorization equals the sequential CUSUM recursion; planted shift alarms") {
+    // stable first half (2/hour), shifted second half (6/hour): the
+    // cumulative-sum/cumulative-min spelling must equal the textbook
+    // sequential recursion S_i = max(0, S_{i-1} + (x_i - mu)), and the
+    // alarm must fire only after the level shift
+    val rows = (0 until 48).flatMap { h =>
+      val n = if (h < 24) 2 else 6
+      (0 until n).map(i => (h.toLong * 100 + i, h.toLong * H + i, 1L, "view", 1.0, ""))
+    }
+    val out = ScaleOps.q131Cusum(spark, stage(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    // plain-Scala sequential replay on the same hourly series
+    val xs = (0 until 48).map(h => if (h < 24) 2L else 6L)
+    val refXs = xs.take(24) // is_ref: hour < (0 + 47 + 1)/2 = 24
+    val mu = refXs.sum.toDouble / refXs.size
+    var s = 0.0
+    val want = xs.map { x => s = math.max(0.0, s + (x - mu)); s }
+    out.sortBy(_._1._2).zip(want).foreach { case (((_, _), (_, got, _)), expect) =>
+      assert(math.abs(got - expect) < 1e-5, s"cusum $got vs sequential $expect")
+    }
+    // variance of the stable half is 0 -> threshold 0: every positive
+    // excursion alarms, and the first 24 stable hours never do
+    assert(out.filter(_._1._2 < 24).forall(!_._2._3))
+    assert(out.filter(_._1._2 >= 24).forall(_._2._3))
+  }
+
   test("q130: paths are event-time ordered, capped at pathLen, counted per user") {
     // user 1: view>click>view (3 events); user 2: same path; user 3:
     // seven views → path capped to the first pathLen (5); user 4: click
