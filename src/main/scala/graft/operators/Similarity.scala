@@ -520,11 +520,23 @@ object Similarity {
     */
   def q58Kmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    kmeansRanked(spark, dir).filter($"rk" === 1)
+      .select($"vec_id", $"cid", $"dist").orderBy($"vec_id")
+  }
+
+  /** The full second-assignment distance table the q58 pipeline produces
+    * internally: every (vector, centroid) pair after one Lloyd update,
+    * ranked per vector by 6dp squared distance. `rk = 1` IS the q58
+    * assignment; `rk = 2` is the nearest OTHER centroid — which is
+    * exactly silhouette's `b` term, so q132 reads the same table.
+    */
+  private def kmeansRanked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val emb = Tables.spread(Tables.embeddings(spark, dir)) // parallelism restore, gated on split count
       .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
     val c0 = emb.filter($"vec_id" < kmeansK)
       .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nn".as("cn"))
-    val a1 = assignToCentroids(emb, c0)
+    val a1 = rankedCentroids(emb, c0).filter($"rk" === 1)
     // centroid update: decimal-exact per-dimension mean over each cluster,
     // rounded to 6dp. The aggregate moves (cid, pos, decimal) rows — the
     // arrays stay where they were scanned
@@ -538,14 +550,14 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
         s => s.getField("m")).as("ce"))
       .select($"cid", $"ce", dnorm2($"ce").as("cn"))
-    assignToCentroids(emb, c1).orderBy($"vec_id")
+    rankedCentroids(emb, c1)
   }
 
-  /** One Lloyd assignment: nearest centroid by 6dp-rounded squared
-    * Euclidean distance, ties on cid. Centroids broadcast; the ranking
-    * window shuffles narrow (vec_id, cid, dist) rows only.
+  /** One Lloyd distance pass: every centroid by 6dp-rounded squared
+    * Euclidean distance, ranked (ties on cid). Centroids broadcast; the
+    * ranking window shuffles narrow (vec_id, cid, dist) rows only.
     */
-  private def assignToCentroids(emb: DataFrame, cents: DataFrame): DataFrame = {
+  private def rankedCentroids(emb: DataFrame, cents: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"vec_id").orderBy($"dist".asc, $"cid".asc)
@@ -553,8 +565,41 @@ object Similarity {
       .select($"vec_id", $"cid",
         round($"nn" + $"cn" - lit(2.0) * ddot($"embedding", $"ce"), 6).as("dist"))
       .withColumn("rk", row_number().over(w))
-      .filter($"rk" === 1)
-      .select($"vec_id", $"cid", $"dist")
+  }
+
+  /** q132 — simplified silhouette for the q58 clustering (the standard
+    * cluster-quality evaluation, centroid form: a = distance to own
+    * centroid, b = distance to the nearest OTHER centroid,
+    * s = (b − a)/max(a, b) ∈ [−1, 1]; Kaufman & Rousseeuw's statistic
+    * with centroid distances, which is what's computable in one linear
+    * pass — the classic O(n²) pairwise form is not a 100 TB operator).
+    * Emitted per cluster: member count and mean silhouette.
+    *
+    * Plan shape: the q58 ranked table already holds both terms (rk=1 own,
+    * rk=2 nearest other), so the whole evaluation is a self-join of two
+    * filters of the SAME narrow ranked stream on vec_id, one sqrt per
+    * term, and a micro-fixed per-vector score folded by an ordinary
+    * count/sum aggregate — nothing beyond q58's own exchanges plus one
+    * |clusters|-row aggregation.
+    */
+  def q132Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranked = kmeansRanked(spark, dir)
+    val a = ranked.filter($"rk" === 1)
+      .select($"vec_id", $"cid", sqrt(greatest($"dist", lit(0.0))).as("da"))
+    val b = ranked.filter($"rk" === 2)
+      .select($"vec_id", sqrt(greatest($"dist", lit(0.0))).as("db"))
+    a.join(b, Seq("vec_id"))
+      .withColumn("s_micro",
+        when(greatest($"da", $"db") > 0,
+          round(lit(1e6) * ($"db" - $"da") / greatest($"da", $"db")))
+          .otherwise(lit(0.0)).cast("long"))
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_vecs"), sum($"s_micro").as("ssum"))
+      .select($"cid", $"n_vecs",
+        (round($"ssum".cast("double") / $"n_vecs").cast("long")
+          .cast("double") / 1e6).as("mean_sil"))
+      .orderBy($"cid")
   }
 
   /** q111 — embedding centroid drift: per label, the decimal-exact
@@ -645,7 +690,8 @@ object Similarity {
     */
   def semdedup(emb: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
     import emb.sparkSession.implicits._
-    val assign = assignToCentroids(emb, centroids).select($"vec_id", $"cid")
+    val assign = rankedCentroids(emb, centroids)
+      .filter($"rk" === 1).select($"vec_id", $"cid")
     // re-attach arrays, then expand within-cell pairs in-row from bounded
     // posting lists (struct ordering is by leading vec_id → a < b for free)
     val cand = graft.operators.Dedup.boundedPairs(
@@ -739,6 +785,7 @@ object Similarity {
     "q45_lsh_neardup" -> (q45LshNearDup _),
     "q55_int8_quant" -> (q55Int8Quant _),
     "q58_kmeans" -> (q58Kmeans _),
+    "q132_silhouette" -> (q132Silhouette _),
     "q111_embedding_drift" -> (q111EmbeddingDrift _),
     "q89_random_projection" -> (q89RandomProjection _),
     "q90_proj_ann" -> (q90ProjAnn _)
@@ -786,6 +833,33 @@ object Similarity {
        |    FROM d1 JOIN norms nv ON d1.vec_id = nv.vec_id
        |            JOIN norms nc ON cid = nc.vec_id)
        |  WHERE rk = 1)""".stripMargin
+
+  /** Shared SQL: the full q58 chain through the RANKED second-assignment
+    * table `a2` (every (vector, centroid) distance after one Lloyd
+    * update) — q58's oracle filters rk = 1; q132's reads rk = 1 and 2.
+    */
+  private val kmeansRankedCtes: String =
+    s"""$kmeansAssign1Ctes,
+       |m AS (
+       |  SELECT a1.cid, e.i,
+       |    round(CAST(SUM(CAST(CAST(e.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6) AS m
+       |  FROM a1 JOIN e ON e.vec_id = a1.vec_id
+       |  GROUP BY 1, 2),
+       |cn AS (
+       |  SELECT cid, CAST(SUM(CAST(m * m AS DECIMAL(28,14))) AS DOUBLE) AS cn
+       |  FROM m GROUP BY cid),
+       |d2 AS (
+       |  SELECT e.vec_id, m.cid,
+       |    CAST(SUM(CAST(CAST(e.x AS DOUBLE) * m.m AS DECIMAL(28,14))) AS DOUBLE) AS dot
+       |  FROM e JOIN m ON e.i = m.i
+       |  GROUP BY 1, 2),
+       |a2 AS (
+       |  SELECT vec_id, cid, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+       |  FROM (
+       |    SELECT d2.vec_id, d2.cid, round(nv.nn + cn.cn - 2 * dot, 6) AS dist
+       |    FROM d2 JOIN norms nv ON d2.vec_id = nv.vec_id
+       |            JOIN cn ON d2.cid = cn.cid))""".stripMargin
 
   /** Shared SQL: the q89 projection components (6dp) over the element
     * rows CTE `e` — replayed by the q89 oracle and the q90 composition.
@@ -960,28 +1034,24 @@ object Similarity {
         |SELECT label, cos_sim, cos_sim >= 0.98 AS stable
         |FROM c ORDER BY label""".stripMargin,
     "q58_kmeans" ->
-      s"""WITH $kmeansAssign1Ctes,
-         |m AS (
-         |  SELECT a1.cid, e.i,
-         |    round(CAST(SUM(CAST(CAST(e.x AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6) AS m
-         |  FROM a1 JOIN e ON e.vec_id = a1.vec_id
-         |  GROUP BY 1, 2),
-         |cn AS (
-         |  SELECT cid, CAST(SUM(CAST(m * m AS DECIMAL(28,14))) AS DOUBLE) AS cn
-         |  FROM m GROUP BY cid),
-         |d2 AS (
-         |  SELECT e.vec_id, m.cid,
-         |    CAST(SUM(CAST(CAST(e.x AS DOUBLE) * m.m AS DECIMAL(28,14))) AS DOUBLE) AS dot
-         |  FROM e JOIN m ON e.i = m.i
-         |  GROUP BY 1, 2),
-         |a2 AS (
-         |  SELECT vec_id, cid, dist,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
-         |  FROM (
-         |    SELECT d2.vec_id, d2.cid, round(nv.nn + cn.cn - 2 * dot, 6) AS dist
-         |    FROM d2 JOIN norms nv ON d2.vec_id = nv.vec_id
-         |            JOIN cn ON d2.cid = cn.cid))
+      s"""WITH $kmeansRankedCtes
          |SELECT vec_id, cid, dist FROM a2 WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+    "q132_silhouette" ->
+      s"""WITH $kmeansRankedCtes,
+         |sa AS (SELECT vec_id, cid, sqrt(greatest(dist, 0.0)) AS da
+         |       FROM a2 WHERE rk = 1),
+         |sb AS (SELECT vec_id, sqrt(greatest(dist, 0.0)) AS db
+         |       FROM a2 WHERE rk = 2),
+         |sv AS (
+         |  SELECT sa.cid,
+         |    CASE WHEN greatest(da, db) > 0
+         |         THEN CAST(round(1e6 * (db - da) / greatest(da, db)) AS BIGINT)
+         |         ELSE 0 END AS s_micro
+         |  FROM sa JOIN sb USING (vec_id))
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(round(CAST(sum(s_micro) AS DOUBLE) / count(*)) AS BIGINT) / 1e6
+         |    AS mean_sil
+         |FROM sv GROUP BY cid ORDER BY cid""".stripMargin,
     "q55_int8_quant" ->
       s"""WITH e AS ($elemsSql),
          |m AS (SELECT vec_id, max(abs(x)) AS maxabs FROM e GROUP BY vec_id)

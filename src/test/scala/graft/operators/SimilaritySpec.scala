@@ -284,4 +284,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(outFlip.forall(r => r.getDouble(1) <= -0.99 && !r.getBoolean(2)),
       outFlip.mkString(","))
   }
+
+  test("q132: silhouette clusters mirror the q58 assignment; scores live in [-1, 1]") {
+    val sil = Similarity.q132Silhouette(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val assigned = Similarity.q58Kmeans(spark, dir).collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.length.toLong).toMap
+    // per-cluster membership counts equal the assignment's exactly, every
+    // populated cluster is scored, and the statistic respects its bounds
+    assert(sil.view.mapValues(_._1).toMap == assigned)
+    assert(sil.values.forall { case (_, s) => s >= -1.0 && s <= 1.0 })
+    assert(sil.nonEmpty && sil.values.map(_._1).sum == assigned.values.sum)
+  }
 }
