@@ -1378,6 +1378,50 @@ object ScaleOps {
       .orderBy($"event_type", $"hour")
   }
 
+  /** q133 — seasonal (hour-of-day) decomposition with residual anomaly
+    * flags: the dashboard statistic that separates "traffic is down
+    * because it's 3am" from "traffic is down" — per event type, the
+    * 24-bin hour-of-day profile over the observed hourly series, each
+    * hour's residual against its own bin, and a 3σ anomaly flag from the
+    * bin's dispersion. Beside CUSUM (q131: WHEN did the level shift)
+    * this answers IS this hour abnormal for its phase.
+    *
+    * Plan shape for 100 TB: one (type, hour) count aggregate, one
+    * 24·|types|-row profile aggregate joined back by broadcast, all
+    * in-row arithmetic after that. The flag is the LEAVE-ONE-OUT
+    * z-score (the naive 3σ against the bin's own σ can NEVER flag when
+    * the bin holds ≤ 9 observations — the outlier inflates its own
+    * dispersion estimate, capping z at √(n−1); excluding the point
+    * under test removes the masking). The whole test clears rationally
+    * to integers: d = n·x − Σx, flag d²·(n−2) > 9·(n−1)·A with
+    * A = (n−1)(Σx² − x²) − (Σx − x)², both sides built in double
+    * through the identical expression order in both engines; bins with
+    * n < 3 never flag. The emitted residual is micro-fixed.
+    */
+  def q133Seasonal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, dir)
+      .groupBy($"event_type", expr("ts div 3600000000000").as("hour"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("hod", pmod($"hour", lit(24L)))
+    val profile = hourly.groupBy($"event_type", $"hod")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"))
+    hourly.join(broadcast(profile), Seq("event_type", "hod"))
+      .withColumn("d", $"n" * $"x" - $"sx")
+      .select($"event_type", $"hour", $"hod", $"x",
+        (round($"sx".cast("double") * 1e6 / $"n").cast("long")
+          .cast("double") / 1e6).as("expected"),
+        (round($"d".cast("double") * 1e6 / $"n").cast("long")
+          .cast("double") / 1e6).as("residual"),
+        ($"n" >= 3 && $"d".cast("double") * $"d" * ($"n" - 2) >
+          lit(9.0) * ($"n" - 1).cast("double") *
+            (($"n" - 1) * ($"sxx" - $"x" * $"x") -
+              ($"sx" - $"x") * ($"sx" - $"x")).cast("double"))
+          .as("is_anomaly"))
+      .orderBy($"event_type", $"hour")
+  }
+
   /** Journey length cap for [[q130TopPaths]]: only each user's first
     * pathLen events form the path, so per-user state is bounded and the
     * path vocabulary is at most |types|^pathLen.
@@ -1487,6 +1531,7 @@ object ScaleOps {
     "q129_transitions" -> (q129Transitions _),
     "q130_top_paths" -> (q130TopPaths _),
     "q131_cusum" -> (q131Cusum _),
+    "q133_seasonal" -> (q133Seasonal _),
     "q36_approx_distinct" -> (q36ApproxDistinct _),
     "q93_hll_sketch" -> (q93HllSketch _),
     "q94_bloom_join" -> (q94BloomJoin _),
@@ -1523,6 +1568,25 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q133_seasonal" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |h2 AS (SELECT *, hour % 24 AS hod FROM hourly),
+        |profile AS (
+        |  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM h2 GROUP BY 1, 2)
+        |SELECT h2.event_type, hour, h2.hod, x,
+        |  CAST(round(CAST(sx AS DOUBLE) * 1e6 / n) AS BIGINT) / 1e6 AS expected,
+        |  CAST(round(CAST(n * x - sx AS DOUBLE) * 1e6 / n) AS BIGINT) / 1e6 AS residual,
+        |  n >= 3 AND CAST(n * x - sx AS DOUBLE) * (n * x - sx) * (n - 2) >
+        |    9.0 * CAST(n - 1 AS DOUBLE) *
+        |      CAST((n - 1) * (sxx - x * x) - (sx - x) * (sx - x) AS DOUBLE)
+        |    AS is_anomaly
+        |FROM h2 JOIN profile USING (event_type, hod)
+        |ORDER BY event_type, hour""".stripMargin,
     "q131_cusum" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,

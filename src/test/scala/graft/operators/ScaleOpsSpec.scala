@@ -247,6 +247,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.filter(_._1._2 >= 24).forall(_._2._3))
   }
 
+  test("q133: the hour-of-day profile absorbs the diurnal cycle; only the spike flags") {
+    // 6 days of a clean diurnal pattern (count = 1 + hod % 3), except ONE
+    // spiked hour (day 3, hod 5: 30 events instead of 3). The profile
+    // must rate every clean hour normal — including other hod=5 hours —
+    // and flag exactly the spike
+    val rows = (0 until 144).flatMap { h =>
+      val hod = h % 24
+      val n = if (h == 3 * 24 + 5) 30 else 1 + hod % 3
+      (0 until n).map(i => (h.toLong * 1000 + i, h.toLong * H + i, 1L, "view", 1.0, ""))
+    }
+    val out = ScaleOps.q133Seasonal(spark, stage(rows)).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5), r.getBoolean(6))).toMap
+    assert(out.size == 144)
+    val anomalies = out.filter(_._2._5).keySet
+    assert(anomalies == Set(3L * 24 + 5), s"flagged: $anomalies")
+    // the spike's bin: mean of (3,3,3,30,3,3) = 7.5, residual 22.5
+    val (hod, x, expected, residual, _) = out(3L * 24 + 5)
+    assert((hod, x, expected, residual) == ((5L, 30L, 7.5, 22.5)))
+    // a clean sibling in the same bin sits below its mean, unflagged
+    assert(out(5L)._4 == -4.5 && !out(5L)._5)
+  }
+
   test("q130: paths are event-time ordered, capped at pathLen, counted per user") {
     // user 1: view>click>view (3 events); user 2: same path; user 3:
     // seven views → path capped to the first pathLen (5); user 4: click
