@@ -1360,13 +1360,7 @@ object ScaleOps {
     val bounds = hourly.agg(min($"hour").as("h0"), max($"hour").as("h1"))
     val half = hourly.crossJoin(broadcast(bounds))
       .withColumn("is_ref", $"hour" < ($"h0" + $"h1" + 1) / 2)
-    val ref = half.filter($"is_ref").groupBy($"event_type")
-      .agg(count(lit(1)).as("n_ref"), sum($"x").as("sx"),
-        sum($"x" * $"x").as("sxx"))
-      .withColumn("h_micro",
-        round(lit(4e6) * sqrt(($"n_ref" * $"sxx" - $"sx" * $"sx").cast("double"))
-          / $"n_ref").cast("long"))
-    half.join(broadcast(ref), Seq("event_type"))
+    half.join(broadcast(cusumRefFrom(half)), Seq("event_type"))
       .withColumn("d", $"n_ref" * $"x" - $"sx")
       .withColumn("pre", sum($"d").over(w))
       .withColumn("runmin", least(min($"pre").over(w), lit(0L)))
@@ -1376,6 +1370,35 @@ object ScaleOps {
         ($"s_micro".cast("double") / 1e6).as("cusum"),
         ($"s_micro" > $"h_micro").as("alarm"))
       .orderBy($"event_type", $"hour")
+  }
+
+  /** The q131 reference block — per event type, the first-half hour
+    * count statistics and the 4σ micro threshold — as a standalone
+    * artifact: persist it to parquet and the STREAMING cusum twin
+    * ([[graft.streaming.EventStream.cusumStream]]) monitors live hours
+    * against it without recomputing history (the passage-gate
+    * index pattern, applied to the drift family).
+    */
+  def cusumReference(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, dir)
+      .groupBy($"event_type", expr("ts div 3600000000000").as("hour"))
+      .agg(count(lit(1)).as("x"))
+    val bounds = hourly.agg(min($"hour").as("h0"), max($"hour").as("h1"))
+    cusumRefFrom(hourly.crossJoin(broadcast(bounds))
+      .withColumn("is_ref", $"hour" < ($"h0" + $"h1" + 1) / 2))
+  }
+
+  /** Shared reference aggregation over a frame carrying
+    * (event_type, x, is_ref). */
+  private def cusumRefFrom(half: DataFrame): DataFrame = {
+    import half.sparkSession.implicits._
+    half.filter($"is_ref").groupBy($"event_type")
+      .agg(count(lit(1)).as("n_ref"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"))
+      .withColumn("h_micro",
+        round(lit(4e6) * sqrt(($"n_ref" * $"sxx" - $"sx" * $"sx").cast("double"))
+          / $"n_ref").cast("long"))
   }
 
   /** q133 — seasonal (hour-of-day) decomposition with residual anomaly

@@ -441,6 +441,52 @@ object EventStream {
     * user's already-folded event-time high-water mark is counted in
     * `late_dropped` (monotone per user), never folded.
     */
+  final case class HourlyCount(event_type: String, hour: Long, x: Long)
+  final case class CusumRow(event_type: String, hour: Long, x: Long,
+      cusum: Double, alarm: Boolean)
+  /** CUSUM running state: the drift prefix and its running min — the
+    * SAME two quantities the batch q131 window factorization carries,
+    * here as two longs per event type.
+    */
+  final case class CusumState(pre: Long, runmin: Long)
+  final case class HourlyWithRef(event_type: String, hour: Long,
+      x: Long, n_ref: Long, sx: Long, h_micro: Long)
+
+  /** Streaming twin of the batch q131 CUSUM monitor: live hourly counts
+    * checked against a PERSISTED reference block
+    * ([[graft.operators.ScaleOps.cusumReference]] → parquet), the
+    * passage-gate pattern applied to the drift family — history is never
+    * recomputed, and a nightly reference refresh needs no restart
+    * (stream-static join re-plans per micro-batch). State per event type
+    * is exactly the batch factorization's two running quantities (drift
+    * prefix + running min), folded in hour order within each batch;
+    * arrival contract across batches is [[funnelStream]]'s.
+    */
+  def cusumStream(hourly: Dataset[HourlyCount], ref: DataFrame): Dataset[CusumRow] = {
+    import hourly.sparkSession.implicits._
+    hourly.join(broadcast(ref), Seq("event_type"))
+      .select($"event_type", $"hour", $"x", $"n_ref", $"sx", $"h_micro")
+      .as[HourlyWithRef]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        cusumFold)
+  }
+
+  private[streaming] def cusumFold(
+      eventType: String, rows: Iterator[HourlyWithRef],
+      state: GroupState[CusumState]): Iterator[CusumRow] = {
+    var s = state.getOption.getOrElse(CusumState(0L, 0L))
+    val out = rows.toSeq.sortBy(_.hour).map { r =>
+      val pre = s.pre + (r.n_ref * r.x - r.sx)
+      val runmin = math.min(s.runmin, math.min(pre, 0L))
+      s = CusumState(pre, runmin)
+      val sMicro = math.round((pre - runmin).toDouble * 1e6 / r.n_ref)
+      CusumRow(eventType, r.hour, r.x, sMicro / 1e6, sMicro > r.h_micro)
+    }
+    state.update(s)
+    out.iterator
+  }
+
   final case class Transition(user_id: Long, from_type: String, to_type: String)
 
   /** Per-user last-event state for [[transitionsStream]]: ONE triple. */

@@ -538,6 +538,40 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CUSUM against the persisted reference equals batch q131 on ordered replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // reference block persisted to parquet, read back — the artifact path
+    val refDir = java.nio.file.Files.createTempDirectory("cusum_ref").toString
+    graft.operators.ScaleOps.cusumReference(spark, sfDir)
+      .write.mode("overwrite").parquet(refDir)
+    val ref = spark.read.parquet(refDir)
+    val hourly = graft.Tables.events(spark, sfDir)
+      .groupBy($"event_type", org.apache.spark.sql.functions.expr("ts div 3600000000000").as("hour"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("x"))
+      .as[EventStream.HourlyCount].collect().sortBy(_.hour).toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[EventStream.HourlyCount]
+    val q = EventStream.cusumStream(source.toDS(), ref)
+      .writeStream.outputMode("append").format("memory").queryName("cusum").start()
+    try {
+      hourly.grouped(math.max(1, hourly.size / 3 + 1)).foreach { batch =>
+        source.addData(batch)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql("SELECT * FROM cusum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+      val batch = graft.operators.ScaleOps.q131Cusum(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+      assert(streamed == batch)
+      assert(batch.nonEmpty && batch.values.exists(_._2 > 0))
+    } finally q.stop()
+  }
+
   test("watermarked funnel equals the batch q57 on scrambled (reverse-time) replay") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
