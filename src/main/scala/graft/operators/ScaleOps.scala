@@ -1372,6 +1372,51 @@ object ScaleOps {
       .orderBy($"event_type", $"hour")
   }
 
+  /** q134 — per-group least-squares trend: the slope/intercept of each
+    * event type's daily count series (the "is this segment growing"
+    * dashboard statistic; the parametric complement of q131's
+    * change-point and q133's seasonality). Closed form over sufficient
+    * statistics: slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), so the WHOLE
+    * fit is one map-side-combining aggregate per group — five longs of
+    * state, no window, no iteration, the textbook 100 TB shape. Days are
+    * re-indexed to offsets from the global minimum so the integer
+    * products stay small; slope/intercept/R² are micro-fixed from
+    * all-integer sufficient statistics through the identical expression
+    * order in both engines.
+    */
+  def q134TrendSlopes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val d0 = daily.agg(min($"day").as("d0"))
+    val fit = daily.crossJoin(broadcast(d0))
+      .withColumn("t", $"day" - $"d0")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"t").as("st"), sum($"y").as("sy"),
+        sum($"t" * $"t").as("stt"), sum($"t" * $"y").as("sty"),
+        sum($"y" * $"y").as("syy"))
+    // all-integer building blocks: cov_n = n·Σty − Σt·Σy,
+    // var_t·n² analog vt = n·Σtt − (Σt)², vy = n·Σyy − (Σy)²
+    fit
+      .withColumn("cov_n", $"n" * $"sty" - $"st" * $"sy")
+      .withColumn("vt", $"n" * $"stt" - $"st" * $"st")
+      .withColumn("vy", $"n" * $"syy" - $"sy" * $"sy")
+      .select($"event_type", $"n",
+        (round($"cov_n".cast("double") * 1e6 / $"vt").cast("long")
+          .cast("double") / 1e6).as("slope"),
+        // intercept = (Σy − slope·Σt)/n = (Σy·vt − cov_n·Σt)/(n·vt)
+        (round(($"sy".cast("double") * $"vt" - $"cov_n".cast("double") * $"st")
+          * 1e6 / ($"n".cast("double") * $"vt")).cast("long")
+          .cast("double") / 1e6).as("intercept"),
+        // R² = cov_n² / (vt·vy); flat series (vy = 0) → perfect fit 1
+        (when($"vy" > 0,
+          round($"cov_n".cast("double") * $"cov_n" * 1e6
+            / ($"vt".cast("double") * $"vy")).cast("long"))
+          .otherwise(lit(1000000L)).cast("double") / 1e6).as("r2"))
+      .orderBy($"event_type")
+  }
+
   /** The q131 reference block — per event type, the first-half hour
     * count statistics and the 4σ micro threshold — as a standalone
     * artifact: persist it to parquet and the STREAMING cusum twin
@@ -1555,6 +1600,7 @@ object ScaleOps {
     "q130_top_paths" -> (q130TopPaths _),
     "q131_cusum" -> (q131Cusum _),
     "q133_seasonal" -> (q133Seasonal _),
+    "q134_trend_slopes" -> (q134TrendSlopes _),
     "q36_approx_distinct" -> (q36ApproxDistinct _),
     "q93_hll_sketch" -> (q93HllSketch _),
     "q94_bloom_join" -> (q94BloomJoin _),
@@ -1591,6 +1637,32 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q134_trend_slopes" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d0 AS (SELECT min(day) AS d0 FROM daily),
+        |fit AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(day - d0) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum((day - d0) * (day - d0)) AS BIGINT) AS stt,
+        |    CAST(sum((day - d0) * y) AS BIGINT) AS sty,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM daily CROSS JOIN d0 GROUP BY 1),
+        |b AS (
+        |  SELECT *, n * sty - st * sy AS cov_n, n * stt - st * st AS vt,
+        |    n * syy - sy * sy AS vy
+        |  FROM fit)
+        |SELECT event_type, n,
+        |  CAST(round(CAST(cov_n AS DOUBLE) * 1e6 / vt) AS BIGINT) / 1e6 AS slope,
+        |  CAST(round((CAST(sy AS DOUBLE) * vt - CAST(cov_n AS DOUBLE) * st)
+        |    * 1e6 / (CAST(n AS DOUBLE) * vt)) AS BIGINT) / 1e6 AS intercept,
+        |  CASE WHEN vy > 0
+        |       THEN CAST(round(CAST(cov_n AS DOUBLE) * cov_n * 1e6
+        |         / (CAST(vt AS DOUBLE) * vy)) AS BIGINT)
+        |       ELSE 1000000 END / 1e6 AS r2
+        |FROM b ORDER BY event_type""".stripMargin,
     "q133_seasonal" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,

@@ -270,6 +270,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out(5L)._4 == -4.5 && !out(5L)._5)
   }
 
+  test("q134: planted linear trends recover exactly; noise degrades R², not the slope sign") {
+    // type A: y = 10 + 3t for t=0..9 (exact fit); type B: flat 7/day
+    // (slope 0, vy=0 → R² pinned 1); type C: 20 − 2t with one ±4
+    // symmetric-noise pair at t=4/5 (slope preserved, R² < 1)
+    val D = 86400000000000L
+    def burst(ty: String, day: Int, n: Int, base: Long) =
+      (0 until n).map(i => (base + day.toLong * 1000 + i, day.toLong * D + i, 1L, ty, 1.0, ""))
+    val rows =
+      (0 until 10).flatMap(t => burst("a", t, 10 + 3 * t, 0)) ++
+      (0 until 10).flatMap(t => burst("b", t, 7, 1000000)) ++
+      (0 until 10).flatMap { t =>
+        val noise = if (t == 4) 4 else if (t == 5) -4 else 0
+        burst("c", t, 20 - 2 * t + noise, 2000000)
+      }
+    val out = ScaleOps.q134TrendSlopes(spark, stage(rows)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out("a") == ((10L, 3.0, 10.0, 1.0)))
+    assert(out("b") == ((10L, 0.0, 7.0, 1.0)))
+    val (nc, slopeC, _, r2c) = out("c")
+    assert(nc == 10L && math.abs(slopeC - (-2.0)) < 0.1 && slopeC < 0)
+    assert(r2c < 1.0 && r2c > 0.9, s"r2=$r2c")
+  }
+
   test("q130: paths are event-time ordered, capped at pathLen, counted per user") {
     // user 1: view>click>view (3 events); user 2: same path; user 3:
     // seven views → path capped to the first pathLen (5); user 4: click
