@@ -1372,6 +1372,63 @@ object ScaleOps {
       .orderBy($"event_type", $"hour")
   }
 
+  /** Stop-gram document-frequency cap for [[q135FuzzyJoin]]: a trigram
+    * occurring in more than this many names (both sides combined) is a
+    * STOP gram — it generates no candidates (it would pair everything
+    * with everything) but still participates in the exact Jaccard of
+    * pairs that block on a rare gram. The q26 maxDf discipline applied
+    * cross-table; also the block-size bound (≤ maxDf² pairs per gram).
+    */
+  val fuzzyMaxDf = 500
+
+  /** Match threshold (Jaccard, micro units). */
+  val fuzzyTauMicro = 300000L
+
+  /** q135 — fuzzy entity-match join ACROSS two tables (customer names ×
+    * supplier names): the entity-resolution shape — trigram-blocked
+    * candidate generation, exact set-overlap verification, Jaccard
+    * threshold. Differs from the corpus near-dup family (q26/q28) in
+    * being a two-sided join between DIFFERENT relations, the
+    * record-linkage primitive.
+    *
+    * Plan shape for 100 TB: candidates come ONLY from rare trigrams
+    * (combined df ≤ [[fuzzyMaxDf]]) — the universal grams that would
+    * pair everything with everything are excluded from blocking (the
+    * documented recall contract, with maxDf as the lever) yet still
+    * count in the verification, because the exact Jaccard is computed
+    * IN-ROW from each pair's full distinct-gram arrays
+    * (`array_intersect` on the two carried arrays) — there is no
+    * gram-level verification join to explode. Per-gram block size is
+    * bounded by maxDf² by construction.
+    */
+  def q135FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def grams(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column = array_distinct(transform(
+      sequence(lit(1), length(name) - 2), i => lower(name).substr(i, lit(3))))
+    val c = Tables(spark, dir, "customer")
+      .select($"c_custkey".as("cid"), grams($"c_name").as("cg"))
+    val s = Tables(spark, dir, "supplier")
+      .select($"s_suppkey".as("sid"), grams($"s_name").as("sg"))
+    val ce = c.select($"cid", explode($"cg").as("g"))
+    val se = s.select($"sid", explode($"sg").as("g"))
+    val rare = ce.groupBy($"g").agg(count(lit(1)).as("dc"))
+      .join(se.groupBy($"g").agg(count(lit(1)).as("ds")), Seq("g"), "full_outer")
+      .filter(coalesce($"dc", lit(0L)) + coalesce($"ds", lit(0L)) <= fuzzyMaxDf)
+      .select($"g")
+    val cand = ce.join(rare, Seq("g")).join(se, Seq("g"))
+      .select($"cid", $"sid").distinct()
+    cand.join(c, Seq("cid")).join(s, Seq("sid"))
+      .withColumn("inter", size(array_intersect($"cg", $"sg")).cast("long"))
+      .withColumn("na", size($"cg").cast("long"))
+      .withColumn("nb", size($"sg").cast("long"))
+      .withColumn("j_micro",
+        round($"inter".cast("double") * 1e6 / ($"na" + $"nb" - $"inter")).cast("long"))
+      .filter($"j_micro" >= fuzzyTauMicro)
+      .select($"cid", $"sid", $"inter", $"na", $"nb",
+        ($"j_micro".cast("double") / 1e6).as("jaccard"))
+      .orderBy($"cid", $"sid")
+  }
+
   /** q134 — per-group least-squares trend: the slope/intercept of each
     * event type's daily count series (the "is this segment growing"
     * dashboard statistic; the parametric complement of q131's
@@ -1601,6 +1658,7 @@ object ScaleOps {
     "q131_cusum" -> (q131Cusum _),
     "q133_seasonal" -> (q133Seasonal _),
     "q134_trend_slopes" -> (q134TrendSlopes _),
+    "q135_fuzzy_join" -> (q135FuzzyJoin _),
     "q36_approx_distinct" -> (q36ApproxDistinct _),
     "q93_hll_sketch" -> (q93HllSketch _),
     "q94_bloom_join" -> (q94BloomJoin _),
@@ -1637,6 +1695,30 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q135_fuzzy_join" ->
+      s"""WITH c AS (SELECT c_custkey AS cid,
+         |  list_distinct([substr(lower(c_name), i, 3)
+         |    for i in range(1, len(c_name) - 1)]) AS cg FROM customer),
+         |s AS (SELECT s_suppkey AS sid,
+         |  list_distinct([substr(lower(s_name), i, 3)
+         |    for i in range(1, len(s_name) - 1)]) AS sg FROM supplier),
+         |ce AS (SELECT cid, unnest(cg) AS g FROM c),
+         |se AS (SELECT sid, unnest(sg) AS g FROM s),
+         |dfc AS (SELECT g, count(*) AS d FROM ce GROUP BY 1),
+         |dfs AS (SELECT g, count(*) AS d FROM se GROUP BY 1),
+         |rare AS (SELECT COALESCE(dfc.g, dfs.g) AS g
+         |         FROM dfc FULL JOIN dfs ON dfc.g = dfs.g
+         |         WHERE COALESCE(dfc.d, 0) + COALESCE(dfs.d, 0) <= $fuzzyMaxDf),
+         |cand AS (SELECT DISTINCT cid, sid FROM ce JOIN rare USING (g) JOIN se USING (g)),
+         |scored AS (SELECT cid, sid,
+         |    CAST(len(list_intersect(cg, sg)) AS BIGINT) AS inter,
+         |    CAST(len(cg) AS BIGINT) AS na, CAST(len(sg) AS BIGINT) AS nb
+         |  FROM cand JOIN c USING (cid) JOIN s USING (sid))
+         |SELECT cid, sid, inter, na, nb,
+         |  CAST(round(1e6 * inter / (na + nb - inter)) AS BIGINT) / 1e6 AS jaccard
+         |FROM scored
+         |WHERE CAST(round(1e6 * inter / (na + nb - inter)) AS BIGINT) >= $fuzzyTauMicro
+         |ORDER BY cid, sid""".stripMargin,
     "q134_trend_slopes" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,

@@ -294,6 +294,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r2c < 1.0 && r2c > 0.9, s"r2=$r2c")
   }
 
+  test("q135: fuzzy join equals a plain-Scala trigram replay on hand-named entities") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scaleops_fuzzy").toString
+    val customers = Seq((1L, "Acme Corp"), (2L, "Acme Inc"), (3L, "Zeta LLC"))
+    val suppliers = Seq((10L, "ACME CORPORATION"), (11L, "Beta GmbH"))
+    customers.toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    suppliers.toDF("s_suppkey", "s_name")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val out = ScaleOps.q135FuzzyJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // plain-Scala replay of the whole contract (every gram is rare here)
+    def grams(n: String) = n.toLowerCase.sliding(3).toSeq.distinct
+    val expected = (for {
+      (cid, cn) <- customers; (sid, sn) <- suppliers
+      cg = grams(cn); sg = grams(sn)
+      inter = cg.count(sg.contains)
+      if inter > 0
+      jm = math.round(inter.toDouble * 1e6 / (cg.size + sg.size - inter))
+      if jm >= ScaleOps.fuzzyTauMicro
+    } yield (cid, sid) -> ((inter.toLong, cg.size.toLong, sg.size.toLong, jm / 1e6))).toMap
+    assert(out == expected)
+    // the intended match survived, case-insensitively; non-matches did not
+    assert(out.contains((1L, 10L)) && !out.contains((3L, 11L)), out.keySet)
+  }
+
   test("q130: paths are event-time ordered, capped at pathLen, counted per user") {
     // user 1: view>click>view (3 events); user 2: same path; user 3:
     // seven views → path capped to the first pathLen (5); user 4: click
