@@ -1624,20 +1624,11 @@ object ScaleOps {
     // per-order distinct (no separate distinct() shuffle), and the order
     // count, per-part order counts, and pair fan-out all derive from the
     // basket table (the part/order-count scans reuse its exchange)
-    val baskets0 = Tables(spark, dir, "lineitem")
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-      .groupBy($"ok").agg(array_sort(collect_set($"pk")).as("all_parts"))
+    val baskets0 = orderBaskets(spark, dir)
     val nOrders = baskets0.agg(count(lit(1)).as("n_orders"))
     val ic = baskets0.select(explode($"all_parts").as("pk"))
       .groupBy($"pk").agg(count(lit(1)).as("n_item"))
-    val pairs = baskets0
-      .select(slice($"all_parts", lit(1), lit(basketCap)).as("parts"))
-      .select(explode(flatten(transform($"parts", (x, i) =>
-        transform(slice($"parts", i + lit(2), size($"parts")),
-          y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
-      .select($"pr.p1", $"pr.p2")
-    val pcnt = pairs.groupBy($"p1", $"p2").agg(count(lit(1)).as("n_ab"))
-      .filter($"n_ab" >= basketMinSupport)
+    val pcnt = basketPairCounts(baskets0)
     pcnt
       .join(ic.select($"pk".as("p1"), $"n_item".as("n_a")), Seq("p1"))
       .join(ic.select($"pk".as("p2"), $"n_item".as("n_b")), Seq("p2"))
@@ -1651,7 +1642,83 @@ object ScaleOps {
         ($"lift_micro".cast("double") / 1e6).as("lift"))
   }
 
+  /** Per-order distinct sorted part baskets on one order-key exchange
+    * (shared by q127 and the q136 graph build). */
+  private def orderBaskets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      .groupBy($"ok").agg(array_sort(collect_set($"pk")).as("all_parts"))
+  }
+
+  /** Capped in-row i<j pair fan-out + support-floored pair counts
+    * (q127's candidate structure, reused as q136's edge list). */
+  private def basketPairCounts(baskets0: DataFrame): DataFrame = {
+    import baskets0.sparkSession.implicits._
+    baskets0
+      .select(slice($"all_parts", lit(1), lit(basketCap)).as("parts"))
+      .select(explode(flatten(transform($"parts", (x, i) =>
+        transform(slice($"parts", i + lit(2), size($"parts")),
+          y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
+      .select($"pr.p1", $"pr.p2")
+      .groupBy($"p1", $"p2").agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= basketMinSupport)
+  }
+
+  /** PageRank damping and iteration count for [[q136PageRank]]. */
+  val prDamping = 0.85
+  val prIters = 3
+
+  /** q136 — weighted PageRank over the part co-purchase graph (nodes =
+    * parts, symmetrized edges = q127's support-floored co-order pairs
+    * weighted by pair count): the link-analysis centrality that ranks
+    * "which products anchor the catalog" — the iterative-graph member
+    * beside connected components (q48), which only answers membership.
+    *
+    * Plan shape for 100 TB: [[prIters]] power iterations, each ONE join
+    * of the (node, rank) table — two longs per node — against the edge
+    * list plus a map-side-combining sum; ranks and per-edge
+    * contributions are PICO-fixed integers (each edge's contribution
+    * rounds to a long BEFORE the sum, so the aggregate is
+    * order-invariant and the whole fixed-point is engine-exact — the
+    * oracle replays the same three iterations as chained CTEs). The
+    * symmetrized graph has no dangling nodes by construction (every
+    * node has out-edges), so no dangling-mass redistribution term is
+    * needed. Lineage stays three joins deep — no checkpoint required at
+    * this iteration count (the q48 localCheckpoint discipline applies
+    * when iterating to convergence).
+    */
+  def q136PageRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pcnt = basketPairCounts(orderBaskets(spark, dir))
+    val edges = pcnt.select($"p1".as("u"), $"p2".as("v"), $"n_ab")
+      .unionAll(pcnt.select($"p2".as("u"), $"p1".as("v"), $"n_ab"))
+    val deg = edges.groupBy($"u").agg(sum($"n_ab").as("deg"))
+    val n = deg.agg(count(lit(1)).as("n_nodes"))
+    var rank = deg.select($"u").crossJoin(broadcast(n))
+      .withColumn("r_pico", round(lit(1e12) / $"n_nodes").cast("long"))
+      .select($"u", $"r_pico")
+    for (_ <- 1 to prIters) {
+      val contrib = rank.join(edges, Seq("u")).join(deg, Seq("u"))
+        .select($"v",
+          round($"r_pico".cast("double") * $"n_ab" / $"deg").cast("long").as("c"))
+        .groupBy($"v").agg(sum($"c").as("sc"))
+      rank = deg.select($"u").crossJoin(broadcast(n))
+        .join(contrib.withColumnRenamed("v", "u"), Seq("u"), "left")
+        .withColumn("r_pico",
+          round(lit(1.0 - prDamping) * 1e12 / $"n_nodes").cast("long") +
+            round(lit(prDamping) * coalesce($"sc", lit(0L)).cast("double")).cast("long"))
+        .select($"u", $"r_pico")
+    }
+    rank.crossJoin(broadcast(n))
+      .orderBy($"r_pico".desc, $"u")
+      .limit(100)
+      .select($"u".as("part"), $"n_nodes",
+        ($"r_pico".cast("double") / 1e12).as("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_pagerank" -> (q136PageRank _),
     "q127_market_basket" -> (q127MarketBasket _),
     "q129_transitions" -> (q129Transitions _),
     "q130_top_paths" -> (q130TopPaths _),
@@ -1695,6 +1762,35 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q136_pagerank" -> {
+      // the same three power iterations as chained CTEs; per-edge pico
+      // contributions round to BIGINT before the sum in both engines
+      val iterCtes = (1 to prIters).map { k =>
+        val prev = if (k == 1) "r0" else s"r${k - 1}"
+        s"""c$k AS (SELECT v,
+           |  CAST(sum(CAST(round(CAST(r AS DOUBLE) * n_ab / deg) AS BIGINT)) AS BIGINT) AS sc
+           |  FROM $prev JOIN edges USING (u) JOIN deg USING (u) GROUP BY v),
+           |r$k AS (SELECT deg.u,
+           |  CAST(round((1 - $prDamping) * 1e12 / n_nodes) AS BIGINT)
+           |    + CAST(round($prDamping * CAST(COALESCE(sc, 0) AS DOUBLE)) AS BIGINT) AS r
+           |  FROM deg CROSS JOIN n LEFT JOIN c$k ON deg.u = c$k.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_ab
+         |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= $basketMinSupport),
+         |edges AS MATERIALIZED (SELECT p1 AS u, p2 AS v, n_ab FROM pairs
+         |          UNION ALL SELECT p2, p1, n_ab FROM pairs),
+         |deg AS MATERIALIZED (SELECT u, CAST(sum(n_ab) AS BIGINT) AS deg FROM edges GROUP BY 1),
+         |n AS (SELECT count(*) AS n_nodes FROM deg),
+         |r0 AS (SELECT u, CAST(round(1e12 / n_nodes) AS BIGINT) AS r
+         |       FROM deg CROSS JOIN n),
+         |$iterCtes
+         |SELECT u AS part, n_nodes, r / 1e12 AS rank
+         |FROM r$prIters CROSS JOIN n
+         |ORDER BY r DESC, u LIMIT 100""".stripMargin
+    },
     "q135_fuzzy_join" ->
       s"""WITH c AS (SELECT c_custkey AS cid,
          |  list_distinct([substr(lower(c_name), i, 3)

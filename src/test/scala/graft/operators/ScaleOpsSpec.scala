@@ -321,6 +321,38 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.contains((1L, 10L)) && !out.contains((3L, 11L)), out.keySet)
   }
 
+  test("q136: pagerank equals a plain-Scala pico power iteration; the hub outranks leaves") {
+    import spark.implicits._
+    // star graph through co-orders: hub part 1 co-ordered with each leaf
+    // 2..5 twice (support floor), plus one leaf-leaf pair (4,5) twice
+    val rows = (for {
+      (leaf, o) <- Seq((2L, 0L), (3L, 10L), (4L, 20L), (5L, 30L))
+      rep <- 0 to 1
+    } yield Seq((o + rep, 1L), (o + rep, leaf))).flatten ++
+      Seq((100L, 4L), (100L, 5L), (101L, 4L), (101L, 5L))
+    val dir = java.nio.file.Files.createTempDirectory("scaleops_pr").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = ScaleOps.q136PageRank(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // plain-Scala replay with the same pico-fixed arithmetic
+    val pairs = Map((1L, 2L) -> 2L, (1L, 3L) -> 2L, (1L, 4L) -> 2L,
+      (1L, 5L) -> 2L, (4L, 5L) -> 2L)
+    val edges = pairs.toSeq.flatMap { case ((a, b), w) => Seq((a, b, w), (b, a, w)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = deg.keySet.toSeq.sorted
+    var r = nodes.map(_ -> math.round(1e12 / nodes.size)).toMap
+    for (_ <- 1 to ScaleOps.prIters) {
+      val sc = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _, w) => math.round(r(u).toDouble * w / deg(u)) }.sum).toMap
+      r = nodes.map(u => u -> (math.round((1 - ScaleOps.prDamping) * 1e12 / nodes.size)
+        + math.round(ScaleOps.prDamping * sc.getOrElse(u, 0L).toDouble))).toMap
+    }
+    assert(out == r.map { case (u, p) => u -> ((nodes.size.toLong, p / 1e12)) })
+    // the hub dominates every leaf
+    assert(Seq(2L, 3L, 4L, 5L).forall(l => out(1L)._2 > out(l)._2))
+  }
+
   test("q130: paths are event-time ordered, capped at pathLen, counted per user") {
     // user 1: view>click>view (3 events); user 2: same path; user 3:
     // seven views → path capped to the first pathLen (5); user 4: click
