@@ -1372,6 +1372,66 @@ object ScaleOps {
       .orderBy($"event_type", $"hour")
   }
 
+  /** Decay constant for [[q137DecayScore]]: ln(2)/7 as an explicit
+    * double literal so BOTH engines parse the identical IEEE value
+    * (deriving it as `ln(2)/7` in each engine would go through each
+    * libm's log — a 1-ulp divergence risk the literal eliminates).
+    * Seven-day half-life.
+    */
+  val decayLambda = 0.09902102579427789
+
+  /** q137 — recency-weighted engagement score: per user,
+    * Σ value · exp(−λ · age_days) against the corpus' newest event —
+    * the standard churn/engagement feature where yesterday's purchase
+    * outweighs last month's. One scalar max-ts aggregate broadcast
+    * back, one in-row exp per event micro-fixed to a long BEFORE the
+    * per-user sum (order-invariant; the q69-sigmoid 6dp discipline for
+    * transcendentals), one map-side-combining aggregate. No window.
+    */
+  def q137DecayScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val tmax = ev.agg(max($"ts").as("tmax"))
+    ev.crossJoin(broadcast(tmax))
+      .withColumn("term_micro",
+        round($"value" * exp(lit(-decayLambda) *
+          (($"tmax" - $"ts").cast("double") / 86400000000000.0)) * 1e6)
+          .cast("long"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"term_micro").as("sm"))
+      .select($"user_id", $"n_events",
+        ($"sm".cast("double") / 1e6).as("engagement"))
+      .orderBy($"user_id")
+  }
+
+  /** q138 — 2-D skyline (Pareto frontier): the parts no other part beats
+    * on BOTH price and size (dominance ≤/≤ with one strict) — the
+    * multi-criteria shortlist operator ("cheapest for its size class").
+    * The naive spelling is the O(n²) NOT-EXISTS dominance anti-join;
+    * this plan is the sort-filter skyline: per-price min size (one
+    * aggregate), a strict-predecessor running min over the DISTINCT
+    * price axis (a window over |prices| rows, not |parts|), and an
+    * in-row survivor test — a part survives iff it has its price's min
+    * size AND beats every cheaper price's best size strictly. Equal
+    * (price, size) twins both survive (no strict dimension), which the
+    * spec pins against a plain-Scala O(n²) dominance replay.
+    */
+  def q138Skyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"p_retailprice")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val parts = Tables(spark, dir, "part")
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+    val best = parts.groupBy($"p_retailprice")
+      .agg(min($"p_size").as("min_size"))
+      .withColumn("strict_prev", min($"min_size").over(w))
+    parts.join(best, Seq("p_retailprice"))
+      .filter($"p_size" === $"min_size" &&
+        ($"strict_prev".isNull || $"p_size" < $"strict_prev"))
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .orderBy($"p_retailprice", $"p_partkey")
+  }
+
   /** Stop-gram document-frequency cap for [[q135FuzzyJoin]]: a trigram
     * occurring in more than this many names (both sides combined) is a
     * STOP gram — it generates no candidates (it would pair everything
@@ -1719,6 +1779,8 @@ object ScaleOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_pagerank" -> (q136PageRank _),
+    "q137_decay_score" -> (q137DecayScore _),
+    "q138_skyline" -> (q138Skyline _),
     "q127_market_basket" -> (q127MarketBasket _),
     "q129_transitions" -> (q129Transitions _),
     "q130_top_paths" -> (q130TopPaths _),
@@ -1762,6 +1824,26 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q137_decay_score" ->
+      s"""WITH t AS (SELECT max(epoch_ns(ts)) AS tmax FROM events)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CAST(round(value * exp(-$decayLambda *
+         |    (CAST(tmax - epoch_ns(ts) AS DOUBLE) / 86400000000000.0)) * 1e6)
+         |    AS BIGINT)) AS DOUBLE) / 1e6 AS engagement
+         |FROM events CROSS JOIN t
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q138_skyline" ->
+      """WITH best AS (
+        |  SELECT p_retailprice, min(p_size) AS min_size
+        |  FROM part GROUP BY 1),
+        |b2 AS (
+        |  SELECT *, min(min_size) OVER (ORDER BY p_retailprice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS strict_prev
+        |  FROM best)
+        |SELECT p_partkey, p.p_retailprice, p_size
+        |FROM part p JOIN b2 ON p.p_retailprice = b2.p_retailprice
+        |WHERE p_size = min_size AND (strict_prev IS NULL OR p_size < strict_prev)
+        |ORDER BY p.p_retailprice, p_partkey""".stripMargin,
     "q136_pagerank" -> {
       // the same three power iterations as chained CTEs; per-edge pico
       // contributions round to BIGINT before the sum in both engines

@@ -353,6 +353,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(Seq(2L, 3L, 4L, 5L).forall(l => out(1L)._2 > out(l)._2))
   }
 
+  test("q137: a 7-day-old event scores exactly half of a fresh one (half-life pin)") {
+    // user 1: value 10 at the corpus max ts (age 0 → weight 1.0);
+    // user 2: value 10 exactly 7 days earlier (one half-life → 0.5)
+    val D = 24L * H
+    val rows = Seq(
+      (1L, 7L * D, 1L, "view", 10.0, ""),
+      (2L, 0L, 2L, "view", 10.0, ""))
+    val out = ScaleOps.q137DecayScore(spark, stage(rows)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map(1L -> ((1L, 10.0)), 2L -> ((1L, 5.0))))
+  }
+
+  test("q138: skyline equals a plain-Scala O(n²) dominance replay; equal twins both survive") {
+    import spark.implicits._
+    // (price, size): 1 (10,5) and 2 (10,5) equal twins — both survive;
+    // 3 (10,9) dominated same-price; 4 (20,3) survives (smaller size);
+    // 5 (20,4) dominated by 4; 6 (30,3) dominated by 4 (price>, size=);
+    // 7 (5,50) survives (cheapest)
+    val parts = Seq((1L, 10.0, 5), (2L, 10.0, 5), (3L, 10.0, 9),
+      (4L, 20.0, 3), (5L, 20.0, 4), (6L, 30.0, 3), (7L, 5.0, 50))
+    val dir = java.nio.file.Files.createTempDirectory("scaleops_sky").toString
+    parts.toDF("p_partkey", "p_retailprice", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = ScaleOps.q138Skyline(spark, dir).collect().map(_.getLong(0)).toSet
+    val expected = parts.filter { case (k, p, s) =>
+      !parts.exists { case (k2, p2, s2) =>
+        k2 != k && p2 <= p && s2 <= s && (p2 < p || s2 < s) }
+    }.map(_._1).toSet
+    assert(out == expected && out == Set(1L, 2L, 4L, 7L))
+  }
+
   test("q130: paths are event-time ordered, capped at pathLen, counted per user") {
     // user 1: view>click>view (3 events); user 2: same path; user 3:
     // seven views → path capped to the first pathLen (5); user 4: click
