@@ -1372,6 +1372,81 @@ object ScaleOps {
       .orderBy($"event_type", $"hour")
   }
 
+  /** q139 — grouped weighted median: per part, the sale price at which
+    * half the shipped QUANTITY sits below (the robust "typical price
+    * paid" that a quantity-blind median gets wrong). Spelling: quantity
+    * collapses to one row per (part, price) FIRST (map-side-combining
+    * aggregate, decimal-exact), then a cumulative-weight window runs
+    * over each part's few distinct prices — thousands of small windows,
+    * never one corpus-ordered window (groups are the parallelism; the
+    * single-group quantile at corpus scale is q100's sketch, not a
+    * window). The median is min price with 2·cum ≥ total — the
+    * comparison is decimal-exact, no division anywhere.
+    */
+  def q139WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"p").orderBy($"price")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val grp = Tables(spark, dir, "lineitem")
+      .groupBy($"l_partkey".as("p"), $"l_extendedprice".as("price"))
+      .agg(sum($"l_quantity".cast(DecimalType(18, 2))).as("q"))
+    val tot = grp.groupBy($"p").agg(sum($"q").as("t"), count(lit(1)).as("n_prices"))
+    grp.withColumn("cum", sum($"q").over(w))
+      .join(tot, Seq("p"))
+      .filter($"cum" * 2 >= $"t")
+      .groupBy($"p")
+      .agg(min($"price").as("w_median"),
+        first($"t").as("tq"), first($"n_prices").as("n_prices"))
+      .select($"p".as("p_partkey"), $"w_median",
+        $"tq".cast("double").as("total_qty"), $"n_prices")
+      .orderBy($"p_partkey")
+  }
+
+  /** q140 — hash-split A/B conversion z-test: users assigned to arms by
+    * md5 parity (deterministic, engine-portable — the q49/q121 salted-
+    * hash discipline), conversion = the user ever purchased; the
+    * two-proportion pooled z statistic and a 95% significance verdict
+    * per event-type cohort... the experimentation primitive completing
+    * the stats family (q110/q116 drift, q131 change-point, q134 trend).
+    * On a true hash split the verdict should be NOT significant — the
+    * A/A test property the spec asserts and the oracle pins.
+    *
+    * Plan: one per-user aggregate (arm + converted flag from the same
+    * pass), one 4-row arm×conversion matrix, in-row z arithmetic
+    * micro-fixed through identical expression order.
+    */
+  def q140AbTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val users = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("arm",
+        (conv(substring(md5(concat(lit("ab:"), $"user_id")), 1, 1), 16, 10)
+          .cast("long") % 2).cast("int"))
+    val arms = users.groupBy($"arm")
+      .agg(count(lit(1)).as("n"), sum($"conv").as("k"))
+    val wide = arms.agg(
+      sum(when($"arm" === 0, $"n")).as("n0"), sum(when($"arm" === 0, $"k")).as("k0"),
+      sum(when($"arm" === 1, $"n")).as("n1"), sum(when($"arm" === 1, $"k")).as("k1"))
+    // degenerate pool (every user converted, or none): the pooled
+    // variance is 0 and both proportions are necessarily equal — z is 0
+    // by definition, not a division
+    wide
+      .withColumn("kk", $"k0" + $"k1")
+      .withColumn("z_micro",
+        when($"kk" > 0 && $"kk" < $"n0" + $"n1",
+          round(($"k0".cast("double") / $"n0" - $"k1".cast("double") / $"n1") /
+            sqrt(
+              ($"kk".cast("double") / ($"n0" + $"n1")) *
+                (lit(1.0) - $"kk".cast("double") / ($"n0" + $"n1")) *
+                (lit(1.0) / $"n0" + lit(1.0) / $"n1")) * 1e6).cast("long"))
+          .otherwise(lit(0L)))
+      .select($"n0", $"k0", $"n1", $"k1",
+        ($"z_micro".cast("double") / 1e6).as("z"),
+        (abs($"z_micro") > 1960000L).as("significant"))
+  }
+
   /** Decay constant for [[q137DecayScore]]: ln(2)/7 as an explicit
     * double literal so BOTH engines parse the identical IEEE value
     * (deriving it as `ln(2)/7` in each engine would go through each
@@ -1781,6 +1856,8 @@ object ScaleOps {
     "q136_pagerank" -> (q136PageRank _),
     "q137_decay_score" -> (q137DecayScore _),
     "q138_skyline" -> (q138Skyline _),
+    "q139_weighted_median" -> (q139WeightedMedian _),
+    "q140_ab_test" -> (q140AbTest _),
     "q127_market_basket" -> (q127MarketBasket _),
     "q129_transitions" -> (q129Transitions _),
     "q130_top_paths" -> (q130TopPaths _),
@@ -1824,6 +1901,48 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q139_weighted_median" ->
+      """WITH grp AS (
+        |  SELECT l_partkey AS p, l_extendedprice AS price,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT p, CAST(sum(q) AS DECIMAL(18,2)) AS t,
+        |        count(*) AS n_prices FROM grp GROUP BY 1),
+        |cum AS (
+        |  SELECT grp.*, CAST(sum(q) OVER (PARTITION BY p ORDER BY price
+        |    ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS cum
+        |  FROM grp)
+        |SELECT cum.p AS p_partkey, min(price) AS w_median,
+        |  CAST(first(t) AS DOUBLE) AS total_qty,
+        |  CAST(first(n_prices) AS BIGINT) AS n_prices
+        |FROM cum JOIN tot ON cum.p = tot.p
+        |WHERE cum * 2 >= t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q140_ab_test" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |    CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1))
+        |      AS BIGINT) % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |wide AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n0,
+        |    CAST(sum(conv) FILTER (WHERE arm = 0) AS BIGINT) AS k0,
+        |    CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n1,
+        |    CAST(sum(conv) FILTER (WHERE arm = 1) AS BIGINT) AS k1
+        |  FROM users),
+        |zed AS (
+        |  SELECT *, CASE WHEN k0 + k1 > 0 AND k0 + k1 < n0 + n1
+        |    THEN CAST(round((CAST(k0 AS DOUBLE) / n0 - CAST(k1 AS DOUBLE) / n1) /
+        |      sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1)) *
+        |           (1.0 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1)) *
+        |           (1.0 / n0 + 1.0 / n1)) * 1e6) AS BIGINT)
+        |    ELSE 0 END AS z_micro
+        |  FROM wide)
+        |SELECT n0, k0, n1, k1, z_micro / 1e6 AS z,
+        |  abs(z_micro) > 1960000 AS significant
+        |FROM zed""".stripMargin,
     "q137_decay_score" ->
       s"""WITH t AS (SELECT max(epoch_ns(ts)) AS tmax FROM events)
          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

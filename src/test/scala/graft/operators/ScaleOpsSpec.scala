@@ -384,6 +384,43 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out == expected && out == Set(1L, 2L, 4L, 7L))
   }
 
+  test("q139: the weighted median follows quantity, not row count") {
+    import spark.implicits._
+    // part 1: price 1 carries 10 units, price 100 carries 1 → the
+    // quantity-weighted median is 1 (a row median would say 50.5);
+    // part 2: three unit rows at 1/2/100 → median 2
+    val rows = Seq(
+      (1L, 1.0, 10.0), (1L, 100.0, 1.0),
+      (2L, 1.0, 1.0), (2L, 2.0, 1.0), (2L, 100.0, 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("scaleops_wm").toString
+    rows.toDF("l_partkey", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = ScaleOps.q139WeightedMedian(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out == Map(1L -> ((1.0, 11.0, 2L)), 2L -> ((2.0, 3.0, 3L))))
+  }
+
+  test("q140: a planted arm-aligned conversion split is significant; an A/A split is not") {
+    import spark.implicits._
+    // arm assignment in the spec replays the operator's own hash rule
+    def arm(uid: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$uid".getBytes("UTF-8"))
+      (Integer.parseInt(f"${d(0) & 0xff}%02x".substring(0, 1), 16) % 2)
+    }
+    val uids = (1L to 400L)
+    // planted effect: arm-0 users purchase, arm-1 users only view
+    val biased = uids.map(u =>
+      (u, u * H, u, if (arm(u) == 0) "purchase" else "view", 1.0, ""))
+    val b = ScaleOps.q140AbTest(spark, stage(biased)).collect().head
+    assert(b.getLong(1) == b.getLong(0) && b.getLong(3) == 0L) // k0==n0, k1==0
+    assert(b.getBoolean(5), s"planted split not significant: $b")
+    // A/A: everyone purchases → degenerate pool, z pinned 0, no verdict
+    val aa = uids.map(u => (u, u * H, u, "purchase", 1.0, ""))
+    val a = ScaleOps.q140AbTest(spark, stage(aa)).collect().head
+    assert(a.getDouble(4) == 0.0 && !a.getBoolean(5))
+  }
+
   test("q130: paths are event-time ordered, capped at pathLen, counted per user") {
     // user 1: view>click>view (3 events); user 2: same path; user 3:
     // seven views → path capped to the first pathLen (5); user 4: click
