@@ -1372,6 +1372,69 @@ object ScaleOps {
       .orderBy($"event_type", $"hour")
   }
 
+  /** q141 — Mann–Kendall trend test + Theil–Sen slope per event type
+    * over the daily count series: the ROBUST complement to q134's least
+    * squares (no normality assumption, 29% breakdown slope). S is the
+    * pure-integer pair sign sum Σ sign(y_j − y_i), the variance is the
+    * tie-corrected integer var·18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5), and
+    * the Theil–Sen slope is the lower-median of the micro-fixed pairwise
+    * slopes — every statistic is exact or micro-fixed, no libm beyond
+    * one mirrored sqrt.
+    *
+    * Scale note: pairs are quadratic in the SERIES length, not the
+    * corpus — the grain is days per type (the daily aggregate is the
+    * only corpus-sized pass), so the pair fan-out is bounded by
+    * calendar length and runs in-row per type after one
+    * map-side-combining aggregate. The oracle spells the pairs as a
+    * self-join — an independent quadratic formulation of the same
+    * statistics.
+    */
+  def q141MannKendall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    // i<j pairs in-row from the day-sorted series
+    val pairs = daily.groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"day", $"y"))).as("pts"))
+      .select($"event_type", explode(flatten(transform($"pts", (a, i) =>
+        transform(slice($"pts", i + lit(2), size($"pts")), b => struct(
+          signum(b.getField("y") - a.getField("y")).cast("long").as("sgn"),
+          round((b.getField("y") - a.getField("y")).cast("double") * 1e6 /
+            (b.getField("day") - a.getField("day"))).cast("long").as("slope_micro")
+        ))))).as("pr"))
+      .select($"event_type", $"pr.sgn", $"pr.slope_micro")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"slope_micro")
+    val stats = pairs
+      .withColumn("rk", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"event_type")))
+      .groupBy($"event_type")
+      .agg(sum($"sgn").as("s"), count(lit(1)).as("n_pairs"),
+        // lower median of the sorted pairwise slopes
+        max(when($"rk" === expr("(np + 1) div 2"), $"slope_micro"))
+          .as("ts_slope_micro"))
+    val nd = daily.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy($"event_type", $"y").agg(count(lit(1)).as("t"))
+      .groupBy($"event_type")
+      .agg(sum($"t" * ($"t" - 1) * ($"t" * 2 + 5)).as("tie18"))
+    stats.join(nd, Seq("event_type")).join(ties, Seq("event_type"))
+      .withColumn("var18",
+        $"n" * ($"n" - 1) * ($"n" * 2 + 5) - $"tie18")
+      .withColumn("zn",
+        when($"s" > 0, $"s" - 1).when($"s" < 0, $"s" + 1).otherwise(lit(0L)))
+      .withColumn("z_micro",
+        when($"var18" > 0,
+          round($"zn".cast("double") * sqrt(lit(18.0) / $"var18") * 1e6).cast("long"))
+          .otherwise(lit(0L)))
+      .select($"event_type", $"n".as("n_days"), $"s", $"n_pairs",
+        ($"z_micro".cast("double") / 1e6).as("z"),
+        (abs($"z_micro") > 1960000L).as("trending"),
+        ($"ts_slope_micro".cast("double") / 1e6).as("ts_slope"))
+      .orderBy($"event_type")
+  }
+
   /** q139 — grouped weighted median: per part, the sale price at which
     * half the shipped QUANTITY sits below (the robust "typical price
     * paid" that a quantity-blind median gets wrong). Spelling: quantity
@@ -1858,6 +1921,7 @@ object ScaleOps {
     "q138_skyline" -> (q138Skyline _),
     "q139_weighted_median" -> (q139WeightedMedian _),
     "q140_ab_test" -> (q140AbTest _),
+    "q141_mann_kendall" -> (q141MannKendall _),
     "q127_market_basket" -> (q127MarketBasket _),
     "q129_transitions" -> (q129Transitions _),
     "q130_top_paths" -> (q130TopPaths _),
@@ -1901,6 +1965,46 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q141_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type, CAST(sign(b.y - a.y) AS BIGINT) AS sgn,
+        |    CAST(round(CAST(b.y - a.y AS DOUBLE) * 1e6 / (b.day - a.day))
+        |      AS BIGINT) AS slope_micro
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope_micro) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS np
+        |  FROM pairs),
+        |stats AS (
+        |  SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    max(CASE WHEN rk = (np + 1) // 2 THEN slope_micro END) AS ts_slope_micro
+        |  FROM ranked GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+        |  FROM (SELECT event_type, y, count(*) AS t FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT stats.event_type, s, n_pairs, ts_slope_micro, n,
+        |    n * (n - 1) * (2 * n + 5) - tie18 AS var18,
+        |    CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1 ELSE 0 END AS zn
+        |  FROM stats JOIN nd USING (event_type) JOIN ties USING (event_type)),
+        |z AS (
+        |  SELECT *, CASE WHEN var18 > 0
+        |    THEN CAST(round(CAST(zn AS DOUBLE) * sqrt(18.0 / var18) * 1e6)
+        |      AS BIGINT) ELSE 0 END AS z_micro
+        |  FROM j)
+        |SELECT event_type, n AS n_days, s, n_pairs, z_micro / 1e6 AS z,
+        |  abs(z_micro) > 1960000 AS trending, ts_slope_micro / 1e6 AS ts_slope
+        |FROM z ORDER BY event_type""".stripMargin,
     "q139_weighted_median" ->
       """WITH grp AS (
         |  SELECT l_partkey AS p, l_extendedprice AS price,

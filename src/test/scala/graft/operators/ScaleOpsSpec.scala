@@ -421,6 +421,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(a.getDouble(4) == 0.0 && !a.getBoolean(5))
   }
 
+  test("q141: a monotone series maxes S and trends; an all-tied series zeroes the variance") {
+    val D = 24L * H
+    // type "up": y = 2 + t over 12 days (strictly increasing: S = 66,
+    // every pairwise slope exactly 1); type "flat": constant 3/day —
+    // all y tied, tie-corrected variance collapses to 0, z pinned 0
+    val rows =
+      (0 until 12).flatMap(t => (0 until 2 + t).map(i =>
+        (t.toLong * 100 + i, t.toLong * D + i, 1L, "up", 1.0, ""))) ++
+      (0 until 12).flatMap(t => (0 until 3).map(i =>
+        (10000 + t.toLong * 100 + i, t.toLong * D + i, 1L, "flat", 1.0, "")))
+    val out = ScaleOps.q141MannKendall(spark, stage(rows)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5), r.getDouble(6))).toMap
+    val (nUp, sUp, npUp, zUp, trUp, slUp) = out("up")
+    assert((nUp, sUp, npUp, slUp) == ((12L, 66L, 66L, 1.0)))
+    assert(trUp && zUp > 1.96, s"z=$zUp")
+    val (nF, sF, npF, zF, trF, _) = out("flat")
+    assert((nF, sF, npF, zF, trF) == ((12L, 0L, 66L, 0.0, false)))
+  }
+
   test("q130: paths are event-time ordered, capped at pathLen, counted per user") {
     // user 1: view>click>view (3 events); user 2: same path; user 3:
     // seven views → path capped to the first pathLen (5); user 4: click
