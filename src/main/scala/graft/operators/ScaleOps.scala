@@ -1372,6 +1372,48 @@ object ScaleOps {
       .orderBy($"event_type", $"hour")
   }
 
+  /** q142 — pairwise Pearson correlation matrix between the event types'
+    * daily count series (do purchases move with views?): for every
+    * unordered type pair, r over the days BOTH series observed — the
+    * multivariate member closing the stats family (q110/q116 drift,
+    * q131 change-point, q134/q141 trend, q140 test).
+    *
+    * Plan: one corpus-sized daily aggregate; the pair join is
+    * day-keyed between |types|-row-per-day series (tiny); r comes from
+    * integer sufficient statistics (n, Σx, Σy, Σxy, Σxx, Σyy) cleared
+    * of rationals — cov_n = n·Σxy − Σx·Σy over sqrt(vx)·sqrt(vy), the
+    * two sqrts mirrored and the result micro-fixed; constant series
+    * (vx or vy = 0) pin r to NULL-free 0 with a flag rather than a
+    * division.
+    */
+  def q142Correlation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val a = daily.select($"event_type".as("ta"), $"day", $"y".as("x"))
+    val b = daily.select($"event_type".as("tb"), $"day", $"y".as("yy"))
+    val suff = a.join(b, Seq("day")).filter($"ta" < $"tb")
+      .groupBy($"ta", $"tb")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"yy").as("sy"),
+        sum($"x" * $"yy").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"yy" * $"yy").as("syy"))
+    suff
+      .withColumn("cov_n", $"n" * $"sxy" - $"sx" * $"sy")
+      .withColumn("vx", $"n" * $"sxx" - $"sx" * $"sx")
+      .withColumn("vy", $"n" * $"syy" - $"sy" * $"sy")
+      .withColumn("r_micro",
+        when($"vx" > 0 && $"vy" > 0,
+          round($"cov_n".cast("double") /
+            (sqrt($"vx".cast("double")) * sqrt($"vy".cast("double"))) * 1e6)
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .select($"ta", $"tb", $"n".as("n_days"),
+        ($"r_micro".cast("double") / 1e6).as("r"),
+        ($"vx" > 0 && $"vy" > 0).as("defined"))
+      .orderBy($"ta", $"tb")
+  }
+
   /** q141 — Mann–Kendall trend test + Theil–Sen slope per event type
     * over the daily count series: the ROBUST complement to q134's least
     * squares (no normality assumption, 29% breakdown slope). S is the
@@ -1922,6 +1964,7 @@ object ScaleOps {
     "q139_weighted_median" -> (q139WeightedMedian _),
     "q140_ab_test" -> (q140AbTest _),
     "q141_mann_kendall" -> (q141MannKendall _),
+    "q142_correlation" -> (q142Correlation _),
     "q127_market_basket" -> (q127MarketBasket _),
     "q129_transitions" -> (q129Transitions _),
     "q130_top_paths" -> (q130TopPaths _),
@@ -1965,6 +2008,32 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q142_correlation" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |suff AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a.y) AS BIGINT) AS sx, CAST(sum(b.y) AS BIGINT) AS sy,
+        |    CAST(sum(a.y * b.y) AS BIGINT) AS sxy,
+        |    CAST(sum(a.y * a.y) AS BIGINT) AS sxx,
+        |    CAST(sum(b.y * b.y) AS BIGINT) AS syy
+        |  FROM daily a JOIN daily b
+        |    ON a.day = b.day AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |v AS (
+        |  SELECT *, n * sxy - sx * sy AS cov_n,
+        |    n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+        |  FROM suff)
+        |SELECT ta, tb, n AS n_days,
+        |  CASE WHEN vx > 0 AND vy > 0
+        |    THEN CAST(round(CAST(cov_n AS DOUBLE) /
+        |      (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))) * 1e6)
+        |      AS BIGINT) ELSE 0 END / 1e6 AS r,
+        |  vx > 0 AND vy > 0 AS defined
+        |FROM v ORDER BY ta, tb""".stripMargin,
     "q141_mann_kendall" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,

@@ -441,6 +441,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert((nF, sF, npF, zF, trF) == ((12L, 0L, 66L, 0.0, false)))
   }
 
+  test("q142: perfectly aligned, inverted, and constant series pin r = 1 / −1 / undefined") {
+    val D = 24L * H
+    // over 10 days: "a" counts 1+t, "b" counts 2(1+t) (r = 1 exactly),
+    // "c" counts 11−t (r = −1 vs a), "d" constant 4 (undefined, pinned 0)
+    def series(ty: String, base: Long, f: Int => Int) =
+      (0 until 10).flatMap(t => (0 until f(t)).map(i =>
+        (base + t * 1000 + i, t.toLong * D + i, 1L, ty, 1.0, "")))
+    val rows = series("a", 0, t => 1 + t) ++ series("b", 100000, t => 2 * (1 + t)) ++
+      series("c", 200000, t => 11 - t) ++ series("d", 300000, _ => 4)
+    val out = ScaleOps.q142Correlation(spark, stage(rows)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(("a", "b")) == ((10L, 1.0, true)))
+    assert(out(("a", "c")) == ((10L, -1.0, true)))
+    assert(out(("a", "d")) == ((10L, 0.0, false)))
+    assert(out(("b", "c")) == ((10L, -1.0, true)))
+    assert(out.size == 6)
+  }
+
   test("q130: paths are event-time ordered, capped at pathLen, counted per user") {
     // user 1: view>click>view (3 events); user 2: same path; user 3:
     // seven views → path capped to the first pathLen (5); user 4: click
