@@ -1372,6 +1372,86 @@ object ScaleOps {
       .orderBy($"event_type", $"hour")
   }
 
+  /** Benford expected first-digit frequencies, micro-fixed at BUILD time
+    * (log10(1+1/d) computed once in Scala and injected as the same
+    * integer literals into both engines — no query-time libm at all).
+    */
+  val benfordMicro: Seq[(Int, Long)] =
+    (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6))
+
+  /** q143 — Benford first-digit audit on order totals: the classic
+    * fabricated-numbers / data-quality screen. The first significant
+    * digit comes from INTEGER cents (round(x·100) → BIGINT → first
+    * character), never from double formatting or query-time log10 —
+    * both engines stringify integers identically, and the expected
+    * Benford shares ride in as build-time literals. Emits per digit the
+    * observed count/ppm vs expected ppm, each digit's micro chi²
+    * contribution, and the total χ² (window-summed; 15.51 = χ²₈ at 95%)
+    * with the audit verdict.
+    */
+  def q143Benford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val expected = benfordMicro.toDF("digit", "exp_ppm")
+    val digits = Tables(spark, dir, "orders")
+      .select(substring(round($"o_totalprice" * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    broadcast(expected).join(digits, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce($"n_obs", lit(0L)))
+      .withColumn("n_total", sum($"n_obs").over(wAll))
+      .withColumn("obs_ppm",
+        round($"n_obs".cast("double") * 1e6 / $"n_total").cast("long"))
+      .withColumn("chi2_micro",
+        round(($"n_obs" - $"n_total" * $"exp_ppm".cast("double") / 1e6) *
+          ($"n_obs" - $"n_total" * $"exp_ppm".cast("double") / 1e6) /
+          ($"n_total" * $"exp_ppm".cast("double") / 1e6) * 1e6).cast("long"))
+      .withColumn("chi2_total_micro", sum($"chi2_micro").over(wAll))
+      .select($"digit", $"n_obs", $"obs_ppm", $"exp_ppm",
+        ($"chi2_micro".cast("double") / 1e6).as("chi2_term"),
+        ($"chi2_total_micro".cast("double") / 1e6).as("chi2"),
+        ($"chi2_total_micro" > 15510000L).as("deviates"))
+      .orderBy($"digit")
+  }
+
+  /** q144 — per-nation Gini coefficient of customer revenue: the
+    * concentration/inequality audit ("does 1% of customers carry the
+    * nation's revenue"). Exact rank formula on integer cents,
+    * G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx)/(n·Σx) with ranks per nation — the
+    * rank window runs per nation (groups are the parallelism), the
+    * rank-weighted sum accumulates in DECIMAL(38,0) (no overflow at
+    * billion-customer strata), and G is micro-fixed from the integer
+    * numerator/denominator in identical expression order.
+    */
+  def q144Gini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"nation").orderBy($"xc", $"o_custkey")
+    val rev = Tables(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice".cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("xc"))
+    val nat = Tables(spark, dir, "customer")
+      .select($"c_custkey".as("o_custkey"), $"c_nationkey".as("nation"))
+    rev.join(nat, Seq("o_custkey"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy($"nation")
+      .agg(count(lit(1)).as("n"),
+        sum($"xc".cast(DecimalType(38, 0))).as("t"),
+        sum(($"i" * $"xc").cast(DecimalType(38, 0))).as("a"))
+      .filter($"t" > 0)
+      .withColumn("gini_micro",
+        round(($"a" * 2 - ($"n" + 1) * $"t").cast("double") * 1e6 /
+          ($"n" * $"t").cast("double")).cast("long"))
+      .select($"nation", $"n".as("n_customers"),
+        ($"t".cast("double") / 100).as("revenue"),
+        ($"gini_micro".cast("double") / 1e6).as("gini"))
+      .orderBy($"nation")
+  }
+
   /** q142 — pairwise Pearson correlation matrix between the event types'
     * daily count series (do purchases move with views?): for every
     * unordered type pair, r over the days BOTH series observed — the
@@ -1965,6 +2045,8 @@ object ScaleOps {
     "q140_ab_test" -> (q140AbTest _),
     "q141_mann_kendall" -> (q141MannKendall _),
     "q142_correlation" -> (q142Correlation _),
+    "q143_benford" -> (q143Benford _),
+    "q144_gini" -> (q144Gini _),
     "q127_market_basket" -> (q127MarketBasket _),
     "q129_transitions" -> (q129Transitions _),
     "q130_top_paths" -> (q130TopPaths _),
@@ -2008,6 +2090,49 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q143_benford" -> {
+      val vals = benfordMicro.map { case (d, m) => s"($d, ${m}::BIGINT)" }.mkString(", ")
+      s"""WITH expected(digit, exp_ppm) AS (VALUES $vals),
+         |digits AS (
+         |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+         |    AS VARCHAR), 1, 1) AS INT) AS digit, count(*) AS n_obs
+         |  FROM orders GROUP BY 1),
+         |j AS (
+         |  SELECT e.digit, e.exp_ppm,
+         |    CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs
+         |  FROM expected e LEFT JOIN digits d ON e.digit = d.digit),
+         |t AS (SELECT *, CAST(sum(n_obs) OVER () AS BIGINT) AS n_total FROM j),
+         |c AS (
+         |  SELECT *,
+         |    CAST(round((n_obs - n_total * CAST(exp_ppm AS DOUBLE) / 1e6) *
+         |      (n_obs - n_total * CAST(exp_ppm AS DOUBLE) / 1e6) /
+         |      (n_total * CAST(exp_ppm AS DOUBLE) / 1e6) * 1e6) AS BIGINT)
+         |      AS chi2_micro,
+         |    CAST(round(CAST(n_obs AS DOUBLE) * 1e6 / n_total) AS BIGINT) AS obs_ppm
+         |  FROM t),
+         |s AS (SELECT *, CAST(sum(chi2_micro) OVER () AS BIGINT) AS chi2_total
+         |      FROM c)
+         |SELECT digit, n_obs, obs_ppm, exp_ppm, chi2_micro / 1e6 AS chi2_term,
+         |  chi2_total / 1e6 AS chi2, chi2_total > 15510000 AS deviates
+         |FROM s ORDER BY digit""".stripMargin
+    },
+    "q144_gini" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS xc
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT rev.*, c_nationkey AS nation
+        |      FROM rev JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY nation
+        |        ORDER BY xc, o_custkey) AS BIGINT) AS i FROM j),
+        |g AS (SELECT nation, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CAST(xc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS t,
+        |        CAST(sum(CAST(i * xc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS a
+        |      FROM r GROUP BY 1)
+        |SELECT nation, n AS n_customers, CAST(t AS DOUBLE) / 100 AS revenue,
+        |  CAST(round(CAST(a * 2 - (n + 1) * t AS DOUBLE) * 1e6
+        |    / CAST(n * t AS DOUBLE)) AS BIGINT) / 1e6 AS gini
+        |FROM g WHERE t > 0 ORDER BY nation""".stripMargin,
     "q142_correlation" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,

@@ -460,6 +460,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.size == 6)
   }
 
+  test("q144: gini is 0 for perfect equality and approaches (n−1)/n for total concentration") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scaleops_gini").toString
+    // nation 1: four customers, equal revenue → G = 0
+    // nation 2: four customers, ONE carries everything → G = (n−1)/n = 0.75
+    val orders = Seq(
+      (1L, 100.0), (2L, 100.0), (3L, 100.0), (4L, 100.0),
+      (11L, 0.0), (12L, 0.0), (13L, 0.0), (14L, 400.0))
+      .zipWithIndex.map { case ((c, v), i) => (i.toLong, c, v) }
+    orders.toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1), (2L, 1), (3L, 1), (4L, 1),
+      (11L, 2), (12L, 2), (13L, 2), (14L, 2))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = ScaleOps.q144Gini(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1) == ((4L, 400.0, 0.0)))
+    assert(out(2) == ((4L, 400.0, 0.75)))
+  }
+
+  test("q143: benford digit extraction is exact on integer cents; uniform digits deviate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scaleops_benford").toString
+    // 900 orders with UNIFORM first digits (100 each of 1xx..9xx) — a
+    // distribution Benford flags; digit extraction must bucket exactly
+    val orders = (0 until 900).map { i =>
+      val d = 1 + i % 9
+      (i.toLong, 1L, d * 100.0 + (i % 100) * 0.37)
+    }
+    orders.toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = ScaleOps.q143Benford(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getBoolean(6))).toMap
+    assert((1 to 9).forall(d => out(d)._1 == 100L))
+    assert(out.values.forall(_._2), "uniform digits must deviate from Benford")
+  }
+
   test("q130: paths are event-time ordered, capped at pathLen, counted per user") {
     // user 1: view>click>view (3 events); user 2: same path; user 3:
     // seven views → path capped to the first pathLen (5); user 4: click
