@@ -1749,6 +1749,27 @@ object ScaleOps {
       .orderBy($"cid", $"sid")
   }
 
+  /** The q133 24-bin profile as a standalone persistable artifact (the
+    * cusumReference pattern): the streaming seasonal gate
+    * ([[graft.streaming.EventStream.seasonalGateStream]]) screens live
+    * hours against it statelessly.
+    */
+  def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    seasonalProfileFrom(
+      Tables.events(spark, dir)
+        .groupBy($"event_type", expr("ts div 3600000000000").as("hour"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("hod", pmod($"hour", lit(24L))))
+  }
+
+  private def seasonalProfileFrom(hourly: DataFrame): DataFrame = {
+    import hourly.sparkSession.implicits._
+    hourly.groupBy($"event_type", $"hod")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"))
+  }
+
   /** q134 — per-group least-squares trend: the slope/intercept of each
     * event type's daily count series (the "is this segment growing"
     * dashboard statistic; the parametric complement of q131's
@@ -1849,10 +1870,7 @@ object ScaleOps {
       .groupBy($"event_type", expr("ts div 3600000000000").as("hour"))
       .agg(count(lit(1)).as("x"))
       .withColumn("hod", pmod($"hour", lit(24L)))
-    val profile = hourly.groupBy($"event_type", $"hod")
-      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
-        sum($"x" * $"x").as("sxx"))
-    hourly.join(broadcast(profile), Seq("event_type", "hod"))
+    hourly.join(broadcast(seasonalProfileFrom(hourly)), Seq("event_type", "hod"))
       .withColumn("d", $"n" * $"x" - $"sx")
       .select($"event_type", $"hour", $"hod", $"x",
         (round($"sx".cast("double") * 1e6 / $"n").cast("long")
@@ -1985,6 +2003,47 @@ object ScaleOps {
       .filter($"n_ab" >= basketMinSupport)
   }
 
+  /** q145 — association rules from the basket pair graph: both
+    * DIRECTIONS of every q127 pair as A→B rules with the full a-priori
+    * metric set — support, confidence n_ab/n_a, lift, and conviction
+    * (1−supp_B)/(1−conf), the "how much worse would we do without the
+    * rule" odds ratio. Same single order-key exchange as q127 (shared
+    * builders); metrics are micro-fixed rationals; rules at conf = 1
+    * pin conviction to the documented +∞ sentinel (9.999999e3) rather
+    * than a division. Page: top [[basketTopK]] by (conf desc, lift
+    * desc, antecedent, consequent).
+    */
+  def q145AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val baskets0 = orderBaskets(spark, dir)
+    val nOrders = baskets0.agg(count(lit(1)).as("n_orders"))
+    val ic = baskets0.select(explode($"all_parts").as("pk"))
+      .groupBy($"pk").agg(count(lit(1)).as("n_item"))
+    val pcnt = basketPairCounts(baskets0)
+    val rules = pcnt.select($"p1".as("ante"), $"p2".as("cons"), $"n_ab")
+      .unionAll(pcnt.select($"p2".as("ante"), $"p1".as("cons"), $"n_ab"))
+    rules
+      .join(ic.select($"pk".as("ante"), $"n_item".as("n_a")), Seq("ante"))
+      .join(ic.select($"pk".as("cons"), $"n_item".as("n_b")), Seq("cons"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("conf_micro",
+        round($"n_ab".cast("double") * 1e6 / $"n_a").cast("long"))
+      .withColumn("lift_micro",
+        round(($"n_ab".cast("double") * $"n_orders" * 1e6) /
+          ($"n_a".cast("double") * $"n_b")).cast("long"))
+      .withColumn("conv_micro",
+        when($"conf_micro" >= 1000000L, lit(9999999000L))
+          .otherwise(round(($"n_orders" - $"n_b").cast("double") * 1e6 /
+            ($"n_orders".cast("double") * (lit(1.0) - $"conf_micro" / 1e6)))
+            .cast("long")))
+      .orderBy($"conf_micro".desc, $"lift_micro".desc, $"ante", $"cons")
+      .limit(basketTopK)
+      .select($"ante", $"cons", $"n_ab", $"n_a", $"n_b",
+        ($"conf_micro".cast("double") / 1e6).as("confidence"),
+        ($"lift_micro".cast("double") / 1e6).as("lift"),
+        ($"conv_micro".cast("double") / 1e6).as("conviction"))
+  }
+
   /** PageRank damping and iteration count for [[q136PageRank]]. */
   val prDamping = 0.85
   val prIters = 3
@@ -2046,6 +2105,7 @@ object ScaleOps {
     "q141_mann_kendall" -> (q141MannKendall _),
     "q142_correlation" -> (q142Correlation _),
     "q143_benford" -> (q143Benford _),
+    "q145_assoc_rules" -> (q145AssocRules _),
     "q144_gini" -> (q144Gini _),
     "q127_market_basket" -> (q127MarketBasket _),
     "q129_transitions" -> (q129Transitions _),
@@ -2090,6 +2150,36 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q145_assoc_rules" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |n AS (SELECT count(DISTINCT ok) AS n_orders FROM op),
+         |ic AS (SELECT pk, count(*) AS n_item FROM op GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_ab
+         |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= $basketMinSupport),
+         |rules AS (SELECT p1 AS ante, p2 AS cons, n_ab FROM pairs
+         |          UNION ALL SELECT p2, p1, n_ab FROM pairs),
+         |m AS (
+         |  SELECT ante, cons, n_ab, i1.n_item AS n_a, i2.n_item AS n_b, n_orders,
+         |    CAST(round(CAST(n_ab AS DOUBLE) * 1e6 / i1.n_item) AS BIGINT)
+         |      AS conf_micro,
+         |    CAST(round((CAST(n_ab AS DOUBLE) * n_orders * 1e6) /
+         |      (CAST(i1.n_item AS DOUBLE) * i2.n_item)) AS BIGINT) AS lift_micro
+         |  FROM rules JOIN ic i1 ON ante = i1.pk JOIN ic i2 ON cons = i2.pk
+         |  CROSS JOIN n),
+         |m2 AS (
+         |  SELECT *, CASE WHEN conf_micro >= 1000000
+         |    THEN 9999999000::BIGINT
+         |    ELSE CAST(round(CAST(n_orders - n_b AS DOUBLE) * 1e6 /
+         |      (CAST(n_orders AS DOUBLE) * (1.0 - conf_micro / 1e6))) AS BIGINT)
+         |    END AS conv_micro
+         |  FROM m)
+         |SELECT ante, cons, n_ab, n_a, n_b, conf_micro / 1e6 AS confidence,
+         |  lift_micro / 1e6 AS lift, conv_micro / 1e6 AS conviction
+         |FROM m2
+         |ORDER BY conf_micro DESC, lift_micro DESC, ante, cons
+         |LIMIT $basketTopK""".stripMargin,
     "q143_benford" -> {
       val vals = benfordMicro.map { case (d, m) => s"($d, ${m}::BIGINT)" }.mkString(", ")
       s"""WITH expected(digit, exp_ppm) AS (VALUES $vals),

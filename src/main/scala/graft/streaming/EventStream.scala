@@ -487,6 +487,35 @@ object EventStream {
     out.iterator
   }
 
+  /** Streaming twin of the q133 seasonal anomaly gate — completely
+    * STATELESS: live hourly counts join the persisted 24-bin profile
+    * ([[graft.operators.ScaleOps.seasonalProfile]] → parquet) and the
+    * leave-one-out residual test runs in-row per arriving hour. The
+    * stream-static join re-plans per micro-batch, so a nightly profile
+    * refresh needs no restart; with no per-key state there is nothing
+    * to bound — the lightest deployment shape in the monitoring family
+    * (CUSUM carries two longs per type; this carries nothing).
+    * Emits the same (expected, residual, is_anomaly) columns as batch
+    * q133, computed by the identical expressions.
+    */
+  def seasonalGateStream(hourly: Dataset[HourlyCount], profile: DataFrame): DataFrame = {
+    import hourly.sparkSession.implicits._
+    hourly
+      .withColumn("hod", pmod($"hour", lit(24L)))
+      .join(broadcast(profile), Seq("event_type", "hod"))
+      .withColumn("d", $"n" * $"x" - $"sx")
+      .select($"event_type", $"hour", $"hod", $"x",
+        (round($"sx".cast("double") * 1e6 / $"n").cast("long")
+          .cast("double") / 1e6).as("expected"),
+        (round($"d".cast("double") * 1e6 / $"n").cast("long")
+          .cast("double") / 1e6).as("residual"),
+        ($"n" >= 3 && $"d".cast("double") * $"d" * ($"n" - 2) >
+          lit(9.0) * ($"n" - 1).cast("double") *
+            (($"n" - 1) * ($"sxx" - $"x" * $"x") -
+              ($"sx" - $"x") * ($"sx" - $"x")).cast("double"))
+          .as("is_anomaly"))
+  }
+
   final case class Transition(user_id: Long, from_type: String, to_type: String)
 
   /** Per-user last-event state for [[transitionsStream]]: ONE triple. */

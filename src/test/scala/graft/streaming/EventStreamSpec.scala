@@ -538,6 +538,38 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless streaming seasonal gate equals batch q133 through the persisted profile") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val profDir = java.nio.file.Files.createTempDirectory("seasonal_prof").toString
+    graft.operators.ScaleOps.seasonalProfile(spark, sfDir)
+      .write.mode("overwrite").parquet(profDir)
+    val prof = spark.read.parquet(profDir)
+    val hourly = graft.Tables.events(spark, sfDir)
+      .groupBy($"event_type", org.apache.spark.sql.functions.expr("ts div 3600000000000").as("hour"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("x"))
+      .as[EventStream.HourlyCount].collect().sortBy(_.hour).toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[EventStream.HourlyCount]
+    val q = EventStream.seasonalGateStream(source.toDS(), prof)
+      .writeStream.outputMode("append").format("memory").queryName("seas").start()
+    try {
+      hourly.grouped(math.max(1, hourly.size / 2 + 1)).foreach { batch =>
+        source.addData(batch)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql("SELECT * FROM seas").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toMap
+      val batch = graft.operators.ScaleOps.q133Seasonal(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toMap
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming CUSUM against the persisted reference equals batch q131 on ordered replay") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
