@@ -1379,6 +1379,52 @@ object ScaleOps {
   val benfordMicro: Seq[(Int, Long)] =
     (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6))
 
+  /** Lag window for [[q146LeadLag]] (days, symmetric). */
+  val xcorrMaxLag = 3
+
+  /** q146 — lead–lag cross-correlation between event-type daily series:
+    * r of a(t) against b(t+lag) for every lag in ±[[xcorrMaxLag]] days,
+    * and the best lag by |r| (does one metric LEAD another — the
+    * causal-direction screen q142's contemporaneous r can't answer;
+    * best_lag > 0 means a moves first). Same integer-sufficient-
+    * statistics discipline as q142, one extra `lag` key in the
+    * aggregate; the argmax is a window over ≤ (2·maxLag+1) rows per
+    * pair under the (|r| desc, |lag| asc, lag asc) total order.
+    */
+  def q146LeadLag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val lags = spark.range(-xcorrMaxLag, xcorrMaxLag + 1).select($"id".as("lag"))
+    val a = daily.select($"event_type".as("ta"), $"day", $"y".as("x"))
+      .crossJoin(broadcast(lags))
+    val b = daily.select($"event_type".as("tb"), $"day".as("dayb"), $"y".as("yy"))
+    val suff = a.join(b, $"dayb" === $"day" + $"lag" && $"ta" < $"tb")
+      .groupBy($"ta", $"tb", $"lag")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"yy").as("sy"),
+        sum($"x" * $"yy").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"yy" * $"yy").as("syy"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"ta", $"tb")
+      .orderBy(abs($"r_micro").desc, abs($"lag").asc, $"lag".asc)
+    suff
+      .withColumn("cov_n", $"n" * $"sxy" - $"sx" * $"sy")
+      .withColumn("vx", $"n" * $"sxx" - $"sx" * $"sx")
+      .withColumn("vy", $"n" * $"syy" - $"sy" * $"sy")
+      .withColumn("r_micro",
+        when($"vx" > 0 && $"vy" > 0,
+          round($"cov_n".cast("double") /
+            (sqrt($"vx".cast("double")) * sqrt($"vy".cast("double"))) * 1e6)
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"ta", $"tb", $"lag".as("best_lag"), $"n".as("n_days"),
+        ($"r_micro".cast("double") / 1e6).as("r"))
+      .orderBy($"ta", $"tb")
+  }
+
   /** q143 — Benford first-digit audit on order totals: the classic
     * fabricated-numbers / data-quality screen. The first significant
     * digit comes from INTEGER cents (round(x·100) → BIGINT → first
@@ -2106,6 +2152,7 @@ object ScaleOps {
     "q142_correlation" -> (q142Correlation _),
     "q143_benford" -> (q143Benford _),
     "q145_assoc_rules" -> (q145AssocRules _),
+    "q146_lead_lag" -> (q146LeadLag _),
     "q144_gini" -> (q144Gini _),
     "q127_market_basket" -> (q127MarketBasket _),
     "q129_transitions" -> (q129Transitions _),
@@ -2150,6 +2197,38 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q146_lead_lag" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+         |    count(*) AS y
+         |  FROM events GROUP BY 1, 2),
+         |lags(lag) AS (VALUES ${(-xcorrMaxLag to xcorrMaxLag).map(l => s"(${l}::BIGINT)").mkString(", ")}),
+         |suff AS (
+         |  SELECT a.event_type AS ta, b.event_type AS tb, lag,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(a.y) AS BIGINT) AS sx, CAST(sum(b.y) AS BIGINT) AS sy,
+         |    CAST(sum(a.y * b.y) AS BIGINT) AS sxy,
+         |    CAST(sum(a.y * a.y) AS BIGINT) AS sxx,
+         |    CAST(sum(b.y * b.y) AS BIGINT) AS syy
+         |  FROM daily a CROSS JOIN lags JOIN daily b
+         |    ON b.day = a.day + lag AND a.event_type < b.event_type
+         |  GROUP BY 1, 2, 3),
+         |v AS (
+         |  SELECT *, n * sxy - sx * sy AS cov_n,
+         |    n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+         |  FROM suff),
+         |r AS (
+         |  SELECT *, CASE WHEN vx > 0 AND vy > 0
+         |    THEN CAST(round(CAST(cov_n AS DOUBLE) /
+         |      (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))) * 1e6)
+         |      AS BIGINT) ELSE 0 END AS r_micro
+         |  FROM v),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY ta, tb
+         |    ORDER BY abs(r_micro) DESC, abs(lag) ASC, lag ASC) AS rk
+         |  FROM r)
+         |SELECT ta, tb, lag AS best_lag, n AS n_days, r_micro / 1e6 AS r
+         |FROM rk WHERE rk = 1 ORDER BY ta, tb""".stripMargin,
     "q145_assoc_rules" ->
       s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          |n AS (SELECT count(DISTINCT ok) AS n_orders FROM op),

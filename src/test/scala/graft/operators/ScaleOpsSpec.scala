@@ -498,6 +498,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.values.forall(_._2), "uniform digits must deviate from Benford")
   }
 
+  test("q146: a planted 2-day lead is recovered as best_lag = 2 with r = 1") {
+    val D = 24L * H
+    // "a" pulses on days {2, 5, 11}; "b" repeats the exact pulse two
+    // days LATER ({4, 7, 13}) — a leads b by 2: at lag +2 the aligned
+    // series are identical (r = 1); background 1/day keeps both series
+    // defined on every day 0..14
+    def pulse(ty: String, base: Long, days: Set[Int]) =
+      (0 until 15).flatMap { t =>
+        val n = if (days(t)) 5 else 1
+        (0 until n).map(i => (base + t * 100 + i, t.toLong * D + i, 1L, ty, 1.0, ""))
+      }
+    val rows = pulse("a", 0, Set(2, 5, 11)) ++ pulse("b", 100000, Set(4, 7, 13))
+    val out = ScaleOps.q146LeadLag(spark, stage(rows)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (lag, n, r) = out(("a", "b"))
+    assert(lag == 2L && r == 1.0, s"lag=$lag r=$r n=$n")
+  }
+
   test("q130: paths are event-time ordered, capped at pathLen, counted per user") {
     // user 1: view>click>view (3 events); user 2: same path; user 3:
     // seven views → path capped to the first pathLen (5); user 4: click
