@@ -1379,6 +1379,50 @@ object ScaleOps {
   val benfordMicro: Seq[(Int, Long)] =
     (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6))
 
+  /** q147 — ABC (Pareto) classification of parts by revenue within each
+    * brand: A = the head covering 80% of revenue, B = the next
+    * 15%, C = the tail (the inventory-prioritization standard; the
+    * categorical sibling of q144's Gini scalar). Revenue aggregates on
+    * integer cents; each mfgr's parts rank by a per-group window
+    * (groups are the parallelism), and the class cut is DIVISION-FREE —
+    * 5·cum ≤ 4·total for A, 20·cum ≤ 19·total for B, on exact
+    * DECIMAL(38,0) cumulative sums (a part straddling a boundary takes
+    * the higher class, the convention that keeps A covering AT LEAST
+    * 80%... the first part crossing the line still belongs to the
+    * head). Emits the per-class rollup per mfgr — class counts and
+    * revenue share — plus the exact cover fractions.
+    */
+  def q147AbcClass(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"mfgr").orderBy($"xc".desc, $"p_partkey")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val rev = Tables(spark, dir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(round(sum($"l_extendedprice".cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("xc"))
+    val mf = Tables(spark, dir, "part")
+      .select($"p_partkey", $"p_brand".as("mfgr"))
+    val ranked = rev.join(mf, $"l_partkey" === $"p_partkey")
+      .withColumn("cum", sum($"xc".cast(DecimalType(38, 0))).over(w))
+    val tot = ranked.groupBy($"mfgr")
+      .agg(sum($"xc".cast(DecimalType(38, 0))).as("t"))
+    ranked.join(broadcast(tot), Seq("mfgr"))
+      .withColumn("cls",
+        when(($"cum" - $"xc") * 5 < $"t" * 4, lit("A"))
+          .when(($"cum" - $"xc") * 20 < $"t" * 19, lit("B"))
+          .otherwise(lit("C")))
+      .groupBy($"mfgr", $"cls")
+      .agg(count(lit(1)).as("n_parts"),
+        sum($"xc".cast(DecimalType(38, 0))).as("class_rev"))
+      .join(broadcast(tot), Seq("mfgr"))
+      .select($"mfgr", $"cls", $"n_parts",
+        ($"class_rev".cast("double") / 100).as("revenue"),
+        (round($"class_rev".cast("double") * 1e6 / $"t".cast("double"))
+          .cast("long").cast("double") / 1e6).as("rev_share"))
+      .orderBy($"mfgr", $"cls")
+  }
+
   /** Lag window for [[q146LeadLag]] (days, symmetric). */
   val xcorrMaxLag = 3
 
@@ -2153,6 +2197,7 @@ object ScaleOps {
     "q143_benford" -> (q143Benford _),
     "q145_assoc_rules" -> (q145AssocRules _),
     "q146_lead_lag" -> (q146LeadLag _),
+    "q147_abc_class" -> (q147AbcClass _),
     "q144_gini" -> (q144Gini _),
     "q127_market_basket" -> (q127MarketBasket _),
     "q129_transitions" -> (q129Transitions _),
@@ -2197,6 +2242,32 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q147_abc_class" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS xc
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT rev.*, p_partkey, p_brand AS mfgr
+        |      FROM rev JOIN part ON l_partkey = p_partkey),
+        |r AS (
+        |  SELECT *, CAST(sum(CAST(xc AS DECIMAL(38,0))) OVER (
+        |    PARTITION BY mfgr ORDER BY xc DESC, p_partkey
+        |    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0)) AS cum
+        |  FROM j),
+        |t AS (SELECT mfgr, CAST(sum(CAST(xc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS t
+        |      FROM j GROUP BY 1),
+        |c AS (
+        |  SELECT r.mfgr,
+        |    CASE WHEN (cum - xc) * 5 < t * 4 THEN 'A'
+        |         WHEN (cum - xc) * 20 < t * 19 THEN 'B'
+        |         ELSE 'C' END AS cls, xc
+        |  FROM r JOIN t ON r.mfgr = t.mfgr)
+        |SELECT c.mfgr, cls, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) / 100 AS revenue,
+        |  CAST(round(CAST(sum(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) * 1e6
+        |    / CAST(t AS DOUBLE)) AS BIGINT) / 1e6 AS rev_share
+        |FROM c JOIN t ON c.mfgr = t.mfgr
+        |GROUP BY c.mfgr, cls, t ORDER BY c.mfgr, cls""".stripMargin,
     "q146_lead_lag" ->
       s"""WITH daily AS (
          |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,

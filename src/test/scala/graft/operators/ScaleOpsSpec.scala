@@ -517,6 +517,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(lag == 2L && r == 1.0, s"lag=$lag r=$r n=$n")
   }
 
+  test("q147: the planted head part is A, the boundary-straddler stays in the head") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scaleops_abc").toString
+    // one brand, revenues 70 / 15 / 10 / 5: part 1 covers 70% (A), part
+    // 2 STRADDLES the 80% line (starts at 70% < 80% → A by the
+    // first-to-cross convention), part 3 starts at 85% < 95% → B,
+    // part 4 starts at 95% → C
+    Seq((1L, 10L, 70.0), (2L, 20L, 15.0), (3L, 30L, 10.0), (4L, 40L, 5.0))
+      .flatMap { case (lk, pk, v) => Seq((lk, pk, v)) }
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((10L, "BrandX"), (20L, "BrandX"), (30L, "BrandX"), (40L, "BrandX"))
+      .toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = ScaleOps.q147AbcClass(spark, dir).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("A") == ((2L, 85.0, 0.85)))
+    assert(out("B") == ((1L, 10.0, 0.1)))
+    assert(out("C") == ((1L, 5.0, 0.05)))
+  }
+
   test("q130: paths are event-time ordered, capped at pathLen, counted per user") {
     // user 1: view>click>view (3 events); user 2: same path; user 3:
     // seven views → path capped to the first pathLen (5); user 4: click
