@@ -1379,6 +1379,71 @@ object ScaleOps {
   val benfordMicro: Seq[(Int, Long)] =
     (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6))
 
+  /** q148 — new vs returning weekly actives: per week, how many active
+    * users are seen for the FIRST time vs returning (the growth-vs-
+    * retention headline split; q97's cohort matrix collapsed to the
+    * dashboard's two lines). One per-user min-week aggregate, one
+    * distinct (user, week) activity set, a first-week equality test —
+    * two map-side-combining aggregates and a user-keyed join, no
+    * windows.
+    */
+  def q148NewReturning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weekly = Tables.events(spark, dir)
+      .select($"user_id", expr("ts div 604800000000000").as("week")).distinct()
+    val firstWeek = weekly.groupBy($"user_id").agg(min($"week").as("w0"))
+    weekly.join(firstWeek, Seq("user_id"))
+      .groupBy($"week")
+      .agg(
+        sum(when($"week" === $"w0", 1L).otherwise(0L)).as("new_users"),
+        sum(when($"week" =!= $"w0", 1L).otherwise(0L)).as("returning_users"))
+      .withColumn("active_users", $"new_users" + $"returning_users")
+      .withColumn("new_share_ppm",
+        round($"new_users".cast("double") * 1e6 / $"active_users").cast("long"))
+      .orderBy($"week")
+  }
+
+  /** q149 — funnel stage latency: per conversion stage (view→click,
+    * click→purchase), the median and p90 seconds users take — the
+    * "WHERE does the funnel stall" complement to q57's how-many. Stage
+    * timestamps are q57's first-event-per-stage semantics; deltas are
+    * integer seconds; the exact quantiles run per stage over the
+    * converting-user deltas through the q139 discipline (per-(stage,
+    * delta) collapse + cumulative-count window over DISTINCT deltas —
+    * the window never sees one row per user). At true corpus scale the
+    * per-stage grid is bounded by the funnel window itself (≤ 3600
+    * distinct second-deltas per stage by construction).
+    */
+  def q149StageLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val stages = ev.groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"ts")).as("v"),
+        min(when($"event_type" === "click", $"ts")).as("c"),
+        min(when($"event_type" === "purchase", $"ts")).as("p"))
+    val deltas = stages
+      .select(lit("1_view_to_click").as("stage"),
+        when($"c" > $"v", expr("(c - v) div 1000000000")).as("delta_s"))
+      .unionAll(stages
+        .select(lit("2_click_to_purchase").as("stage"),
+          when($"p" > $"c", expr("(p - c) div 1000000000")).as("delta_s")))
+      .filter($"delta_s".isNotNull)
+    val grp = deltas.groupBy($"stage", $"delta_s").agg(count(lit(1)).as("q"))
+    val tot = grp.groupBy($"stage").agg(sum($"q").as("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"stage").orderBy($"delta_s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grp.withColumn("cum", sum($"q").over(w))
+      .join(broadcast(tot), Seq("stage"))
+      .groupBy($"stage")
+      .agg(
+        first($"t").as("n_users"),
+        min(when($"cum" * 2 >= $"t", $"delta_s")).as("median_s"),
+        min(when($"cum" * 10 >= $"t" * 9, $"delta_s")).as("p90_s"))
+      .orderBy($"stage")
+  }
+
   /** q147 — ABC (Pareto) classification of parts by revenue within each
     * brand: A = the head covering 80% of revenue, B = the next
     * 15%, C = the tail (the inventory-prioritization standard; the
@@ -2198,6 +2263,8 @@ object ScaleOps {
     "q145_assoc_rules" -> (q145AssocRules _),
     "q146_lead_lag" -> (q146LeadLag _),
     "q147_abc_class" -> (q147AbcClass _),
+    "q148_new_returning" -> (q148NewReturning _),
+    "q149_stage_latency" -> (q149StageLatency _),
     "q144_gini" -> (q144Gini _),
     "q127_market_basket" -> (q127MarketBasket _),
     "q129_transitions" -> (q129Transitions _),
@@ -2242,6 +2309,44 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q148_new_returning" ->
+      """WITH weekly AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS week
+        |  FROM events),
+        |fw AS (SELECT user_id, min(week) AS w0 FROM weekly GROUP BY 1)
+        |SELECT week,
+        |  CAST(sum(CASE WHEN week = w0 THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN week <> w0 THEN 1 ELSE 0 END) AS BIGINT) AS returning_users,
+        |  CAST(count(*) AS BIGINT) AS active_users,
+        |  CAST(round(CAST(sum(CASE WHEN week = w0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    * 1e6 / count(*)) AS BIGINT) AS new_share_ppm
+        |FROM weekly JOIN fw USING (user_id)
+        |GROUP BY week ORDER BY week""".stripMargin,
+    "q149_stage_latency" ->
+      """WITH st AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS v,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS c,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS p
+        |  FROM events GROUP BY 1),
+        |deltas AS (
+        |  SELECT '1_view_to_click' AS stage,
+        |    CASE WHEN c > v THEN (c - v) // 1000000000 END AS delta_s FROM st
+        |  UNION ALL
+        |  SELECT '2_click_to_purchase',
+        |    CASE WHEN p > c THEN (p - c) // 1000000000 END FROM st),
+        |d AS (SELECT * FROM deltas WHERE delta_s IS NOT NULL),
+        |grp AS (SELECT stage, delta_s, count(*) AS q FROM d GROUP BY 1, 2),
+        |tot AS (SELECT stage, CAST(sum(q) AS BIGINT) AS t FROM grp GROUP BY 1),
+        |cum AS (
+        |  SELECT *, CAST(sum(q) OVER (PARTITION BY stage ORDER BY delta_s
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM grp)
+        |SELECT cum.stage, first(t) AS n_users,
+        |  min(CASE WHEN cum * 2 >= t THEN delta_s END) AS median_s,
+        |  min(CASE WHEN cum * 10 >= t * 9 THEN delta_s END) AS p90_s
+        |FROM cum JOIN tot ON cum.stage = tot.stage
+        |GROUP BY cum.stage ORDER BY cum.stage""".stripMargin,
     "q147_abc_class" ->
       """WITH rev AS (
         |  SELECT l_partkey,

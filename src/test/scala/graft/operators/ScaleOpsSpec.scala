@@ -538,6 +538,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out("C") == ((1L, 5.0, 0.05)))
   }
 
+  test("q148: week-1 users are all new; a week-2 returner and a fresh joiner split correctly") {
+    val Wk = 7L * 24 * H
+    // users 1,2 active week 0; user 1 returns week 1 alongside new user 3
+    val rows = Seq(
+      (1L, 1L * H, 1L, "view", 1.0, ""), (2L, 2L * H, 2L, "view", 1.0, ""),
+      (3L, Wk + H, 1L, "view", 1.0, ""), (4L, Wk + 2 * H, 3L, "view", 1.0, ""),
+      (5L, Wk + 3 * H, 1L, "click", 1.0, "")) // same-week repeat, still ONE active row
+    val out = ScaleOps.q148NewReturning(spark, stage(rows)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((2L, 0L, 2L)))
+    assert(out(1L) == ((1L, 1L, 2L)))
+  }
+
+  test("q149: stage medians equal the planted per-user deltas") {
+    // three converting users with view→click of 10/20/30s (median 20,
+    // p90 30) and one click→purchase of 100s; a user with click BEFORE
+    // view contributes nothing
+    val rows = Seq(
+      (1L, 0L, 1L, "view", 1.0, ""), (2L, 10L * 1000000000L, 1L, "click", 1.0, ""),
+      (3L, 0L, 2L, "view", 1.0, ""), (4L, 20L * 1000000000L, 2L, "click", 1.0, ""),
+      (5L, 0L, 3L, "view", 1.0, ""), (6L, 30L * 1000000000L, 3L, "click", 1.0, ""),
+      (7L, 130L * 1000000000L, 3L, "purchase", 1.0, ""),
+      (8L, 50L * 1000000000L, 4L, "click", 1.0, ""), (9L, 60L * 1000000000L, 4L, "view", 1.0, ""))
+    val out = ScaleOps.q149StageLatency(spark, stage(rows)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("1_view_to_click") == ((3L, 20L, 30L)))
+    assert(out("2_click_to_purchase") == ((1L, 100L, 100L)))
+  }
+
   test("q130: paths are event-time ordered, capped at pathLen, counted per user") {
     // user 1: view>click>view (3 events); user 2: same path; user 3:
     // seven views → path capped to the first pathLen (5); user 4: click
