@@ -1379,6 +1379,42 @@ object ScaleOps {
   val benfordMicro: Seq[(Int, Long)] =
     (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6))
 
+  /** q150 — RFM segmentation: every user scored 1–5 on Recency (days
+    * since last event vs the corpus horizon), Frequency (event count)
+    * and Monetary (total value, integer cents), quintiles per
+    * dimension, concatenated into the classic 555-style segment label
+    * (the marketing-analytics standard built entirely from ntile
+    * machinery). Determinism: every ntile runs under a total order
+    * (metric, user_id), so bucket assignment is engine-identical; 5 is
+    * always BEST (most recent / most frequent / highest spend). Three
+    * global ntile windows over the USER table (one row per user — the
+    * corpus-sized pass is the per-user aggregate before them; at a
+    * billion users the ntile boundaries would come from the q100 grid
+    * sketch instead, same trade as q102 documents).
+    */
+  def q150Rfm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val tmax = ev.agg(max($"ts").as("tmax"))
+    val users = ev.crossJoin(broadcast(tmax))
+      .groupBy($"user_id")
+      .agg(
+        min(expr("(tmax - ts) div 86400000000000")).as("r_days"),
+        count(lit(1)).as("f"),
+        round(sum($"value".cast(DecimalType(18, 2))) * 100).cast("long").as("m_cents"))
+    users
+      .withColumn("r_score",
+        lit(6) - ntile(5).over(W.orderBy($"r_days", $"user_id")))
+      .withColumn("f_score", ntile(5).over(W.orderBy($"f", $"user_id")))
+      .withColumn("m_score", ntile(5).over(W.orderBy($"m_cents", $"user_id")))
+      .select($"user_id", $"r_days", $"f",
+        ($"m_cents".cast("double") / 100).as("monetary"),
+        $"r_score", $"f_score", $"m_score",
+        concat($"r_score", $"f_score", $"m_score").as("segment"))
+      .orderBy($"user_id")
+  }
+
   /** q148 — new vs returning weekly actives: per week, how many active
     * users are seen for the FIRST time vs returning (the growth-vs-
     * retention headline split; q97's cohort matrix collapsed to the
@@ -2264,6 +2300,7 @@ object ScaleOps {
     "q146_lead_lag" -> (q146LeadLag _),
     "q147_abc_class" -> (q147AbcClass _),
     "q148_new_returning" -> (q148NewReturning _),
+    "q150_rfm" -> (q150Rfm _),
     "q149_stage_latency" -> (q149StageLatency _),
     "q144_gini" -> (q144Gini _),
     "q127_market_basket" -> (q127MarketBasket _),
@@ -2309,6 +2346,27 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q150_rfm" ->
+      """WITH t AS (SELECT max(epoch_ns(ts)) AS tmax FROM events),
+        |users AS (
+        |  SELECT user_id,
+        |    min((tmax - epoch_ns(ts)) // 86400000000000) AS r_days,
+        |    count(*) AS f,
+        |    CAST(round(sum(CAST(value AS DECIMAL(18,2))) * 100) AS BIGINT) AS m_cents
+        |  FROM events CROSS JOIN t GROUP BY user_id),
+        |scored AS (
+        |  SELECT *,
+        |    6 - ntile(5) OVER (ORDER BY r_days, user_id) AS r_score,
+        |    ntile(5) OVER (ORDER BY f, user_id) AS f_score,
+        |    ntile(5) OVER (ORDER BY m_cents, user_id) AS m_score
+        |  FROM users)
+        |SELECT user_id, CAST(r_days AS BIGINT) AS r_days, CAST(f AS BIGINT) AS f,
+        |  CAST(m_cents AS DOUBLE) / 100 AS monetary,
+        |  CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+        |  CAST(m_score AS INT) AS m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+        |    CAST(m_score AS VARCHAR) AS segment
+        |FROM scored ORDER BY user_id""".stripMargin,
     "q148_new_returning" ->
       """WITH weekly AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS week

@@ -567,6 +567,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out("2_click_to_purchase") == ((1L, 100L, 100L)))
   }
 
+  test("q150: five planted users land in five distinct quintiles; the whale is 555") {
+    val D = 24L * H
+    // user k (1..5): last active day k (5 = most recent), k events of
+    // value 10k each — user 5 is best on all three axes
+    val rows = (1 to 5).flatMap { k =>
+      (0 until k).map(i =>
+        ((k * 100 + i).toLong, k.toLong * D + i, k.toLong, "view", 10.0 * k, ""))
+    }
+    val out = ScaleOps.q150Rfm(spark, stage(rows)).collect()
+      .map(r => r.getLong(0) -> (r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))
+      .toMap
+    assert(out(5L) == ((5, 5, 5, "555")))
+    assert(out(1L) == ((1, 1, 1, "111")))
+    // one user per quintile on every axis
+    assert(out.values.map(_._1).toSeq.sorted == (1 to 5))
+    assert(out.values.map(_._2).toSeq.sorted == (1 to 5))
+    assert(out.values.map(_._3).toSeq.sorted == (1 to 5))
+  }
+
   test("q130: paths are event-time ordered, capped at pathLen, counted per user") {
     // user 1: view>click>view (3 events); user 2: same path; user 3:
     // seven views → path capped to the first pathLen (5); user 4: click
