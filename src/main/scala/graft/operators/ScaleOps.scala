@@ -1379,6 +1379,60 @@ object ScaleOps {
   val benfordMicro: Seq[(Int, Long)] =
     (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6))
 
+  /** q151 — difference-in-differences: the observational-causal
+    * complement to q140's randomized test. Treated series = daily
+    * purchase counts, control = daily views, intervention = the corpus
+    * midpoint day (the q131 split convention):
+    * DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), each cell mean
+    * micro-fixed from integer counts BEFORE the subtractions (four
+    * rounds, then long arithmetic — order-invariant). A placebo run —
+    * the same estimator at the pre-period's own midpoint on pre data
+    * only — is emitted beside it; a real effect shows |DiD| ≫ |placebo|
+    * under parallel trends. One daily aggregate, one 4-cell (+4
+    * placebo-cell) conditional aggregation, all scalar arithmetic.
+    */
+  def q151DiffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .filter($"event_type".isin("purchase", "view"))
+      .groupBy($"event_type", expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val cells = daily.crossJoin(broadcast(bounds))
+      .withColumn("cut", expr("(d0 + d1 + 1) div 2"))
+      .withColumn("pcut", expr("(d0 + cut) div 2")) // placebo cut inside pre
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"day" < $"cut", $"y")).as("pre_sum"),
+        sum(when($"day" < $"cut", 1L)).as("pre_n"),
+        sum(when($"day" >= $"cut", $"y")).as("post_sum"),
+        sum(when($"day" >= $"cut", 1L)).as("post_n"),
+        sum(when($"day" < $"pcut", $"y")).as("pp_sum"),
+        sum(when($"day" < $"pcut", 1L)).as("pp_n"),
+        sum(when($"day" >= $"pcut" && $"day" < $"cut", $"y")).as("pq_sum"),
+        sum(when($"day" >= $"pcut" && $"day" < $"cut", 1L)).as("pq_n"))
+    def m(s: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(s.cast("double") * 1e6 / n).cast("long")
+    val wide = cells.agg(
+      max(when($"event_type" === "purchase", m($"pre_sum", $"pre_n"))).as("t_pre"),
+      max(when($"event_type" === "purchase", m($"post_sum", $"post_n"))).as("t_post"),
+      max(when($"event_type" === "view", m($"pre_sum", $"pre_n"))).as("c_pre"),
+      max(when($"event_type" === "view", m($"post_sum", $"post_n"))).as("c_post"),
+      max(when($"event_type" === "purchase", m($"pp_sum", $"pp_n"))).as("t_pp"),
+      max(when($"event_type" === "purchase", m($"pq_sum", $"pq_n"))).as("t_pq"),
+      max(when($"event_type" === "view", m($"pp_sum", $"pp_n"))).as("c_pp"),
+      max(when($"event_type" === "view", m($"pq_sum", $"pq_n"))).as("c_pq"))
+    wide.select(
+      ($"t_pre".cast("double") / 1e6).as("treated_pre"),
+      ($"t_post".cast("double") / 1e6).as("treated_post"),
+      ($"c_pre".cast("double") / 1e6).as("control_pre"),
+      ($"c_post".cast("double") / 1e6).as("control_post"),
+      ((($"t_post" - $"t_pre") - ($"c_post" - $"c_pre")).cast("double") / 1e6)
+        .as("did"),
+      ((($"t_pq" - $"t_pp") - ($"c_pq" - $"c_pp")).cast("double") / 1e6)
+        .as("placebo"))
+  }
+
   /** q150 — RFM segmentation: every user scored 1–5 on Recency (days
     * since last event vs the corpus horizon), Frequency (event count)
     * and Monetary (total value, integer cents), quintiles per
@@ -2301,6 +2355,7 @@ object ScaleOps {
     "q147_abc_class" -> (q147AbcClass _),
     "q148_new_returning" -> (q148NewReturning _),
     "q150_rfm" -> (q150Rfm _),
+    "q151_diff_in_diff" -> (q151DiffInDiff _),
     "q149_stage_latency" -> (q149StageLatency _),
     "q144_gini" -> (q144Gini _),
     "q127_market_basket" -> (q127MarketBasket _),
@@ -2346,6 +2401,43 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q151_diff_in_diff" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    count(*) AS y
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |k AS (SELECT *, (d0 + d1 + 1) // 2 AS cut,
+        |        (d0 + (d0 + d1 + 1) // 2) // 2 AS pcut
+        |      FROM daily CROSS JOIN b),
+        |cells AS (
+        |  SELECT event_type,
+        |    CAST(round(CAST(sum(CASE WHEN day < cut THEN y END) AS DOUBLE) * 1e6
+        |      / sum(CASE WHEN day < cut THEN 1 END)) AS BIGINT) AS pre_m,
+        |    CAST(round(CAST(sum(CASE WHEN day >= cut THEN y END) AS DOUBLE) * 1e6
+        |      / sum(CASE WHEN day >= cut THEN 1 END)) AS BIGINT) AS post_m,
+        |    CAST(round(CAST(sum(CASE WHEN day < pcut THEN y END) AS DOUBLE) * 1e6
+        |      / sum(CASE WHEN day < pcut THEN 1 END)) AS BIGINT) AS pp_m,
+        |    CAST(round(CAST(sum(CASE WHEN day >= pcut AND day < cut THEN y END) AS DOUBLE) * 1e6
+        |      / sum(CASE WHEN day >= pcut AND day < cut THEN 1 END)) AS BIGINT) AS pq_m
+        |  FROM k GROUP BY 1),
+        |w AS (
+        |  SELECT
+        |    max(CASE WHEN event_type = 'purchase' THEN pre_m END) AS t_pre,
+        |    max(CASE WHEN event_type = 'purchase' THEN post_m END) AS t_post,
+        |    max(CASE WHEN event_type = 'view' THEN pre_m END) AS c_pre,
+        |    max(CASE WHEN event_type = 'view' THEN post_m END) AS c_post,
+        |    max(CASE WHEN event_type = 'purchase' THEN pp_m END) AS t_pp,
+        |    max(CASE WHEN event_type = 'purchase' THEN pq_m END) AS t_pq,
+        |    max(CASE WHEN event_type = 'view' THEN pp_m END) AS c_pp,
+        |    max(CASE WHEN event_type = 'view' THEN pq_m END) AS c_pq
+        |  FROM cells)
+        |SELECT t_pre / 1e6 AS treated_pre, t_post / 1e6 AS treated_post,
+        |  c_pre / 1e6 AS control_pre, c_post / 1e6 AS control_post,
+        |  ((t_post - t_pre) - (c_post - c_pre)) / 1e6 AS did,
+        |  ((t_pq - t_pp) - (c_pq - c_pp)) / 1e6 AS placebo
+        |FROM w""".stripMargin,
     "q150_rfm" ->
       """WITH t AS (SELECT max(epoch_ns(ts)) AS tmax FROM events),
         |users AS (

@@ -586,6 +586,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.values.map(_._3).toSeq.sorted == (1 to 5))
   }
 
+  test("q151: a planted post-cut lift on the treated series is isolated; placebo stays 0") {
+    val D = 24L * H
+    // 12 days (cut = day 6, placebo cut = day 3): views flat 10/day the
+    // whole time; purchases 4/day pre, 9/day post → DiD = +5, and both
+    // series are flat WITHIN the pre period → placebo = 0
+    val rows = (0 until 12).flatMap { t =>
+      val np = if (t < 6) 4 else 9
+      (0 until 10).map(i => (t.toLong * 1000 + i, t.toLong * D + i, 1L, "view", 1.0, "")) ++
+        (0 until np).map(i => (t.toLong * 1000 + 500 + i, t.toLong * D + i, 1L, "purchase", 1.0, ""))
+    }
+    val out = ScaleOps.q151DiffInDiff(spark, stage(rows)).collect().head
+    assert((out.getDouble(0), out.getDouble(1), out.getDouble(2), out.getDouble(3)) ==
+      ((4.0, 9.0, 10.0, 10.0)))
+    assert(out.getDouble(4) == 5.0 && out.getDouble(5) == 0.0)
+  }
+
   test("q130: paths are event-time ordered, capped at pathLen, counted per user") {
     // user 1: view>click>view (3 events); user 2: same path; user 3:
     // seven views → path capped to the first pathLen (5); user 4: click
