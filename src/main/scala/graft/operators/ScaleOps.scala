@@ -1379,6 +1379,40 @@ object ScaleOps {
   val benfordMicro: Seq[(Int, Long)] =
     (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6))
 
+  /** q152 — order-to-ship latency percentiles by order priority (the
+    * SLA report): days between order date and each line item's ship
+    * date over the canonical orders⋈lineitem join, exact median / p90 /
+    * max per priority through the q139/q149 grouped-quantile discipline
+    * — latencies collapse per (priority, days) FIRST, the cumulative
+    * window runs over the bounded distinct-latency grid (≤ a few
+    * hundred values by business construction), never one row per line
+    * item. Day arithmetic is epoch-day integer floor division on both
+    * engines — no date-function semantics in the hash path.
+    */
+  def q152ShipLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+      .select($"l_orderkey", expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000").as("sd"))
+    val o = Tables(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority".as("priority"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("od"))
+    val grp = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .select($"priority", ($"sd" - $"od").as("lat_days"))
+      .groupBy($"priority", $"lat_days").agg(count(lit(1)).as("q"))
+    val tot = grp.groupBy($"priority").agg(sum($"q").as("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"priority").orderBy($"lat_days")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grp.withColumn("cum", sum($"q").over(w))
+      .join(broadcast(tot), Seq("priority"))
+      .groupBy($"priority")
+      .agg(first($"t").as("n_lines"),
+        min(when($"cum" * 2 >= $"t", $"lat_days")).as("median_days"),
+        min(when($"cum" * 10 >= $"t" * 9, $"lat_days")).as("p90_days"),
+        max($"lat_days").as("max_days"))
+      .orderBy($"priority")
+  }
+
   /** q151 — difference-in-differences: the observational-causal
     * complement to q140's randomized test. Treated series = daily
     * purchase counts, control = daily views, intervention = the corpus
@@ -2356,6 +2390,7 @@ object ScaleOps {
     "q148_new_returning" -> (q148NewReturning _),
     "q150_rfm" -> (q150Rfm _),
     "q151_diff_in_diff" -> (q151DiffInDiff _),
+    "q152_ship_latency" -> (q152ShipLatency _),
     "q149_stage_latency" -> (q149StageLatency _),
     "q144_gini" -> (q144Gini _),
     "q127_market_basket" -> (q127MarketBasket _),
@@ -2401,6 +2436,24 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q152_ship_latency" ->
+      """WITH lat AS (
+        |  SELECT o_orderpriority AS priority,
+        |    epoch_us(l_shipdate) // 86400000000
+        |      - epoch_us(o_orderdate) // 86400000000 AS lat_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |grp AS (SELECT priority, lat_days, count(*) AS q FROM lat GROUP BY 1, 2),
+        |tot AS (SELECT priority, CAST(sum(q) AS BIGINT) AS t FROM grp GROUP BY 1),
+        |cum AS (
+        |  SELECT *, CAST(sum(q) OVER (PARTITION BY priority ORDER BY lat_days
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM grp)
+        |SELECT cum.priority, first(t) AS n_lines,
+        |  min(CASE WHEN cum * 2 >= t THEN lat_days END) AS median_days,
+        |  min(CASE WHEN cum * 10 >= t * 9 THEN lat_days END) AS p90_days,
+        |  max(lat_days) AS max_days
+        |FROM cum JOIN tot ON cum.priority = tot.priority
+        |GROUP BY cum.priority ORDER BY cum.priority""".stripMargin,
     "q151_diff_in_diff" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,

@@ -602,6 +602,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.getDouble(4) == 5.0 && out.getDouble(5) == 0.0)
   }
 
+  test("q152: latency percentiles equal the planted per-line ship delays") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scaleops_ship").toString
+    val day0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def plusDays(d: Int) = new java.sql.Timestamp(day0.getTime + d * 86400000L)
+    // URGENT: lines ship +1/+2/+10 days (median 2, p90 10); LOW: +30
+    Seq((1L, 1, plusDays(1)), (1L, 2, plusDays(2)), (1L, 3, plusDays(10)),
+      (2L, 1, plusDays(30)))
+      .toDF("l_orderkey", "l_linenumber", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "1-URGENT", day0), (2L, "5-LOW", day0))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = ScaleOps.q152ShipLatency(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out("1-URGENT") == ((3L, 2L, 10L, 10L)))
+    assert(out("5-LOW") == ((1L, 30L, 30L, 30L)))
+  }
+
   test("q130: paths are event-time ordered, capped at pathLen, counted per user") {
     // user 1: view>click>view (3 events); user 2: same path; user 3:
     // seven views → path capped to the first pathLen (5); user 4: click
