@@ -1379,6 +1379,60 @@ object ScaleOps {
   val benfordMicro: Seq[(Int, Long)] =
     (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6))
 
+  /** q153 — price–volume revenue bridge (the finance waterfall): why
+    * did revenue move between the two order-date halves — volume effect
+    * (q₂−q₁ at old prices) + price effect (new quantity at the price
+    * change), per part, rolled up per brand with the top absolute
+    * driver. The decomposition runs on MICRO-FIXED unit prices
+    * (pᵢ = revᵢ/qtyᵢ rounded once) and derived micro revenues
+    * revᵢ' = qᵢ·pᵢ, so the identity vol + price = Δrev' holds EXACTLY
+    * by algebra in integer micro units — no residual plug, which the
+    * oracle pins per brand. Two map-side-combining aggregates (per
+    * (part, half) then per brand), one bounded top-1 window per brand.
+    */
+  def q153RevenueBridge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "orders")
+        .select($"o_orderkey", expr("unix_micros(cast(o_orderdate as timestamp))").as("ou")),
+        $"l_orderkey" === $"o_orderkey")
+    val bounds = li.agg(min($"ou").as("u0"), max($"ou").as("u1"))
+    val pp = li.crossJoin(broadcast(bounds))
+      .withColumn("half", when($"ou" * 2 < $"u0" + $"u1", 1).otherwise(2))
+      .groupBy($"l_partkey", $"half")
+      .agg(round(sum($"l_quantity".cast(DecimalType(18, 2)))).cast("long").as("q"),
+        sum($"l_extendedprice".cast(DecimalType(18, 2))).as("rev"))
+      .withColumn("p_micro",
+        round($"rev".cast("double") * 1e6 / $"q").cast("long"))
+    val wide = pp.groupBy($"l_partkey")
+      .agg(
+        coalesce(max(when($"half" === 1, $"q")), lit(0L)).as("q1"),
+        coalesce(max(when($"half" === 2, $"q")), lit(0L)).as("q2"),
+        coalesce(max(when($"half" === 1, $"p_micro")), lit(0L)).as("p1"),
+        coalesce(max(when($"half" === 2, $"p_micro")), lit(0L)).as("p2"))
+      // a part absent from one half keeps that half's price at the
+      // OTHER half's price so its whole delta books as volume (the
+      // convention that keeps new/discontinued parts out of "price")
+      .withColumn("p1e", when($"q1" === 0, $"p2").otherwise($"p1"))
+      .withColumn("p2e", when($"q2" === 0, $"p1").otherwise($"p2"))
+      .withColumn("vol", ($"q2" - $"q1") * $"p1e")
+      .withColumn("price", $"q2" * ($"p2e" - $"p1e"))
+      .withColumn("drev", $"q2" * $"p2e" - $"q1" * $"p1e")
+    val mf = Tables(spark, dir, "part").select($"p_partkey", $"p_brand".as("brand"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"brand").orderBy(abs($"drev").desc, $"l_partkey")
+    wide.join(mf, $"l_partkey" === $"p_partkey")
+      .withColumn("rk", row_number().over(w))
+      .groupBy($"brand")
+      .agg(
+        (sum($"vol").cast("double") / 1e6).as("volume_effect"),
+        (sum($"price").cast("double") / 1e6).as("price_effect"),
+        (sum($"drev").cast("double") / 1e6).as("delta_revenue"),
+        (sum($"vol" + $"price" - $"drev")).as("residual_micro"),
+        max(when($"rk" === 1, $"l_partkey")).as("top_driver_part"))
+      .orderBy($"brand")
+  }
+
   /** q152 — order-to-ship latency percentiles by order priority (the
     * SLA report): days between order date and each line item's ship
     * date over the canonical orders⋈lineitem join, exact median / p90 /
@@ -2391,6 +2445,7 @@ object ScaleOps {
     "q150_rfm" -> (q150Rfm _),
     "q151_diff_in_diff" -> (q151DiffInDiff _),
     "q152_ship_latency" -> (q152ShipLatency _),
+    "q153_revenue_bridge" -> (q153RevenueBridge _),
     "q149_stage_latency" -> (q149StageLatency _),
     "q144_gini" -> (q144Gini _),
     "q127_market_basket" -> (q127MarketBasket _),
@@ -2436,6 +2491,46 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q153_revenue_bridge" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice,
+        |    epoch_us(o_orderdate) AS ou
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |b AS (SELECT min(ou) AS u0, max(ou) AS u1 FROM li),
+        |pp AS (
+        |  SELECT l_partkey,
+        |    CASE WHEN ou * 2 < u0 + u1 THEN 1 ELSE 2 END AS half,
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2)))) AS BIGINT) AS q,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM li CROSS JOIN b GROUP BY 1, 2),
+        |pm AS (SELECT *, CAST(round(CAST(rev AS DOUBLE) * 1e6 / q) AS BIGINT)
+        |       AS p_micro FROM pp),
+        |wide AS (
+        |  SELECT l_partkey,
+        |    COALESCE(max(CASE WHEN half = 1 THEN q END), 0) AS q1,
+        |    COALESCE(max(CASE WHEN half = 2 THEN q END), 0) AS q2,
+        |    COALESCE(max(CASE WHEN half = 1 THEN p_micro END), 0) AS p1,
+        |    COALESCE(max(CASE WHEN half = 2 THEN p_micro END), 0) AS p2
+        |  FROM pm GROUP BY 1),
+        |eff AS (
+        |  SELECT l_partkey, q1, q2,
+        |    CASE WHEN q1 = 0 THEN p2 ELSE p1 END AS p1e,
+        |    CASE WHEN q2 = 0 THEN p1 ELSE p2 END AS p2e
+        |  FROM wide),
+        |d AS (
+        |  SELECT l_partkey, (q2 - q1) * p1e AS vol, q2 * (p2e - p1e) AS price,
+        |    q2 * p2e - q1 * p1e AS drev
+        |  FROM eff),
+        |j AS (SELECT d.*, p_brand AS brand FROM d JOIN part ON l_partkey = p_partkey),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY brand
+        |        ORDER BY abs(drev) DESC, l_partkey) AS rk FROM j)
+        |SELECT brand,
+        |  CAST(sum(vol) AS DOUBLE) / 1e6 AS volume_effect,
+        |  CAST(sum(price) AS DOUBLE) / 1e6 AS price_effect,
+        |  CAST(sum(drev) AS DOUBLE) / 1e6 AS delta_revenue,
+        |  CAST(sum(vol + price - drev) AS BIGINT) AS residual_micro,
+        |  max(CASE WHEN rk = 1 THEN l_partkey END) AS top_driver_part
+        |FROM r GROUP BY brand ORDER BY brand""".stripMargin,
     "q152_ship_latency" ->
       """WITH lat AS (
         |  SELECT o_orderpriority AS priority,

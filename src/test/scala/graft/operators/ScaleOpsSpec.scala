@@ -622,6 +622,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out("5-LOW") == ((1L, 30L, 30L, 30L)))
   }
 
+  test("q153: pure volume and pure price moves decompose exactly; the identity has no residual") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scaleops_bridge").toString
+    val h1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val h2 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    // part 10: same unit price 5.0, quantity 10 → 16 (pure volume +30)
+    // part 20: same quantity 10, unit price 3.0 → 4.0 (pure price +10)
+    val lines = Seq(
+      (1L, 10L, 10.0, 50.0), (2L, 10L, 16.0, 80.0),
+      (3L, 20L, 10.0, 30.0), (4L, 20L, 10.0, 40.0))
+    lines.toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, h1), (2L, h2), (3L, h1), (4L, h2))
+      .toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, "BrandV"), (20L, "BrandP")).toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = ScaleOps.q153RevenueBridge(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out("BrandV") == ((30.0, 0.0, 30.0, 0L, 10L)))
+    assert(out("BrandP") == ((0.0, 10.0, 10.0, 0L, 20L)))
+  }
+
   test("q130: paths are event-time ordered, capped at pathLen, counted per user") {
     // user 1: view>click>view (3 events); user 2: same path; user 3:
     // seven views → path capped to the first pathLen (5); user 4: click
