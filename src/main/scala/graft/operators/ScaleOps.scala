@@ -1379,6 +1379,50 @@ object ScaleOps {
   val benfordMicro: Seq[(Int, Long)] =
     (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6))
 
+  /** q155 — supplier market-share shift: each supplier's revenue share
+    * of its nation's total, first order-date half vs second, with the
+    * share delta in basis points and gainer/loser rank — the
+    * competitive-dynamics report (q153 explains WHY revenue moved;
+    * this shows WHO took the share). Shares are micro-fixed per
+    * (nation, half) from decimal-exact cent revenues; two map-side
+    * aggregates, one broadcast of the per-(nation, half) totals, one
+    * rank window per nation.
+    */
+  def q155ShareShift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "orders")
+        .select($"o_orderkey", expr("unix_micros(cast(o_orderdate as timestamp))").as("ou")),
+        $"l_orderkey" === $"o_orderkey")
+    val bounds = li.agg(min($"ou").as("u0"), max($"ou").as("u1"))
+    val sup = Tables(spark, dir, "supplier")
+      .select($"s_suppkey", $"s_nationkey".as("nation"))
+    val rev = li.crossJoin(broadcast(bounds))
+      .withColumn("half", when($"ou" * 2 < $"u0" + $"u1", 1).otherwise(2))
+      .groupBy($"l_suppkey", $"half")
+      .agg(round(sum($"l_extendedprice".cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("xc"))
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+    val tot = rev.groupBy($"nation", $"half").agg(sum($"xc").as("t"))
+    val shares = rev.join(broadcast(tot), Seq("nation", "half"))
+      .withColumn("share_micro",
+        round($"xc".cast("double") * 1e6 / $"t").cast("long"))
+    val wide = shares.groupBy($"nation", $"l_suppkey")
+      .agg(
+        coalesce(max(when($"half" === 1, $"share_micro")), lit(0L)).as("sh1"),
+        coalesce(max(when($"half" === 2, $"share_micro")), lit(0L)).as("sh2"))
+      .withColumn("delta_bp",
+        round(($"sh2" - $"sh1").cast("double") / 100).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"nation").orderBy($"delta_bp".desc, $"l_suppkey")
+    wide.withColumn("gain_rank", row_number().over(w))
+      .select($"nation", $"l_suppkey".as("supplier"),
+        ($"sh1".cast("double") / 1e6).as("share_h1"),
+        ($"sh2".cast("double") / 1e6).as("share_h2"),
+        $"delta_bp", $"gain_rank")
+      .orderBy($"nation", $"gain_rank")
+  }
+
   /** q153 — price–volume revenue bridge (the finance waterfall): why
     * did revenue move between the two order-date halves — volume effect
     * (q₂−q₁ at old prices) + price effect (new quantity at the price
@@ -2446,6 +2490,7 @@ object ScaleOps {
     "q151_diff_in_diff" -> (q151DiffInDiff _),
     "q152_ship_latency" -> (q152ShipLatency _),
     "q153_revenue_bridge" -> (q153RevenueBridge _),
+    "q155_share_shift" -> (q155ShareShift _),
     "q149_stage_latency" -> (q149StageLatency _),
     "q144_gini" -> (q144Gini _),
     "q127_market_basket" -> (q127MarketBasket _),
@@ -2491,6 +2536,37 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q155_share_shift" ->
+      """WITH li AS (
+        |  SELECT l_suppkey, l_extendedprice, epoch_us(o_orderdate) AS ou
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |b AS (SELECT min(ou) AS u0, max(ou) AS u1 FROM li),
+        |rev AS (
+        |  SELECT l_suppkey,
+        |    CASE WHEN ou * 2 < u0 + u1 THEN 1 ELSE 2 END AS half,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS xc
+        |  FROM li CROSS JOIN b GROUP BY 1, 2),
+        |rn AS (SELECT rev.*, s_nationkey AS nation
+        |       FROM rev JOIN supplier ON l_suppkey = s_suppkey),
+        |tot AS (SELECT nation, half, CAST(sum(xc) AS BIGINT) AS t
+        |        FROM rn GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT rn.nation, rn.half, l_suppkey,
+        |    CAST(round(CAST(xc AS DOUBLE) * 1e6 / t) AS BIGINT) AS share_micro
+        |  FROM rn JOIN tot ON rn.nation = tot.nation AND rn.half = tot.half),
+        |wide AS (
+        |  SELECT nation, l_suppkey,
+        |    COALESCE(max(CASE WHEN half = 1 THEN share_micro END), 0) AS sh1,
+        |    COALESCE(max(CASE WHEN half = 2 THEN share_micro END), 0) AS sh2
+        |  FROM sh GROUP BY 1, 2),
+        |d AS (SELECT *, CAST(round(CAST(sh2 - sh1 AS DOUBLE) / 100) AS BIGINT)
+        |      AS delta_bp FROM wide)
+        |SELECT nation, l_suppkey AS supplier,
+        |  CAST(sh1 AS DOUBLE) / 1e6 AS share_h1,
+        |  CAST(sh2 AS DOUBLE) / 1e6 AS share_h2, delta_bp,
+        |  CAST(row_number() OVER (PARTITION BY nation
+        |    ORDER BY delta_bp DESC, l_suppkey) AS INT) AS gain_rank
+        |FROM d ORDER BY nation, gain_rank""".stripMargin,
     "q153_revenue_bridge" ->
       """WITH li AS (
         |  SELECT l_partkey, l_quantity, l_extendedprice,

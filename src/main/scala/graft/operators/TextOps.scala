@@ -514,10 +514,44 @@ object TextOps {
       .orderBy($"qid", $"fused_rk")
   }
 
+  /** q154 — readability scoring: words-per-sentence and characters-per-
+    * word as a syllable-free Flesch-style grade proxy (the content-
+    * quality lens beside q22's heuristics — long sentences of long
+    * words read hard). Sentences split on [.!?]+ runs, empty segments
+    * dropped; the composite 0.39·wps + 5.0·cpw − 2.0 (Flesch–Kincaid's
+    * shape with cpw standing in for syllables/word) is micro-fixed
+    * from two integer ratios. Entirely in-row — one pass, no shuffle
+    * except the display sort.
+    */
+  def q154Readability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sents = filter(split($"text", "[.!?]+"), s => length(trim(s)) > 0)
+    val w = words($"text")
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(sents).cast("long").as("n_sentences"),
+        size(w).cast("long").as("n_words"),
+        aggregate(transform(w, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+          .as("n_chars"))
+      .filter($"n_sentences" > 0 && $"n_words" > 0)
+      .withColumn("wps_micro",
+        round($"n_words".cast("double") * 1e6 / $"n_sentences").cast("long"))
+      .withColumn("cpw_micro",
+        round($"n_chars".cast("double") * 1e6 / $"n_words").cast("long"))
+      .withColumn("grade_micro",
+        round(lit(0.39) * $"wps_micro" + lit(5.0) * $"cpw_micro" - 2e6).cast("long"))
+      .select($"doc_id", $"n_sentences", $"n_words",
+        ($"wps_micro".cast("double") / 1e6).as("words_per_sentence"),
+        ($"cpw_micro".cast("double") / 1e6).as("chars_per_word"),
+        ($"grade_micro".cast("double") / 1e6).as("grade"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_bm25" -> (q95Bm25 _),
     "q126_pmi_collocations" -> (q126PmiCollocations _),
     "q128_rrf_fusion" -> (q128RrfFusion _),
+    "q154_readability" -> (q154Readability _),
     "q105_bm25_indexed" -> (q105Bm25Indexed _),
     "q69_hash_classifier" -> (q69HashClassifier _),
     "q21_text_stats" -> (q21TextStats _),
@@ -707,6 +741,28 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q95_bm25" -> bm25OracleSql,
+    "q154_readability" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+        |      x -> len(trim(x)) > 0)) AS BIGINT) AS n_sentences,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |      t -> CAST(len(t) AS BIGINT))) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |m AS (
+        |  SELECT *,
+        |    CAST(round(CAST(n_words AS DOUBLE) * 1e6 / n_sentences) AS BIGINT)
+        |      AS wps_micro,
+        |    CAST(round(CAST(n_chars AS DOUBLE) * 1e6 / n_words) AS BIGINT)
+        |      AS cpw_micro
+        |  FROM s WHERE n_sentences > 0 AND n_words > 0)
+        |SELECT doc_id, n_sentences, n_words,
+        |  wps_micro / 1e6 AS words_per_sentence,
+        |  cpw_micro / 1e6 AS chars_per_word,
+        |  CAST(round(0.39 * wps_micro + 5.0 * cpw_micro - 2e6) AS BIGINT) / 1e6
+        |    AS grade
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q128_rrf_fusion" ->
       s"""WITH $bm25Ctes,
          |$qualityCtes,
