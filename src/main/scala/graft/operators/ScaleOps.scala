@@ -1379,6 +1379,56 @@ object ScaleOps {
   val benfordMicro: Seq[(Int, Long)] =
     (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6))
 
+  /** q156 — the weekly executive KPI table, ONE composed plan (the
+    * dashboard every analytics engine ultimately serves, and this
+    * library's composition story at the reporting grain — the q54/q74/
+    * q107 discipline applied to metrics): per week, active/new users
+    * (q148's split), event volumes and view→purchase conversion, spend,
+    * and the share of the week's hours the q133 seasonal screen flags
+    * anomalous. Five branches over ONE events scan — the per-user,
+    * per-week, and hourly aggregates all reuse the same shuffle
+    * boundaries where keys align, and every ratio is micro-fixed.
+    */
+  def q156WeeklyKpis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .withColumn("week", expr("ts div 604800000000000"))
+    val weekly = ev.select($"user_id", $"week").distinct()
+    val firstWeek = weekly.groupBy($"user_id").agg(min($"week").as("w0"))
+    val actives = weekly.join(firstWeek, Seq("user_id"))
+      .groupBy($"week")
+      .agg(count(lit(1)).as("active_users"),
+        sum(when($"week" === $"w0", 1L).otherwise(0L)).as("new_users"))
+    val volumes = ev.groupBy($"week")
+      .agg(
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("views"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("purchases"),
+        round(sum(when($"event_type" === "purchase",
+          $"value".cast(DecimalType(18, 2))).otherwise(lit(0).cast(DecimalType(18, 2)))) * 100)
+          .cast("long").as("spend_cents"))
+    val hourly = ev.groupBy($"event_type", expr("ts div 3600000000000").as("hour"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("hod", pmod($"hour", lit(24L)))
+    val flagged = hourly
+      .join(broadcast(seasonalProfileFrom(hourly)), Seq("event_type", "hod"))
+      .withColumn("d", $"n" * $"x" - $"sx")
+      .withColumn("anom",
+        when($"n" >= 3 && $"d".cast("double") * $"d" * ($"n" - 2) >
+          lit(9.0) * ($"n" - 1).cast("double") *
+            (($"n" - 1) * ($"sxx" - $"x" * $"x") -
+              ($"sx" - $"x") * ($"sx" - $"x")).cast("double"), 1L).otherwise(0L))
+      .groupBy(expr("hour div 168").as("week"))
+      .agg(count(lit(1)).as("type_hours"), sum($"anom").as("anom_hours"))
+    actives.join(volumes, Seq("week")).join(flagged, Seq("week"))
+      .select($"week", $"active_users", $"new_users", $"views", $"purchases",
+        (round($"purchases".cast("double") * 1e6 /
+          greatest($"views", lit(1L))).cast("long")).as("conversion_ppm"),
+        ($"spend_cents".cast("double") / 100).as("spend"),
+        (round($"anom_hours".cast("double") * 1e6 / $"type_hours").cast("long"))
+          .as("anomalous_ppm"))
+      .orderBy($"week")
+  }
+
   /** q155 — supplier market-share shift: each supplier's revenue share
     * of its nation's total, first order-date half vs second, with the
     * share delta in basis points and gainer/loser rank — the
@@ -2491,6 +2541,7 @@ object ScaleOps {
     "q152_ship_latency" -> (q152ShipLatency _),
     "q153_revenue_bridge" -> (q153RevenueBridge _),
     "q155_share_shift" -> (q155ShareShift _),
+    "q156_weekly_kpis" -> (q156WeeklyKpis _),
     "q149_stage_latency" -> (q149StageLatency _),
     "q144_gini" -> (q144Gini _),
     "q127_market_basket" -> (q127MarketBasket _),
@@ -2536,6 +2587,48 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q156_weekly_kpis" ->
+      """WITH ev AS (
+        |  SELECT *, epoch_ns(ts) // 604800000000000 AS week,
+        |    epoch_ns(ts) // 3600000000000 AS hour
+        |  FROM events),
+        |weekly AS (SELECT DISTINCT user_id, week FROM ev),
+        |fw AS (SELECT user_id, min(week) AS w0 FROM weekly GROUP BY 1),
+        |act AS (
+        |  SELECT week, CAST(count(*) AS BIGINT) AS active_users,
+        |    CAST(sum(CASE WHEN week = w0 THEN 1 ELSE 0 END) AS BIGINT) AS new_users
+        |  FROM weekly JOIN fw USING (user_id) GROUP BY 1),
+        |vol AS (
+        |  SELECT week,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |    CAST(round(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) * 100)
+        |      AS BIGINT) AS spend_cents
+        |  FROM ev GROUP BY 1),
+        |hourly AS (
+        |  SELECT event_type, hour, hour % 24 AS hod, count(*) AS x
+        |  FROM ev GROUP BY 1, 2, 3),
+        |prof AS (
+        |  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM hourly GROUP BY 1, 2),
+        |fl AS (
+        |  SELECT hour // 168 AS week, CAST(count(*) AS BIGINT) AS type_hours,
+        |    CAST(sum(CASE WHEN n >= 3
+        |      AND CAST(n * x - sx AS DOUBLE) * (n * x - sx) * (n - 2) >
+        |        9.0 * CAST(n - 1 AS DOUBLE) *
+        |        CAST((n - 1) * (sxx - x * x) - (sx - x) * (sx - x) AS DOUBLE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS anom_hours
+        |  FROM hourly JOIN prof USING (event_type, hod) GROUP BY 1)
+        |SELECT act.week, active_users, new_users, views, purchases,
+        |  CAST(round(CAST(purchases AS DOUBLE) * 1e6 / greatest(views, 1))
+        |    AS BIGINT) AS conversion_ppm,
+        |  CAST(spend_cents AS DOUBLE) / 100 AS spend,
+        |  CAST(round(CAST(anom_hours AS DOUBLE) * 1e6 / type_hours) AS BIGINT)
+        |    AS anomalous_ppm
+        |FROM act JOIN vol ON act.week = vol.week JOIN fl ON act.week = fl.week
+        |ORDER BY act.week""".stripMargin,
     "q155_share_shift" ->
       """WITH li AS (
         |  SELECT l_suppkey, l_extendedprice, epoch_us(o_orderdate) AS ou
