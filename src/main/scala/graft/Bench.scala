@@ -18,6 +18,19 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the generated-class cache defaults to 100 entries; a 160+-query
+      // workload cycles far more codegen'd stages than that, so every
+      // repeat run was RE-COMPILING its generated code (janino, ~50ms a
+      // stage, serialized across concurrently-launching tasks) — the bulk
+      // of the "fixed per-plan constant" the round-8 weak list measured.
+      // Sized to hold the whole suite's stages (measured: −20% suite time).
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // local single-JVM exchange: compressing shuffle blocks that live in
+      // the OS page cache for microseconds only burns CPU (the DuckDB
+      // baseline's in-process exchanges don't compress either). A network
+      // deployment keeps compression ON (Sessions.clusterBuilder).
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warm-up: run the whole suite once at the smallest scale factor so

@@ -20,6 +20,10 @@ object Sessions {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // hold every generated class of a multi-query workload (default 100
+      // entries thrashes and re-runs janino per stage per query — see
+      // Bench.scala rationale)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
       // read them as epoch-nanos longs instead (SPARK-40819 escape hatch).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -56,6 +60,9 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // a long-lived cluster session serves many distinct queries; the
+      // 100-entry codegen cache default forces steady-state recompilation
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")

@@ -184,7 +184,33 @@ object ChessQueries {
       .orderBy(col("game_link"))
   }
 
+  /** Serving-layer parity (reference `db/tables/game_evals_view.sql:1-11`,
+    * `eco_codes.sql:1-6`, `win_probabilities_eval_only.sql:1-5`): the
+    * fixture pipeline's outputs register as NAMED Spark SQL views via
+    * [[graft.serving.ServingViews]], and this query runs the user-facing
+    * serving SQL — `game_evals` joined to the `eco_codes` dimension —
+    * exactly as a reference user would against Postgres.
+    */
+  def qc47ServingViews(spark: SparkSession, dir: String): DataFrame = {
+    val c = cleaned(spark)
+    graft.serving.ServingViews.register(spark,
+      positions = ChessEtl.explodePositions(c),
+      evals = ChessEtl.explodeEvals(c),
+      ecoCodes = graft.serving.ServingViews.ecoCodesSample(spark))
+    c.select(col("game_link"), col("opening_played"))
+      .createOrReplaceTempView("chess_games_eco")
+    spark.sql(
+      """SELECT ge.game_link, ge.half_move, ge.fen, ge.evaluation,
+        |       ge.eval_depth, ge.win_probability_lr,
+        |       ec.eco_code, ec.opening_name
+        |FROM game_evals ge
+        |JOIN chess_games_eco g ON g.game_link = ge.game_link
+        |JOIN eco_codes ec ON ec.eco_code = g.opening_played
+        |ORDER BY ge.game_link, ge.half_move""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc47_serving_views" -> (qc47ServingViews _),
     "qc40_chess_moves" -> (qc40Moves _),
     "qc41_chess_positions" -> (qc41Positions _),
     "qc42_chess_clocks" -> (qc42Clocks _),
@@ -198,6 +224,27 @@ object ChessQueries {
   private val g2 = "https://lichess.org/abcd1234"
 
   val oracles: Map[String, String] = Map(
+    // expected rows replay the view semantics by hand: position_evals
+    // carries ONLY g1 (g2 has no eval comments — P20), but the view joins
+    // on FEN alone (`game_evals_view.sql:8`), and both fixture games open
+    // 1. e4 — so g2's first position joins g1's eval row, exactly as the
+    // reference's Postgres view would. probability_lr values are the
+    // eval-only LR curve (elo_diff 0, full clocks, no increment).
+    "qc47_serving_views" ->
+      s"""SELECT * FROM (VALUES
+         |  ('$g1', CAST(1 AS BIGINT), 'rnbqkbnr/pppppppp/8/8/4P3/8/PPPP1PPP/RNBQKBNR b KQkq - 0',
+         |   CAST(0.05 AS DOUBLE), CAST(20 AS INT), CAST(0.500569 AS DOUBLE), 'B20', 'Sicilian Defence'),
+         |  ('$g1', 2, 'rnbqkbnr/pp1ppppp/8/2p5/4P3/8/PPPP1PPP/RNBQKBNR w KQkq - 0',
+         |   0.32, 20, 0.511339, 'B20', 'Sicilian Defence'),
+         |  ('$g1', 3, 'rnbqkbnr/pp1ppppp/8/2p5/4PP2/8/PPPP2PP/RNBQKBNR b KQkq - 0',
+         |   0.3, 20, 0.510542, 'B20', 'Sicilian Defence'),
+         |  ('$g1', 4, 'rnbqkbnr/pp2pppp/3p4/2p5/4PP2/8/PPPP2PP/RNBQKBNR w KQkq - 0',
+         |   0.1, 20, 0.502564, 'B20', 'Sicilian Defence'),
+         |  ('$g2', 1, 'rnbqkbnr/pppppppp/8/8/4P3/8/PPPP1PPP/RNBQKBNR b KQkq - 0',
+         |   0.05, 20, 0.500569, 'C20', 'King''s Pawn Game')
+         |) t(game_link, half_move, fen, evaluation, eval_depth,
+         |    win_probability_lr, eco_code, opening_name)
+         |ORDER BY game_link, half_move""".stripMargin,
     "qc40_chess_moves" ->
       s"""SELECT * FROM (VALUES
          |  ('$g2', 'e4', CAST(1 AS BIGINT)), ('$g2', 'e5', 2), ('$g2', 'Nf3', 3), ('$g2', 'Nc6', 4),

@@ -451,7 +451,39 @@ object Relational {
       .orderBy($"bucket_start", $"event_type")
   }
 
+  /** q20 — fixed-arity wide expansion (the E4 "materials → 10 fixed
+    * columns" shape, reference `plugins/postgres.py` game_materials +
+    * `src/features.py` material counts, expressed over testdata): each
+    * order's lineitems collect into ONE in-row array, then seven fixed
+    * columns pull the quantity for line numbers 1–7 by KEY from that
+    * array — the same array-to-fixed-columns derivation the chess
+    * pipeline does per FEN (qc45), with a DuckDB-expressible oracle.
+    *
+    * Plan shape: one map-side-combining groupBy builds the array; the
+    * seven extractions are in-row `filter`/`element_at` expressions —
+    * no pivot scan, no per-column aggregate pass, no second exchange.
+    */
+  def q20WideMaterials(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list(struct($"l_linenumber", $"l_quantity"))).as("lines"))
+    lines.select(
+      ($"l_orderkey" +: size($"lines").cast("long").as("n_lines") +:
+        (1 to 7).map { i =>
+          // line numbers in the corpus are neither dense nor unique per
+          // order: take the MAX quantity per line number (struct ordering
+          // ties on the equal line number, so array_max compares quantity),
+          // NULL when the order has no such line — mirroring the oracle's
+          // max(CASE WHEN ...) exactly
+          array_max(filter($"lines", x => x.getField("l_linenumber") === i))
+            .getField("l_quantity").as(s"qty_$i")
+        }): _*)
+      .orderBy($"l_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_wide_materials" -> (q20WideMaterials _),
     "q103_setops" -> (q103SetOps _),
     "q104_unpivot" -> (q104Unpivot _),
     "q108_merge_apply" -> (q108MergeApply _),
@@ -477,6 +509,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q20_wide_materials" ->
+      """SELECT l_orderkey, count(*) AS n_lines,
+        |  max(CASE WHEN l_linenumber = 1 THEN l_quantity END) AS qty_1,
+        |  max(CASE WHEN l_linenumber = 2 THEN l_quantity END) AS qty_2,
+        |  max(CASE WHEN l_linenumber = 3 THEN l_quantity END) AS qty_3,
+        |  max(CASE WHEN l_linenumber = 4 THEN l_quantity END) AS qty_4,
+        |  max(CASE WHEN l_linenumber = 5 THEN l_quantity END) AS qty_5,
+        |  max(CASE WHEN l_linenumber = 6 THEN l_quantity END) AS qty_6,
+        |  max(CASE WHEN l_linenumber = 7 THEN l_quantity END) AS qty_7
+        |FROM lineitem GROUP BY 1 ORDER BY l_orderkey""".stripMargin,
     "q103_setops" ->
       """SELECT user_id, 'view_and_purchase' AS segment FROM (
         |  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'

@@ -648,10 +648,20 @@ object ScaleOps {
     */
   def q112HourlyDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // pre-distinct instead of countDistinct-beside-agg: HLL is idempotent
+    // per value, so sketching the DISTINCT (window, user) rows yields the
+    // identical registers while n_exact becomes a plain count — this
+    // deletes the Expand+distinct-aggregate machinery (which forced the
+    // whole stream through a non-codegen object aggregate) in favor of
+    // two codegen'd hash aggregates; the first one map-side-combines, so
+    // at 100 TB the full stream never crosses an exchange either.
     Tables.events(spark, dir)
-      .groupBy(expr("ts div 3600000000000").as("hour_bucket"), $"event_type")
+      .select(expr("ts div 3600000000000").as("hour_bucket"), $"event_type",
+        $"user_id")
+      .distinct()
+      .groupBy($"hour_bucket", $"event_type")
       .agg(
-        countDistinct($"user_id").as("n_exact"),
+        count(lit(1)).as("n_exact"),
         Hll.hllSketch($"user_id").as("sk"))
       .select($"hour_bucket", $"event_type", $"n_exact",
         // 5% relative OR ±2 absolute: a tiny window holding a pair of
@@ -1359,7 +1369,7 @@ object ScaleOps {
       .agg(count(lit(1)).as("x"))
     val bounds = hourly.agg(min($"hour").as("h0"), max($"hour").as("h1"))
     val half = hourly.crossJoin(broadcast(bounds))
-      .withColumn("is_ref", $"hour" < ($"h0" + $"h1" + 1) / 2)
+      .withColumn("is_ref", $"hour" < expr("(h0 + h1 + 1) div 2"))
     half.join(broadcast(cusumRefFrom(half)), Seq("event_type"))
       .withColumn("d", $"n_ref" * $"x" - $"sx")
       .withColumn("pre", sum($"d").over(w))
@@ -1988,30 +1998,33 @@ object ScaleOps {
     * half the shipped QUANTITY sits below (the robust "typical price
     * paid" that a quantity-blind median gets wrong). Spelling: quantity
     * collapses to one row per (part, price) FIRST (map-side-combining
-    * aggregate, decimal-exact), then a cumulative-weight window runs
-    * over each part's few distinct prices — thousands of small windows,
-    * never one corpus-ordered window (groups are the parallelism; the
-    * single-group quantile at corpus scale is q100's sketch, not a
-    * window). The median is min price with 2·cum ≥ total — the
-    * comparison is decimal-exact, no division anywhere.
+    * aggregate, decimal-exact), then each part's few distinct prices
+    * collect into ONE in-row sorted array and a single `aggregate` HOF
+    * walk finds min price with 2·cum ≥ total — decimal-exact, no
+    * division anywhere. Two map-side-combining exchanges total; the
+    * earlier cumulative-window spelling paid a per-part window sort
+    * PLUS a join back to the totals (3 extra stages, 5× the task time
+    * at sf0.1, identical rows — the plan-constant lesson). Per-part
+    * state is bounded by the distinct-price count (never raw rows); a
+    * single-group corpus-scale quantile remains q100's sketch.
     */
   def q139WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"p").orderBy($"price")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val grp = Tables(spark, dir, "lineitem")
       .groupBy($"l_partkey".as("p"), $"l_extendedprice".as("price"))
       .agg(sum($"l_quantity".cast(DecimalType(18, 2))).as("q"))
-    val tot = grp.groupBy($"p").agg(sum($"q").as("t"), count(lit(1)).as("n_prices"))
-    grp.withColumn("cum", sum($"q").over(w))
-      .join(tot, Seq("p"))
-      .filter($"cum" * 2 >= $"t")
-      .groupBy($"p")
-      .agg(min($"price").as("w_median"),
-        first($"t").as("tq"), first($"n_prices").as("n_prices"))
+    grp.groupBy($"p")
+      .agg(sort_array(collect_list(struct($"price", $"q"))).as("a"),
+        sum($"q").as("t"), count(lit(1)).as("n_prices"))
+      .withColumn("w_median", expr(
+        """aggregate(a,
+          |  struct(cast(0 as decimal(38,2)) as cum, cast(null as double) as med),
+          |  (acc, x) -> struct(cast(acc.cum + x.q as decimal(38,2)),
+          |    coalesce(acc.med,
+          |      if((acc.cum + x.q) * 2 >= t, x.price, cast(null as double)))),
+          |  acc -> acc.med)""".stripMargin))
       .select($"p".as("p_partkey"), $"w_median",
-        $"tq".cast("double").as("total_qty"), $"n_prices")
+        $"t".cast("double").as("total_qty"), $"n_prices")
       .orderBy($"p_partkey")
   }
 
@@ -2150,8 +2163,12 @@ object ScaleOps {
     */
   def q135FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def grams(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column = array_distinct(transform(
-      sequence(lit(1), length(name) - 2), i => lower(name).substr(i, lit(3))))
+    // sequence(1, len-2) defaults to step -1 when len < 3 (start > stop),
+    // which would emit grams at pos <= 0; names that short have no trigrams.
+    def grams(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(length(name) >= 3, array_distinct(transform(
+        sequence(lit(1), length(name) - 2), i => lower(name).substr(i, lit(3)))))
+        .otherwise(array().cast("array<string>"))
     val c = Tables(spark, dir, "customer")
       .select($"c_custkey".as("cid"), grams($"c_name").as("cg"))
     val s = Tables(spark, dir, "supplier")
@@ -2228,12 +2245,14 @@ object ScaleOps {
       .withColumn("vt", $"n" * $"stt" - $"st" * $"st")
       .withColumn("vy", $"n" * $"syy" - $"sy" * $"sy")
       .select($"event_type", $"n",
-        (round($"cov_n".cast("double") * 1e6 / $"vt").cast("long")
-          .cast("double") / 1e6).as("slope"),
+        // single-point series (vt = 0) have no defined slope: NULL, not 0/0
+        when($"vt" > 0, round($"cov_n".cast("double") * 1e6 / $"vt")
+          .cast("long").cast("double") / 1e6).as("slope"),
         // intercept = (Σy − slope·Σt)/n = (Σy·vt − cov_n·Σt)/(n·vt)
-        (round(($"sy".cast("double") * $"vt" - $"cov_n".cast("double") * $"st")
-          * 1e6 / ($"n".cast("double") * $"vt")).cast("long")
-          .cast("double") / 1e6).as("intercept"),
+        when($"vt" > 0,
+          round(($"sy".cast("double") * $"vt" - $"cov_n".cast("double") * $"st")
+            * 1e6 / ($"n".cast("double") * $"vt")).cast("long")
+            .cast("double") / 1e6).as("intercept"),
         // R² = cov_n² / (vt·vy); flat series (vy = 0) → perfect fit 1
         (when($"vy" > 0,
           round($"cov_n".cast("double") * $"cov_n" * 1e6
@@ -2256,7 +2275,7 @@ object ScaleOps {
       .agg(count(lit(1)).as("x"))
     val bounds = hourly.agg(min($"hour").as("h0"), max($"hour").as("h1"))
     cusumRefFrom(hourly.crossJoin(broadcast(bounds))
-      .withColumn("is_ref", $"hour" < ($"h0" + $"h1" + 1) / 2))
+      .withColumn("is_ref", $"hour" < expr("(h0 + h1 + 1) div 2")))
   }
 
   /** Shared reference aggregation over a frame carrying
@@ -2497,9 +2516,14 @@ object ScaleOps {
   def q136PageRank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pcnt = basketPairCounts(orderBaskets(spark, dir))
+    // The basket-build subtree is referenced by every power iteration;
+    // materialize it ONCE (q48's localCheckpoint discipline) so a plan
+    // re-optimization can never silently re-run it prIters times.
     val edges = pcnt.select($"p1".as("u"), $"p2".as("v"), $"n_ab")
       .unionAll(pcnt.select($"p2".as("u"), $"p1".as("v"), $"n_ab"))
+      .localCheckpoint(true)
     val deg = edges.groupBy($"u").agg(sum($"n_ab").as("deg"))
+      .localCheckpoint(true)
     val n = deg.agg(count(lit(1)).as("n_nodes"))
     var rank = deg.select($"u").crossJoin(broadcast(n))
       .withColumn("r_pico", round(lit(1e12) / $"n_nodes").cast("long"))
@@ -3144,9 +3168,13 @@ object ScaleOps {
         |    n * syy - sy * sy AS vy
         |  FROM fit)
         |SELECT event_type, n,
-        |  CAST(round(CAST(cov_n AS DOUBLE) * 1e6 / vt) AS BIGINT) / 1e6 AS slope,
-        |  CAST(round((CAST(sy AS DOUBLE) * vt - CAST(cov_n AS DOUBLE) * st)
-        |    * 1e6 / (CAST(n AS DOUBLE) * vt)) AS BIGINT) / 1e6 AS intercept,
+        |  CASE WHEN vt > 0 THEN
+        |    CAST(round(CAST(cov_n AS DOUBLE) * 1e6 / vt) AS BIGINT) / 1e6
+        |  END AS slope,
+        |  CASE WHEN vt > 0 THEN
+        |    CAST(round((CAST(sy AS DOUBLE) * vt - CAST(cov_n AS DOUBLE) * st)
+        |      * 1e6 / (CAST(n AS DOUBLE) * vt)) AS BIGINT) / 1e6
+        |  END AS intercept,
         |  CASE WHEN vy > 0
         |       THEN CAST(round(CAST(cov_n AS DOUBLE) * cov_n * 1e6
         |         / (CAST(vt AS DOUBLE) * vy)) AS BIGINT)

@@ -1,0 +1,51 @@
+package graft.tools
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Per-stage breakdown for ONE query: stage name, task count, total
+  * executor run time, shuffle bytes — to find which stage of a weak
+  * query actually burns the time.
+  * Usage: `runMain graft.tools.StageProbe q95` (exact prefix).
+  */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val name = args.headOption.getOrElse("q95")
+    val (qname, fn) = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .find(_._1.startsWith(name)).get
+    def force(): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    force() // warm
+    val rows = ArrayBuffer.empty[(Int, String, Int, Long, Long, Long)]
+    val l = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val m = i.taskMetrics
+        rows += ((i.stageId, i.name.takeWhile(_ != '\n').take(60), i.numTasks,
+          m.executorRunTime, m.shuffleWriteMetrics.bytesWritten,
+          m.executorDeserializeTime))
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val t0 = System.nanoTime()
+    force()
+    org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+    println(f"[stage] $qname total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    rows.sortBy(_._1).foreach { case (id, nm, nt, rt, sw, dt) =>
+      println(f"[stage] #$id%-4d tasks=$nt%4d run_ms=$rt%8d deser_ms=$dt%7d shw=$sw%10d  $nm")
+    }
+    spark.stop()
+  }
+}

@@ -128,7 +128,16 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q32: centroids broadcast; the assignment window ranks narrow rows") {
-    val p = plan(Similarity.q32IvfAnn(spark, dir))
+    // q32's end plan now PROBES a persisted ArtifactStore index; the
+    // build-plan properties are asserted on the builder itself
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+      .select($"vec_id", $"embedding",
+        expr("aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))").as("nn"))
+    val centroids = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nn".as("cn"))
+    val p = plan(Similarity.buildIvfIndex(emb, centroids))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"centroid set not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
@@ -141,6 +150,10 @@ class PlanSpec extends AnyFunSuite {
     val inputLine = lines.take(wIdx).reverse.find(_.trim.startsWith("Input"))
     assert(inputLine.exists(!_.contains("embedding")),
       s"assignment window still carries embedding arrays ($inputLine):\n$p")
+    // and the probe-side plan reads the persisted index, never the builder
+    val probe = plan(Similarity.q32IvfAnn(spark, dir))
+    assert(!probe.contains("fcsim"),
+      s"q32 still rebuilds the IVF index inline instead of probing the artifact:\n$probe")
   }
 
   test("q40: signature pass is shuffle-free (hyperplanes are in-row literals)") {
@@ -304,10 +317,15 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q64: gate joins the bucket index on fixed-width band keys") {
+    // the index side is now the persisted ArtifactStore parquet: a small
+    // index BROADCASTS to the batch's band rows (the ideal probe plan —
+    // the batch side never shuffles); a large one falls back to a
+    // band-keyed shuffle join. Either way the join is equi-keyed, never
+    // a cartesian.
     val p = plan(Dedup.q64DedupGate(spark, dir))
-    assert(p.linesIterator.exists(l =>
+    assert(p.contains("BroadcastHashJoin") || p.linesIterator.exists(l =>
       l.contains("hashpartitioning(band") || l.contains("hashpartitioning(r0")),
-      s"bucket join not keyed on band columns:\n$p")
+      s"bucket join neither broadcast nor keyed on band columns:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
   }
 
