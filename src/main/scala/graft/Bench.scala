@@ -31,6 +31,13 @@ object Bench {
       // deployment keeps compression ON (Sessions.clusterBuilder).
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
+      // match Sessions.clusterBuilder's documented deployment threshold:
+      // narrow dimension projections (e.g. orders' (orderkey, date) pair,
+      // 24 MB at sf1p) broadcast instead of forcing a sort-merge of the
+      // fact side; at genuine fact-×-fact scale the size check still
+      // falls back to the shuffle join
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        (64L * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warm-up: run the whole suite once at the smallest scale factor so

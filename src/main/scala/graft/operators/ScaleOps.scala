@@ -1501,19 +1501,24 @@ object ScaleOps {
         .select($"o_orderkey", expr("unix_micros(cast(o_orderdate as timestamp))").as("ou")),
         $"l_orderkey" === $"o_orderkey")
     val bounds = li.agg(min($"ou").as("u0"), max($"ou").as("u1"))
-    val pp = li.crossJoin(broadcast(bounds))
+    // ONE part-keyed exchange computes both halves as conditional sums
+    // (identical values to the former (part, half) pivot — a half with no
+    // rows sums to NULL, so its q and price coalesce to 0 exactly as the
+    // pivot's missing row did); the per-half unit price derives in-row.
+    val wide = li.crossJoin(broadcast(bounds))
       .withColumn("half", when($"ou" * 2 < $"u0" + $"u1", 1).otherwise(2))
-      .groupBy($"l_partkey", $"half")
-      .agg(round(sum($"l_quantity".cast(DecimalType(18, 2)))).cast("long").as("q"),
-        sum($"l_extendedprice".cast(DecimalType(18, 2))).as("rev"))
-      .withColumn("p_micro",
-        round($"rev".cast("double") * 1e6 / $"q").cast("long"))
-    val wide = pp.groupBy($"l_partkey")
+      .groupBy($"l_partkey")
       .agg(
-        coalesce(max(when($"half" === 1, $"q")), lit(0L)).as("q1"),
-        coalesce(max(when($"half" === 2, $"q")), lit(0L)).as("q2"),
-        coalesce(max(when($"half" === 1, $"p_micro")), lit(0L)).as("p1"),
-        coalesce(max(when($"half" === 2, $"p_micro")), lit(0L)).as("p2"))
+        coalesce(round(sum(when($"half" === 1, $"l_quantity".cast(DecimalType(18, 2)))))
+          .cast("long"), lit(0L)).as("q1"),
+        coalesce(round(sum(when($"half" === 2, $"l_quantity".cast(DecimalType(18, 2)))))
+          .cast("long"), lit(0L)).as("q2"),
+        sum(when($"half" === 1, $"l_extendedprice".cast(DecimalType(18, 2)))).as("rev1"),
+        sum(when($"half" === 2, $"l_extendedprice".cast(DecimalType(18, 2)))).as("rev2"))
+      .withColumn("p1",
+        coalesce(round($"rev1".cast("double") * 1e6 / $"q1").cast("long"), lit(0L)))
+      .withColumn("p2",
+        coalesce(round($"rev2".cast("double") * 1e6 / $"q2").cast("long"), lit(0L)))
       // a part absent from one half keeps that half's price at the
       // OTHER half's price so its whole delta books as volume (the
       // convention that keeps new/discontinued parts out of "price")
@@ -1523,17 +1528,19 @@ object ScaleOps {
       .withColumn("price", $"q2" * ($"p2e" - $"p1e"))
       .withColumn("drev", $"q2" * $"p2e" - $"q1" * $"p1e")
     val mf = Tables(spark, dir, "part").select($"p_partkey", $"p_brand".as("brand"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"brand").orderBy(abs($"drev").desc, $"l_partkey")
+    // top driver via in-aggregate argmax under (|drev| desc, partkey asc)
+    // — the former per-brand window sort ranked EVERY part to read one
+    // row per brand; max(struct(|drev|, −partkey)) is the same total
+    // order folded map-side
     wide.join(mf, $"l_partkey" === $"p_partkey")
-      .withColumn("rk", row_number().over(w))
       .groupBy($"brand")
       .agg(
         (sum($"vol").cast("double") / 1e6).as("volume_effect"),
         (sum($"price").cast("double") / 1e6).as("price_effect"),
         (sum($"drev").cast("double") / 1e6).as("delta_revenue"),
         (sum($"vol" + $"price" - $"drev")).as("residual_micro"),
-        max(when($"rk" === 1, $"l_partkey")).as("top_driver_part"))
+        (-max(struct(abs($"drev").as("a"), (-$"l_partkey").as("np")))
+          .getField("np")).as("top_driver_part"))
       .orderBy($"brand")
   }
 
@@ -2010,12 +2017,24 @@ object ScaleOps {
     */
   def q139WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grp = Tables(spark, dir, "lineitem")
-      .groupBy($"l_partkey".as("p"), $"l_extendedprice".as("price"))
-      .agg(sum($"l_quantity".cast(DecimalType(18, 2))).as("q"))
-    grp.groupBy($"p")
-      .agg(sort_array(collect_list(struct($"price", $"q"))).as("a"),
-        sum($"q").as("t"), count(lit(1)).as("n_prices"))
+    // ONE part-keyed exchange: raw (price, qty) pairs collect per part and
+    // the whole statistic derives in-row. Equal prices sort adjacent, so
+    // the first row whose running 2·cum clears the total IS the first
+    // price group that clears it (any earlier price's group-cum would
+    // have triggered inside that earlier run) — identical to the former
+    // (part, price) pre-aggregate + cumulative window, minus one full
+    // corpus exchange, the window sort, and the totals join. Keys here
+    // are near-unique, so the deleted pre-aggregate had no map-side
+    // combine benefit to lose.
+    Tables(spark, dir, "lineitem")
+      .select($"l_partkey".as("p"), $"l_extendedprice".as("price"),
+        $"l_quantity".cast(DecimalType(18, 2)).as("q"))
+      .groupBy($"p")
+      .agg(sort_array(collect_list(struct($"price", $"q"))).as("a"))
+      .withColumn("t", expr(
+        "aggregate(a, cast(0 as decimal(38,2)), (acc, x) -> cast(acc + x.q as decimal(38,2)))"))
+      .withColumn("n_prices",
+        size(array_distinct(expr("transform(a, x -> x.price)"))).cast("long"))
       .withColumn("w_median", expr(
         """aggregate(a,
           |  struct(cast(0 as decimal(38,2)) as cum, cast(null as double) as med),
@@ -2439,12 +2458,17 @@ object ScaleOps {
     * (q127's candidate structure, reused as q136's edge list). */
   private def basketPairCounts(baskets0: DataFrame): DataFrame = {
     import baskets0.sparkSession.implicits._
+    // i<j fan-out as TWO codegen'd Generates instead of one nested
+    // lambda: transform/flatten lambdas evaluate INTERPRETED (each pair
+    // allocated through non-codegen HOF machinery — measured 370
+    // task-cpu-s at sf1p, ~25× this spelling); posexplode + slice-explode
+    // emit the identical (p1, p2) stream inside whole-stage codegen.
+    // Same single order-key exchange, same basketCap bound per row.
     baskets0
       .select(slice($"all_parts", lit(1), lit(basketCap)).as("parts"))
-      .select(explode(flatten(transform($"parts", (x, i) =>
-        transform(slice($"parts", i + lit(2), size($"parts")),
-          y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
-      .select($"pr.p1", $"pr.p2")
+      .select($"parts", posexplode($"parts").as(Seq("i", "p1")))
+      .select($"p1",
+        explode(slice($"parts", $"i" + lit(2), size($"parts"))).as("p2"))
       .groupBy($"p1", $"p2").agg(count(lit(1)).as("n_ab"))
       .filter($"n_ab" >= basketMinSupport)
   }
