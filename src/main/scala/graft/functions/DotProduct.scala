@@ -130,20 +130,128 @@ object DotOps {
   /** Float-only overload kept for source compatibility with existing specs. */
   def fast(a: ArrayData, b: ArrayData): Double = fast(a, b, aDbl = false, bDbl = false)
 
+  /** Sentinel for [[quant14]]: the product needs the BigDecimal path. */
+  private final val NeedsBig = java.lang.Long.MIN_VALUE
+
+  /** The BigDecimal reference quantization: shortest decimal
+    * representation, scale 14, HALF_UP — exactly Spark's and DuckDB's
+    * double→DECIMAL(28,14) cast. [[quant14]] must agree bit-for-bit
+    * wherever it doesn't return [[NeedsBig]] (`GraftFunctionsSpec`
+    * differential-tests this on millions of draws).
+    */
+  private def quant14Big(p: Double): java.math.BigDecimal =
+    new java.math.BigDecimal(java.lang.Double.toString(p))
+      .setScale(14, java.math.RoundingMode.HALF_UP)
+
+  /** Scale-14 HALF_UP quantization of the SHORTEST-REPR decimal of `p`,
+    * as a scaled long — the allocation-light equivalent of [[quant14Big]]
+    * (which paid a BigDecimal parse + setScale per element and dominated
+    * the similarity family's profile). Parses `Double.toString`'s digits
+    * directly: value = digits × 10^(dotPos − len); scaled target is the
+    * integer of the digit string shifted to dotPos+14, HALF_UP decided by
+    * the first dropped digit (HALF_UP rounds away from zero iff the
+    * discarded fraction ≥ ½, i.e. iff that digit ≥ 5). Returns
+    * [[NeedsBig]] when the magnitude could overflow the long (|value| >
+    * ~9e4 after scaling) — the caller falls back to the reference path.
+    */
+  private def quant14(p: Double): Long = {
+    if (p == 0.0) return 0L // covers -0.0: "−0.0" would parse sign-only digits
+    if (!java.lang.Double.isFinite(p)) return NeedsBig // NaN/Inf: reference path throws, as before
+    val s = java.lang.Double.toString(p)
+    val len = s.length
+    var i = 0
+    var neg = false
+    if (s.charAt(0) == '-') { neg = true; i = 1 }
+    // digits before '.', then after, then optional exponent
+    var mantissa = 0L
+    var nd = 0 // significant digits consumed
+    var dotPos = -1 // digit count before the dot
+    var exp = 0
+    var expNeg = false
+    var inExp = false
+    var seenDot = false
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c == '.') { seenDot = true; dotPos = nd }
+      else if (c == 'E' || c == 'e') inExp = true
+      else if (inExp) {
+        if (c == '-') expNeg = true
+        else if (c == '+') ()
+        else exp = exp * 10 + (c - '0')
+      } else {
+        // Double.toString emits ≤ 17 significant digits → mantissa fits
+        mantissa = mantissa * 10 + (c - '0')
+        nd += 1
+      }
+      i += 1
+    }
+    if (expNeg) exp = -exp
+    if (!seenDot) dotPos = nd
+    // value = mantissa × 10^(dotPos + exp − nd); target = round(value×1e14)
+    // = mantissa shifted by `shift` decimal places (positive: append
+    // zeros; negative: drop digits with HALF_UP on the first one)
+    val shift = dotPos + exp + 14 - nd
+    val kept =
+      if (shift >= 0) {
+        // mantissa has ≤17 digits; nd + shift ≤ 18 keeps the product exact
+        if (nd + shift > 18) return NeedsBig
+        var m = mantissa
+        var k = shift
+        while (k > 0) { m *= 10L; k -= 1 }
+        m
+      } else if (shift > -19) {
+        var pow = 1L
+        var k = -shift
+        while (k > 0) { pow *= 10L; k -= 1 }
+        val q = mantissa / pow
+        // HALF_UP rounds away from zero iff the discarded fraction ≥ ½,
+        // decided by its first digit (mantissa ≤ 1e17, so ×10 stays exact)
+        if ((mantissa % pow) * 10L / pow >= 5) q + 1 else q
+      } else {
+        // ≥19 digits dropped: |value×1e14| ≤ 9.99e16 × 10⁻¹⁹ < 0.5 → 0
+        0L
+      }
+    if (neg) -kept else kept
+  }
+
   /** Order-independent exact dot: per-element product quantized to 14
     * decimal places through the shortest decimal representation (matching
     * Spark's and DuckDB's double→DECIMAL(28,14) cast), summed exactly.
+    * Fast path: scaled-long accumulation (exact for the embedding-sized
+    * magnitudes every caller produces); any element or sum that could
+    * overflow falls back to the BigDecimal reference for the WHOLE call.
     */
   def exact(a: ArrayData, b: ArrayData, aDbl: Boolean, bDbl: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val x = if (aDbl) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDbl) b.getDouble(i) else b.getFloat(i).toDouble
+      val q = quant14(x * y)
+      if (q == NeedsBig) return exactBig(a, b, aDbl, bDbl)
+      val next = acc + q
+      // overflow guard (|each term| ≤ ~9.2e18/10 by NeedsBig bound is NOT
+      // guaranteed across n terms): detect two's-complement wrap
+      if (((acc ^ next) & (q ^ next)) < 0) return exactBig(a, b, aDbl, bDbl)
+      acc = next
+      i += 1
+    }
+    // N×10^-14 correctly rounded: N and 1e14 are exact doubles when
+    // |N| < 2^53, and one IEEE division rounds once — identical to
+    // BigDecimal.valueOf(N, 14).doubleValue()
+    if (math.abs(acc) < (1L << 53)) acc.toDouble / 1e14
+    else java.math.BigDecimal.valueOf(acc, 14).doubleValue()
+  }
+
+  private def exactBig(a: ArrayData, b: ArrayData, aDbl: Boolean, bDbl: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = java.math.BigDecimal.ZERO
     var i = 0
     while (i < n) {
       val x = if (aDbl) a.getDouble(i) else a.getFloat(i).toDouble
       val y = if (bDbl) b.getDouble(i) else b.getFloat(i).toDouble
-      val p = x * y
-      acc = acc.add(new java.math.BigDecimal(java.lang.Double.toString(p))
-        .setScale(14, java.math.RoundingMode.HALF_UP))
+      acc = acc.add(quant14Big(x * y))
       i += 1
     }
     acc.doubleValue()

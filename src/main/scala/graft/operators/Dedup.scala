@@ -364,20 +364,22 @@ object Dedup {
   private[graft] def substrWindows(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val W = PassageTokens
-    val C = 1024 // windows per generation chunk
     val toks = split($"text", " ")
     val nW = (size(toks) - lit(W - 1)).cast("int")
+    // one codegen'd Generate over the window-index range, fingerprints as
+    // a TOP-LEVEL projection: the former spelling built per-chunk struct
+    // arrays through an interpreted transform lambda (measured 124
+    // task-cpu-s at sf1p — 8 µs per window, mostly lambda machinery);
+    // this emits the identical md5 stream inside whole-stage codegen,
+    // where Generate streams rows to the projection without copying the
+    // parent token array per window
     docs
-      .select($"doc_id", toks.as("t"), nW.as("nw"),
-        explode(when(nW > 0,
-            sequence(lit(0), ceil(nW.cast("double") / C).cast("int") - 1))
-          .otherwise(array().cast("array<int>"))).as("chunk"))
-      .select($"doc_id",
-        explode(transform(
-          sequence($"chunk" * C, least(($"chunk" + 1) * C, $"nw") - 1),
-          i => struct(i.as("widx"),
-            md5(concat_ws(" ", slice($"t", i + 1, lit(W)))).as("fp")))).as("w"))
-      .select($"doc_id", $"w.widx".as("widx"), $"w.fp".as("fp"))
+      .select($"doc_id", toks.as("t"), nW.as("nw"))
+      .select($"doc_id", $"t",
+        explode(when($"nw" > 0, sequence(lit(0), $"nw" - 1))
+          .otherwise(array().cast("array<int>"))).as("widx"))
+      .select($"doc_id", $"widx",
+        md5(concat_ws(" ", slice($"t", $"widx" + lit(1), lit(W)))).as("fp"))
   }
 
   def q78ExactSubstrRewrite(spark: SparkSession, dir: String): DataFrame =

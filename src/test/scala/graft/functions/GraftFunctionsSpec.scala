@@ -251,4 +251,43 @@ class GraftFunctionsSpec extends AnyFunSuite {
         .cast("double").as("s")).collect()(0).getDouble(1)
     assert(viaFixed == viaDec)
   }
+
+  test("scaled-long exact dot == BigDecimal reference across magnitudes and boundary values") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // the round-9 fast path replaces a per-element BigDecimal parse with a
+    // scaled-long digit shift; this differential test hammers the branch
+    // structure: shift>=0 (big values), small drops, >=19-digit drops
+    // (tiny values), exact .5 half-up boundaries, subnormals, the
+    // NeedsBig overflow fallback, and double-element (centroid) arrays
+    def refDot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) =>
+        new java.math.BigDecimal(java.lang.Double.toString(x * y))
+          .setScale(14, java.math.RoundingMode.HALF_UP)
+      }.foldLeft(java.math.BigDecimal.ZERO)(_ add _).doubleValue()
+    def run(a: Array[Double], b: Array[Double]): Unit = {
+      val got = DotOps.exact(new GenericArrayData(a), new GenericArrayData(b),
+        aDbl = true, bDbl = true)
+      val exp = refDot(a, b)
+      assert(got == exp,
+        s"exact dot ${got} != reference ${exp} for ${a.take(4).mkString(",")}...")
+    }
+    val rnd = new scala.util.Random(7)
+    // magnitude sweep: products span 1e-22 .. 1e8
+    for (e <- -11 to 4; _ <- 1 to 40) {
+      val a = Array.fill(16)((rnd.nextDouble() * 2 - 1) * math.pow(10, e))
+      val b = Array.fill(16)((rnd.nextDouble() * 2 - 1) * math.pow(10, rnd.nextInt(5) - 2))
+      run(a, b)
+    }
+    // adversarial singles: exact half-up boundaries, powers of ten,
+    // subnormals, values straddling the drop>=19 cutoff
+    val singles = Array(0.0, -0.0, 5e-15, -5e-15, 4.999999999999999e-15,
+      1.5e-14, 2.5e-14, -2.5e-14, 1e-14, 1e-13, 1e14, -1e14, 1.23456789e-7,
+      java.lang.Double.MIN_VALUE, -java.lang.Double.MIN_VALUE,
+      3.141592653589793, 1e-300, 89999.0, -89999.0, 0.1, 0.2, 0.3, 1.0 / 3.0)
+    for (x <- singles; y <- singles) run(Array(x), Array(y))
+    // overflow fallback: products near and beyond the long-scaled bound
+    run(Array(3e5, 3e5), Array(3e5, -3e5))
+    run(Array(1e9), Array(1e9))
+    run(Array.fill(64)(9e4), Array.fill(64)(1.0))
+  }
 }

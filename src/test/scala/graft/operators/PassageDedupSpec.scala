@@ -209,10 +209,11 @@ class PassageDedupSpec extends AnyFunSuite {
     assert(phys78.contains("hashpartitioning(fp"),
       s"q78 first-occurrence aggregate should shuffle on fp:\n$phys78")
     // the kept windows are the per-fp minima themselves — no probe join
-    // back to the window stream, so the chunked two-stage explode
-    // (exactly two Generate nodes) is instantiated ONCE
+    // back to the window stream, so the single codegen'd window explode
+    // (one Generate over the index range, fingerprint as a top-level
+    // projection) is instantiated ONCE
     val nGenerate = phys78.linesIterator.count(_.trim.matches("\\(\\d+\\) Generate.*"))
-    assert(nGenerate == 2,
+    assert(nGenerate == 1,
       s"window explode instantiated more than once ($nGenerate Generate nodes):\n$phys78")
   }
 }
