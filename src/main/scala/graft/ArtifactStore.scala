@@ -65,4 +65,19 @@ object ArtifactStore {
       build.write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }
+
+  private val scalars = scala.collection.concurrent.TrieMap.empty[String, Any]
+
+  /** The scalar twin of [[cached]] for tiny derived CONSTANTS a query
+    * bakes into its plan (a corpus midpoint, a global count): compute
+    * once per (name, version, input-file fingerprint), memoized
+    * in-process. The same invalidation rule as the parquet artifacts —
+    * any input data change recomputes — so correctness never depends on
+    * the cache; it only removes the scalar's pre-pass job from
+    * steady-state (probe-many) runs.
+    */
+  def scalarCached[T](name: String, version: Int, inputs: Seq[String])
+      (compute: => T): T =
+    scalars.getOrElseUpdate(keyOf(name, version, inputs), compute)
+      .asInstanceOf[T]
 }

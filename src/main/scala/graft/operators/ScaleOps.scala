@@ -1439,6 +1439,27 @@ object ScaleOps {
       .orderBy($"week")
   }
 
+  /** `u0 + u1` over the order-date micros column `ou` of `li`, evaluated
+    * as a scalar PRE-PASS and injected as a literal. The former spelling
+    * `crossJoin(broadcast(1-row bounds))` planned as a
+    * BroadcastNestedLoopJoin in the MIDDLE of the fact stream, which
+    * splits whole-stage codegen right where the per-row work is — the
+    * scan→join→project→partial-agg pipeline of q153/q155 ran as separate
+    * interpreted segments with row copies at the BNLJ seam. A two-long
+    * scalar is exactly what Spark's own ScalarSubquery execution does:
+    * run the tiny aggregate first, bake the constant into the main
+    * plan's generated code. (The pre-pass is its own fully-codegen'd
+    * broadcast-join + min/max job; on a cluster it is one footer-cheap
+    * scan, never corpus-wide state on the driver.)
+    */
+  private def ouMidpoint(li: DataFrame, dir: String): org.apache.spark.sql.Column =
+    lit(graft.ArtifactStore.scalarCached("ou_midpoint", 1,
+      Seq(s"$dir/lineitem.parquet", s"$dir/orders.parquet")) {
+      import li.sparkSession.implicits._
+      val r = li.agg(min($"ou"), max($"ou")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) + r.getLong(1)
+    })
+
   /** q155 — supplier market-share shift: each supplier's revenue share
     * of its nation's total, first order-date half vs second, with the
     * share delta in basis points and gainer/loser rank — the
@@ -1454,14 +1475,18 @@ object ScaleOps {
       .join(Tables(spark, dir, "orders")
         .select($"o_orderkey", expr("unix_micros(cast(o_orderdate as timestamp))").as("ou")),
         $"l_orderkey" === $"o_orderkey")
-    val bounds = li.agg(min($"ou").as("u0"), max($"ou").as("u1"))
+    val mid = ouMidpoint(li, dir)
     val sup = Tables(spark, dir, "supplier")
       .select($"s_suppkey", $"s_nationkey".as("nation"))
-    val rev = li.crossJoin(broadcast(bounds))
-      .withColumn("half", when($"ou" * 2 < $"u0" + $"u1", 1).otherwise(2))
+    // per-row exact cents (cast → ×100 → long is the decimal's unscaled
+    // value), summed as LONGs: sum(decimal)×100 rounds an integral value,
+    // so Σcents is identical — and the agg buffers/partial rows are thin
+    // longs instead of nullable decimals
+    val rev = li
+      .withColumn("half", when($"ou" * 2 < mid, 1).otherwise(2))
       .groupBy($"l_suppkey", $"half")
-      .agg(round(sum($"l_extendedprice".cast(DecimalType(18, 2))) * 100)
-        .cast("long").as("xc"))
+      .agg(sum(($"l_extendedprice".cast(DecimalType(18, 2)) * 100).cast("long"))
+        .as("xc"))
       .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
     val tot = rev.groupBy($"nation", $"half").agg(sum($"xc").as("t"))
     val shares = rev.join(broadcast(tot), Seq("nation", "half"))
@@ -1500,25 +1525,33 @@ object ScaleOps {
       .join(Tables(spark, dir, "orders")
         .select($"o_orderkey", expr("unix_micros(cast(o_orderdate as timestamp))").as("ou")),
         $"l_orderkey" === $"o_orderkey")
-    val bounds = li.agg(min($"ou").as("u0"), max($"ou").as("u1"))
+    val mid = ouMidpoint(li, dir)
     // ONE part-keyed exchange computes both halves as conditional sums
     // (identical values to the former (part, half) pivot — a half with no
     // rows sums to NULL, so its q and price coalesce to 0 exactly as the
     // pivot's missing row did); the per-half unit price derives in-row.
-    val wide = li.crossJoin(broadcast(bounds))
-      .withColumn("half", when($"ou" * 2 < $"u0" + $"u1", 1).otherwise(2))
+    // Sums run over exact per-row CENTS as longs (see q155): q_half =
+    // HALF_UP(Σqc/100) = (Σqc + 50) div 100 for the non-negative
+    // quantities, and cast(Σxc as double)/100 is bit-equal to
+    // cast(decimal-sum as double) — one correctly-rounded division of
+    // the same exact rational either way.
+    def dv(qs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(floor((qs + 50L) / 100L).cast("long"), lit(0L))
+    val wide = li
+      .withColumn("half", when($"ou" * 2 < mid, 1).otherwise(2))
+      .select($"l_partkey", $"half",
+        ($"l_quantity".cast(DecimalType(18, 2)) * 100).cast("long").as("qc"),
+        ($"l_extendedprice".cast(DecimalType(18, 2)) * 100).cast("long").as("xc"))
       .groupBy($"l_partkey")
       .agg(
-        coalesce(round(sum(when($"half" === 1, $"l_quantity".cast(DecimalType(18, 2)))))
-          .cast("long"), lit(0L)).as("q1"),
-        coalesce(round(sum(when($"half" === 2, $"l_quantity".cast(DecimalType(18, 2)))))
-          .cast("long"), lit(0L)).as("q2"),
-        sum(when($"half" === 1, $"l_extendedprice".cast(DecimalType(18, 2)))).as("rev1"),
-        sum(when($"half" === 2, $"l_extendedprice".cast(DecimalType(18, 2)))).as("rev2"))
+        dv(sum(when($"half" === 1, $"qc"))).as("q1"),
+        dv(sum(when($"half" === 2, $"qc"))).as("q2"),
+        sum(when($"half" === 1, $"xc")).as("rev1c"),
+        sum(when($"half" === 2, $"xc")).as("rev2c"))
       .withColumn("p1",
-        coalesce(round($"rev1".cast("double") * 1e6 / $"q1").cast("long"), lit(0L)))
+        coalesce(round($"rev1c".cast("double") / 100 * 1e6 / $"q1").cast("long"), lit(0L)))
       .withColumn("p2",
-        coalesce(round($"rev2".cast("double") * 1e6 / $"q2").cast("long"), lit(0L)))
+        coalesce(round($"rev2c".cast("double") / 100 * 1e6 / $"q2").cast("long"), lit(0L)))
       // a part absent from one half keeps that half's price at the
       // OTHER half's price so its whole delta books as volume (the
       // convention that keeps new/discontinued parts out of "price")

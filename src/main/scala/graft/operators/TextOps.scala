@@ -332,10 +332,14 @@ object TextOps {
   }
 
   /** Persistable inverted index for [[bm25FromIndex]]: one row per
-    * posting (word, doc_id, tf) with the document length denormalized
-    * alongside — a single parquet artifact from which corpus statistics
-    * (N, L) are re-derivable, so retrieval never touches raw text
-    * again. The text-retrieval member of the library's
+    * posting (word, doc_id, tf) with the document length AND the corpus
+    * statistics (n_docs, l_total) denormalized alongside — a single
+    * parquet artifact that carries the FULL scoring state, so retrieval
+    * never touches raw text (or any corpus-wide pass) again. The two
+    * constant columns cost nothing on disk (RLE) and buy the probe its
+    * independence: without them, every probe re-derived N and L with a
+    * corpus-sized distinct — an exchange proportional to the index, not
+    * to the query. The text-retrieval member of the library's
     * build-once/probe-many index family (LSH signatures, IVF cells,
     * MinHash bands, chunk fingerprints, Bloom bitsets). Write it
     * partitioned/bucketed by word and the per-query probe reads only
@@ -346,19 +350,56 @@ object TextOps {
     val tf = docs
       .select($"doc_id", explode(words($"text")).as("word"))
       .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
-    tf.join(tf.groupBy($"doc_id").agg(sum($"tf").as("len")), Seq("doc_id"))
-      .select($"word", $"doc_id", $"tf", $"len")
+    val dlen = tf.groupBy($"doc_id").agg(sum($"tf").as("len"))
+    val stats = dlen.agg(count(lit(1)).as("n_docs"), sum($"len").as("l_total"))
+    tf.join(dlen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select($"word", $"doc_id", $"tf", $"len", $"n_docs", $"l_total")
+      // global word order: each parquet file/row-group of the persisted
+      // artifact covers a narrow word range, so the probe's pushed
+      // `word IN (...)` skips whole row groups off min/max stats — the
+      // build pays one range exchange ONCE for O(matched) probes forever
+      .orderBy($"word", $"doc_id")
   }
 
   /** BM25 over a persisted [[buildTextIndex]] table — identical scores
     * to [[bm25TopK]] (the spec pins the parquet round trip equal).
+    *
+    * Probe plan, and why it scales: the query's term set is a bounded
+    * literal list (collected from the tiny queries frame, never from
+    * data), so the posting scan carries `word IN (...)` as a PUSHED
+    * parquet filter — on a word-sorted/bucketed artifact that is
+    * row-group skipping, the inverted-index access pattern. Document
+    * length and the corpus totals ride the matched rows themselves, so
+    * the probe performs NO corpus-wide pass of any kind: every exchange
+    * after the scan is bounded by |matched postings|.
     */
   def bm25FromIndex(index: DataFrame, queriesDf: DataFrame, k: Int = 10): DataFrame = {
     import index.sparkSession.implicits._
-    bm25Score(
-      index.select($"word", $"doc_id", $"tf"),
-      index.select($"doc_id", $"len").distinct(),
-      queriesDf, k)
+    import org.apache.spark.sql.expressions.Window
+    val qterms = queriesDf.select($"qid", explode(split($"qtext", " ")).as("word"))
+    // |distinct query terms| rows — a literal IN list, parquet-pushable
+    val termList = qterms.select($"word").distinct().collect().map(_.getString(0))
+    val qtf = index.filter($"word".isin(termList.toSeq: _*))
+    val idf = qtf.groupBy($"word").agg(count(lit(1)).as("df"),
+        first($"n_docs").as("n_docs"))
+      .select($"word",
+        round(log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) * 1e6)
+          .cast("long").as("idf_micro"))
+    val contrib = qtf
+      .join(broadcast(idf), Seq("word"))
+      .join(broadcast(qterms), Seq("word"))
+      .select($"qid", $"doc_id",
+        round($"idf_micro" * (lit(22L) * $"tf" * $"l_total").cast("double")
+          / (lit(10L) * $"l_total" * $"tf" + lit(3L) * $"l_total"
+             + lit(9L) * $"len" * $"n_docs").cast("double"))
+          .cast("long").as("c_micro"))
+    val w = Window.partitionBy($"qid").orderBy($"s_micro".desc, $"doc_id".asc)
+    contrib.groupBy($"qid", $"doc_id").agg(sum($"c_micro").as("s_micro"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"qid", $"doc_id",
+        ($"s_micro".cast("double") / 1e6).as("score"), $"rk")
   }
 
   private def bm25Score(tf: DataFrame, dlen: DataFrame,
@@ -411,13 +452,19 @@ object TextOps {
     // so steady-state runs (and the bench) pay only the probe — the cost
     // an incremental deployment actually sees. Round-trip exactness is
     // pinned by TextOpsSpec; the all-long/string schema makes it trivial.
-    val index = graft.ArtifactStore.cached(spark, "text_index", 1,
+    bm25FromIndex(textIndex(spark, dir), bm25Queries.toDF("qid", "qtext"))
+      .orderBy($"qid", $"rk")
+  }
+
+  /** The persisted [[buildTextIndex]] artifact for `dir`'s documents
+    * (v2: corpus stats denormalized into the posting rows). Shared by
+    * the q105 probe and the q128 fusion.
+    */
+  private def textIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.cached(spark, "text_index", 2,
       Seq(s"$dir/documents.parquet")) {
       buildTextIndex(Tables.spreadBy(Tables.documents(spark, dir), "doc_id"))
     }
-    bm25FromIndex(index, bm25Queries.toDF("qid", "qtext"))
-      .orderBy($"qid", $"rk")
-  }
 
   /** Collocation support floor: a bigram must occur this many times
     * corpus-wide before it is PMI-scored. Low-support pairs have
@@ -492,11 +539,14 @@ object TextOps {
     * with a document-quality prior (the q22 score) per query:
     * rrf = 1/(k+r_bm25) + 1/(k+r_quality) over the BM25 candidate set.
     *
-    * Plan shape for 100 TB: the expensive ranker (BM25, corpus-wide)
-    * runs ONCE and bounds the candidate set to k docs per query; the
-    * prior joins by BROADCASTING those candidates against the corpus-
-    * sized quality scan — the corpus is never shuffled for the fusion,
-    * and both rank windows partition by qid over ≤ k candidate rows
+    * Plan shape for 100 TB: the expensive ranker (BM25) PROBES the
+    * persisted inverted-index artifact (the q105 path — score-identical
+    * to from-text BM25, which the shared oracle pins), bounding the
+    * candidate set to k docs per query without ever tokenizing the
+    * corpus; the quality prior then evaluates ONLY on the candidate
+    * rows after a broadcast join against the raw-document scan — the
+    * corpus is never shuffled and never tokenized for the fusion, and
+    * both rank windows partition by qid over ≤ k candidate rows
     * (bounded state, never corpus-ordered). Each reciprocal term is
     * micro-fixed before the sum (the library's order-invariance
     * convention), and every ranking uses a doc_id-tiebroken total order.
@@ -504,9 +554,15 @@ object TextOps {
   def q128RrfFusion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val cand = q95Bm25(spark, dir).select($"qid", $"doc_id", $"rk".as("bm25_rk"))
-    val withQ = qualityRaw(spark, dir).select($"doc_id", $"quality_score")
+    val cand = bm25FromIndex(textIndex(spark, dir), bm25Queries.toDF("qid", "qtext"))
+      .select($"qid", $"doc_id", $"rk".as("bm25_rk"))
+    // quality is a pure per-row function of the document's own text, so
+    // scoring the candidate subset equals scoring the corpus and
+    // filtering — the broadcast join runs FIRST and the quality
+    // expression never evaluates off-candidate rows
+    val withQ = Tables.documents(spark, dir)
       .join(broadcast(cand), Seq("doc_id"))
+      .withColumn("quality_score", qualityScoreExpr($"text", $"n_chars"))
     val wq = Window.partitionBy($"qid").orderBy($"quality_score".desc, $"doc_id".asc)
     val wf = Window.partitionBy($"qid").orderBy($"rrf_micro".desc, $"doc_id".asc)
     withQ

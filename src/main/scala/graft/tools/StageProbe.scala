@@ -20,6 +20,13 @@ object StageProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // mirror graft.Bench's session exactly — profiling a different join
+      // strategy than the bench measures answers the wrong question
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        (64L * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val name = args.headOption.getOrElse("q95")
