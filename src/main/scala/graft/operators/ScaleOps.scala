@@ -2441,30 +2441,33 @@ object ScaleOps {
     * pair co-occurring in ≥ [[basketMinSupport]] orders: the pair count,
     * each part's order count, and the lift n_ab·N / (n_a·n_b).
     *
-    * Plan shape for 100 TB: the naive spelling self-joins the
-    * (order, part) table on the order key — a corpus-sized shuffle join
-    * whose output is the QUADRATIC pair expansion (that spelling is the
-    * DuckDB oracle). Here each order's distinct parts collapse to ONE
-    * sorted in-row array (`collect_set` on the single l_orderkey
-    * exchange), pairs fan out in-row from the capped array (i<j nested
-    * transform — bounded by basketCap²/2 per row, no join), and the pair
-    * counts map-side-combine on the (p1, p2) key. The two part-count
-    * joins run AFTER the support floor prunes the pair table; lift is a
+    * Plan shape for 100 TB: pairs fan out from a CO-PARTITIONED
+    * sort-merge self-join of the ranked distinct item stream on the
+    * order key — one reused exchange, per-order-bounded expansion
+    * ([[basketCap]]), never a cartesian (see [[basketPairCounts]] for
+    * why this beats the in-row array build). The two part-count joins
+    * run AFTER the support floor prunes the pair table; lift is a
     * pure rational micro-fixed in double (assembled left-to-right
     * identically in both engines). Top-k is a TakeOrdered under the
     * (n_ab desc, p1, p2) total order.
     */
   def q127MarketBasket(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // ONE order-key exchange carries the whole query: collect_set IS the
-    // per-order distinct (no separate distinct() shuffle), and the order
-    // count, per-part order counts, and pair fan-out all derive from the
-    // basket table (the part/order-count scans reuse its exchange)
-    val baskets0 = orderBaskets(spark, dir)
-    val nOrders = baskets0.agg(count(lit(1)).as("n_orders"))
-    val ic = baskets0.select(explode($"all_parts").as("pk"))
-      .groupBy($"pk").agg(count(lit(1)).as("n_item"))
-    val pcnt = basketPairCounts(baskets0)
+    // the order count and pair fan-out both read the ranked stream (its
+    // ok exchange is reused); the per-part order counts aggregate the
+    // distinct item stream directly
+    val items = basketItems(spark, dir)
+    val ranked = rankedItems(items)
+    // thin one-column distinct: deriving the order count from `ranked`
+    // (rn == 1) plants a limit-1 WindowGroupLimit under ITS copy of the
+    // distinct exchange, which makes the subtree canonically different
+    // from the pair branch's (limit-basketCap) and the item-count
+    // branch's (no limit) copies — AQE can then reuse NONE of them and
+    // materializes the same 168 MB exchange three times (measured)
+    val nOrders = Tables(spark, dir, "lineitem").select($"l_orderkey")
+      .distinct().agg(count(lit(1)).as("n_orders"))
+    val ic = items.groupBy($"pk").agg(count(lit(1)).as("n_item"))
+    val pcnt = basketPairCounts(ranked)
     pcnt
       .join(ic.select($"pk".as("p1"), $"n_item".as("n_a")), Seq("p1"))
       .join(ic.select($"pk".as("p2"), $"n_item".as("n_b")), Seq("p2"))
@@ -2478,30 +2481,48 @@ object ScaleOps {
         ($"lift_micro".cast("double") / 1e6).as("lift"))
   }
 
-  /** Per-order distinct sorted part baskets on one order-key exchange
-    * (shared by q127 and the q136 graph build). */
-  private def orderBaskets(spark: SparkSession, dir: String): DataFrame = {
+  /** Distinct (order, part) item stream — the base table of the basket
+    * family (q127/q145/q136). A plain codegen'd HashAggregate over two
+    * longs; the former spelling collapsed baskets into sorted arrays
+    * with `collect_set`, which plans as ObjectHashAggregate — NOT
+    * codegen, per-group boxed sets, and (at >128 groups per task, i.e.
+    * always at scale) a silent fall-back to sort-based object
+    * aggregation that was re-finalized by every consumer branch
+    * (measured 73 task-cpu-s at sf1p across the basket stages).
+    */
+  private def basketItems(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir, "lineitem")
       .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-      .groupBy($"ok").agg(array_sort(collect_set($"pk")).as("all_parts"))
+      .distinct()
   }
 
-  /** Capped in-row i<j pair fan-out + support-floored pair counts
-    * (q127's candidate structure, reused as q136's edge list). */
-  private def basketPairCounts(baskets0: DataFrame): DataFrame = {
-    import baskets0.sparkSession.implicits._
-    // i<j fan-out as TWO codegen'd Generates instead of one nested
-    // lambda: transform/flatten lambdas evaluate INTERPRETED (each pair
-    // allocated through non-codegen HOF machinery — measured 370
-    // task-cpu-s at sf1p, ~25× this spelling); posexplode + slice-explode
-    // emit the identical (p1, p2) stream inside whole-stage codegen.
-    // Same single order-key exchange, same basketCap bound per row.
-    baskets0
-      .select(slice($"all_parts", lit(1), lit(basketCap)).as("parts"))
-      .select($"parts", posexplode($"parts").as(Seq("i", "p1")))
-      .select($"p1",
-        explode(slice($"parts", $"i" + lit(2), size($"parts"))).as("p2"))
+  /** [[basketItems]] ranked within each order by ascending part key and
+    * capped at [[basketCap]] — the deterministic kept-prefix the pair
+    * fan-out bounds itself by.
+    */
+  private def rankedItems(items: DataFrame): DataFrame = {
+    import items.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"ok").orderBy($"pk")
+    items.withColumn("rn", row_number().over(w)).filter($"rn" <= basketCap)
+  }
+
+  /** Support-floored unordered pair counts (q127's candidate structure,
+    * reused as q136's edge list): the i<j fan-out is a CO-PARTITIONED
+    * self-join of the ranked item stream on the order key — the one
+    * exchange is reused by both sides (ReusedExchange), the sort-merge
+    * runs on already-(ok, pk)-sorted input, and every operator is plain
+    * long-typed whole-stage codegen. Pair volume is Σ kᵢ·(kᵢ−1)/2
+    * bounded by [[basketCap]] per order — identical to the in-row array
+    * fan-out this replaces, without the ObjectHashAggregate basket
+    * build.
+    */
+  private def basketPairCounts(ranked: DataFrame): DataFrame = {
+    import ranked.sparkSession.implicits._
+    val x = ranked.select($"ok", $"pk".as("p1"), $"rn".as("i"))
+    val y = ranked.select($"ok", $"pk".as("p2"), $"rn".as("j"))
+    x.join(y, Seq("ok")).filter($"i" < $"j")
       .groupBy($"p1", $"p2").agg(count(lit(1)).as("n_ab"))
       .filter($"n_ab" >= basketMinSupport)
   }
@@ -2518,13 +2539,25 @@ object ScaleOps {
     */
   def q145AssocRules(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val baskets0 = orderBaskets(spark, dir)
-    val nOrders = baskets0.agg(count(lit(1)).as("n_orders"))
-    val ic = baskets0.select(explode($"all_parts").as("pk"))
-      .groupBy($"pk").agg(count(lit(1)).as("n_item"))
-    val pcnt = basketPairCounts(baskets0)
-    val rules = pcnt.select($"p1".as("ante"), $"p2".as("cons"), $"n_ab")
-      .unionAll(pcnt.select($"p2".as("ante"), $"p1".as("cons"), $"n_ab"))
+    val items = basketItems(spark, dir)
+    val ranked = rankedItems(items)
+    // thin one-column distinct: deriving the order count from `ranked`
+    // (rn == 1) plants a limit-1 WindowGroupLimit under ITS copy of the
+    // distinct exchange, which makes the subtree canonically different
+    // from the pair branch's (limit-basketCap) and the item-count
+    // branch's (no limit) copies — AQE can then reuse NONE of them and
+    // materializes the same 168 MB exchange three times (measured)
+    val nOrders = Tables(spark, dir, "lineitem").select($"l_orderkey")
+      .distinct().agg(count(lit(1)).as("n_orders"))
+    val ic = items.groupBy($"pk").agg(count(lit(1)).as("n_item"))
+    val pcnt = basketPairCounts(ranked)
+    // both rule directions in ONE in-row explode: a unionAll of two
+    // selects over pcnt re-runs the pair finalize per branch (only the
+    // exchange below it is reused)
+    val rules = pcnt.select(explode(array(
+        struct($"p1".as("ante"), $"p2".as("cons"), $"n_ab"),
+        struct($"p2".as("ante"), $"p1".as("cons"), $"n_ab"))).as("r"))
+      .select($"r.ante".as("ante"), $"r.cons".as("cons"), $"r.n_ab".as("n_ab"))
     rules
       .join(ic.select($"pk".as("ante"), $"n_item".as("n_a")), Seq("ante"))
       .join(ic.select($"pk".as("cons"), $"n_item".as("n_b")), Seq("cons"))
@@ -2572,12 +2605,14 @@ object ScaleOps {
     */
   def q136PageRank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pcnt = basketPairCounts(orderBaskets(spark, dir))
+    val pcnt = basketPairCounts(rankedItems(basketItems(spark, dir)))
     // The basket-build subtree is referenced by every power iteration;
     // materialize it ONCE (q48's localCheckpoint discipline) so a plan
     // re-optimization can never silently re-run it prIters times.
-    val edges = pcnt.select($"p1".as("u"), $"p2".as("v"), $"n_ab")
-      .unionAll(pcnt.select($"p2".as("u"), $"p1".as("v"), $"n_ab"))
+    val edges = pcnt.select(explode(array(
+        struct($"p1".as("u"), $"p2".as("v"), $"n_ab"),
+        struct($"p2".as("u"), $"p1".as("v"), $"n_ab"))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"), $"e.n_ab".as("n_ab"))
       .localCheckpoint(true)
     val deg = edges.groupBy($"u").agg(sum($"n_ab").as("deg"))
       .localCheckpoint(true)

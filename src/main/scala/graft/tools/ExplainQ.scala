@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Print the AQE-final executed plan of one registered query (exact
+  * prefix match), with the same session config the bench measures.
+  * Usage: `runMain graft.tools.ExplainQ q127 [sfDir]`.
+  */
+object ExplainQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.drop(1).headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        (64L * 1024 * 1024).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val (name, fn) = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .find(_._1.startsWith(args.head)).get
+    val df = fn(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    println(s"=== $name (AQE final) ===")
+    println(df.queryExecution.executedPlan.toString)
+    spark.stop()
+  }
+}
