@@ -37,11 +37,18 @@ object ArtifactStore {
   def root(spark: SparkSession): String =
     spark.conf.getOption("graft.artifacts.dir").getOrElse("target/artifacts")
 
-  /** Fingerprint of the files under `path` (a parquet file or dir). */
+  /** Fingerprint of the files under `path` (a parquet file or dir).
+    * A null `listFiles()` (IO error, permission) fingerprints as
+    * unreadable — the artifact key changes and the build re-runs rather
+    * than NPE-ing or serving a stale artifact.
+    */
   private def fileState(path: String): String = {
     def walk(f: File): Seq[String] =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).flatMap(walk).toSeq
-      else Seq(s"${f.getPath}|${f.length}|${f.lastModified}")
+      if (f.isDirectory) {
+        val kids = f.listFiles()
+        if (kids == null) Seq(s"unreadable:${f.getPath}")
+        else kids.sortBy(_.getName).flatMap(walk).toSeq
+      } else Seq(s"${f.getPath}|${f.length}|${f.lastModified}")
     val f = new File(path)
     if (f.exists) walk(f).mkString("\n") else s"absent:$path"
   }
@@ -57,13 +64,41 @@ object ArtifactStore {
     * persist it, and read it back (so the RETURNED plan is always the
     * probe-side parquet scan — column pruning and predicate pushdown
     * apply to it like any other table).
+    *
+    * Cross-PROCESS safety: the JVM lock only serializes builders inside
+    * one driver, but two driver processes (e.g. Bench and Verify against
+    * the same artifact root) can both see `_SUCCESS` missing. Each
+    * builder therefore writes to a process-unique staging directory and
+    * atomically `rename`s it into place — a losing writer finds the
+    * final path already present, discards its staging copy, and serves
+    * the winner's. A directory carrying `_SUCCESS` is thus always ONE
+    * writer's complete output; overlapping part files (doubled postings,
+    * doubled fingerprints) can never be served.
     */
   def cached(spark: SparkSession, name: String, version: Int,
       inputs: Seq[String])(build: => DataFrame): DataFrame = lock.synchronized {
     val path = s"${root(spark)}/${keyOf(name, version, inputs)}"
-    if (!new File(path, "_SUCCESS").isFile)
-      build.write.mode("overwrite").parquet(path)
+    val dst = new File(path)
+    if (!new File(dst, "_SUCCESS").isFile) {
+      val staging = new File(
+        path + s".staging-${ProcessHandle.current.pid}-${System.nanoTime}")
+      build.write.mode("overwrite").parquet(staging.getPath)
+      if (!staging.renameTo(dst)) {
+        // another process won the race (dst exists) — serve its artifact
+        if (!new File(dst, "_SUCCESS").isFile)
+          throw new java.io.IOException(
+            s"artifact commit failed: cannot rename $staging -> $path " +
+              "and no complete artifact exists at the destination")
+        deleteRecursively(staging)
+      }
+    }
     spark.read.parquet(path)
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    val kids = if (f.isDirectory) f.listFiles() else null
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(); ()
   }
 
   private val scalars = scala.collection.concurrent.TrieMap.empty[String, Any]

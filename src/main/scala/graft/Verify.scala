@@ -14,6 +14,13 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "10000") // see Bench.scala
+      // same broadcast threshold as Bench: the physical plans the bench
+      // MEASURES (extra broadcasts vs sort-merge) must be the plans this
+      // harness VERIFIES — a strategy-dependent bug can't hide between
+      // differently-configured sessions. (Shuffle compression, Bench's
+      // other local-only delta, doesn't change plans — only block bytes.)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        (64L * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -452,8 +452,9 @@ object Relational {
   }
 
   /** q20 — fixed-arity wide expansion (the E4 "materials → 10 fixed
-    * columns" shape, reference `plugins/postgres.py` game_materials +
-    * `src/features.py` material counts, expressed over testdata): each
+    * columns" shape, reference `src/pipeline_import/postgres_templates.py`
+    * game_materials + `src/feature_engineering.py:145-182` material
+    * counts, expressed over testdata): each
     * order's lineitems collect into ONE in-row array, then seven fixed
     * columns pull the quantity for line numbers 1–7 by KEY from that
     * array — the same array-to-fixed-columns derivation the chess

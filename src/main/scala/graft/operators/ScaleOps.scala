@@ -661,7 +661,11 @@ object ScaleOps {
       .distinct()
       .groupBy($"hour_bucket", $"event_type")
       .agg(
-        count(lit(1)).as("n_exact"),
+        // count(user_id), not count(*): the oracle's COUNT(DISTINCT
+        // user_id) excludes NULLs, and distinct() keeps one null row per
+        // (window, type) group — count over the column skips it, keeping
+        // the rewrite semantics-identical even if events carry null users
+        count($"user_id").as("n_exact"),
         Hll.hllSketch($"user_id").as("sk"))
       .select($"hour_bucket", $"event_type", $"n_exact",
         // 5% relative OR ±2 absolute: a tiny window holding a pair of

@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
 object ShuffleMeter {
 
   final case class Stats(writeBytes: Long, readBytes: Long, tasks: Long,
-      maxTaskPeakMem: Long, maxTaskMs: Long)
+      maxTaskPeakMem: Long, maxTaskMs: Long, maxTaskCpuMs: Long)
 
   private def maxUpdate(a: AtomicLong, v: Long): Unit = {
     var cur = a.get
@@ -27,7 +27,7 @@ object ShuffleMeter {
 
   def measure(spark: SparkSession)(body: => Unit): Stats = {
     val w = new AtomicLong; val r = new AtomicLong; val n = new AtomicLong
-    val pk = new AtomicLong; val ms = new AtomicLong
+    val pk = new AtomicLong; val ms = new AtomicLong; val cpu = new AtomicLong
     val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
@@ -37,6 +37,7 @@ object ShuffleMeter {
           n.incrementAndGet()
           maxUpdate(pk, m.peakExecutionMemory)
           maxUpdate(ms, m.executorRunTime)
+          maxUpdate(cpu, m.executorCpuTime / 1000000L)
         }
       }
     }
@@ -45,7 +46,7 @@ object ShuffleMeter {
       body
       org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
     } finally spark.sparkContext.removeSparkListener(listener)
-    Stats(w.get, r.get, n.get, pk.get, ms.get)
+    Stats(w.get, r.get, n.get, pk.get, ms.get, cpu.get)
   }
 }
 

@@ -37,11 +37,22 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q77_dup_substrings" -> 2125625L,
     "q78_exact_substr_rewrite" -> 955692L,
     "q125_resample_ffill" -> 970632L,
-    "q127_market_basket" -> 1750942L,
+    // Basket family (q127/q136/q145) re-pinned 2026-08 (round 10) after an
+    // explicit bytes-vs-CPU adjudication: the collect_set basket build
+    // (ObjectHashAggregate — non-codegen, per-group boxed sets, sort-based
+    // fallback at scale, re-finalized per consumer; 73 task-cpu-s at sf1p)
+    // was replaced by a ranked co-partitioned self-join whose single
+    // exchange is (Long ok, Long pk, Int rn) rows, linear in the distinct
+    // item stream and reused by both join sides. That exchange is +1.18 MB
+    // at sf0.01 (grows linearly with lineitem, same as the old arrays) but
+    // every operator on it is whole-stage codegen — the CPU win dominates
+    // at any scale where the bytes matter. Trade ACCEPTED; budgets below
+    // are the reviewed post-restructure ShuffleProbe measurements.
+    "q127_market_basket" -> 2926598L,
     "q135_fuzzy_join" -> 101849L,
-    "q136_pagerank" -> 1749436L,
+    "q136_pagerank" -> 2437202L,
     "q139_weighted_median" -> 683316L,
-    "q145_assoc_rules" -> 1756067L,
+    "q145_assoc_rules" -> 2926598L,
     "q153_revenue_bridge" -> 82037L)
 
   for ((name, budget) <- budgets) {
