@@ -73,13 +73,54 @@ object DecScaledLong {
 
 /** Static eval helpers called from generated code. */
 object FixedPointOps {
+
+  private val pow10 = Array.tabulate(10)(i => math.pow(10.0, i))
+
   /** Quantize with `cast(double → DECIMAL(18, scale))` null semantics: NaN,
     * ±Infinity, and quantized values wider than 18 digits return null (the
     * boxed Long is immediately unboxed in generated code — scalar-replaced
     * on the hot path). precision ≤ 18 ⇒ |unscaled| < 10¹⁸ < 2⁶³, so the
     * narrowing is exact.
+    *
+    * Fast path: the reference semantics round the SHORTEST-DECIMAL
+    * representation of x (`BigDecimal.valueOf` = `Double.toString`) half-up
+    * at `scale` — and `Double.toString` plus two BigDecimal allocations per
+    * row was the dominant per-row cost of every dsum/cents pipeline. But
+    * the shortest decimal D(x) differs from x by < 1 ulp, so y = x·10^s
+    * (one correctly-rounded multiply, relative error ≤ 2⁻⁵²) differs from
+    * D(x)·10^s by ≤ |y|·2⁻⁵¹ + 1 ulp-ish. Whenever y is farther than a
+    * conservative error bound from the half-integer rounding boundary, the
+    * half-up integer is decided identically for both — take it without
+    * materializing a single object. Only boundary-adjacent values (≈ one
+    * in 10¹²) and |y| ≥ 2⁵¹ (where long-integer spacing of doubles exceeds
+    * the margin) fall back to the exact BigDecimal path. The differential
+    * spec (`FixedPointSpec`) drives both paths across generated cents
+    * values and adversarial boundary cases.
     */
   def scaledLongOrNull(x: Double, scale: Int): java.lang.Long = {
+    if (!java.lang.Double.isFinite(x)) return null
+    val y = x * pow10(scale)
+    val ay = math.abs(y)
+    if (ay < 4.5e15) { // < 2^52: floor/ceil exact, margin meaningful
+      val f = math.floor(y)
+      val frac = y - f
+      // distance from the .5 boundary must exceed the accumulated
+      // representation + multiply error (≤ ~4 ulp of y, plus an absolute
+      // floor for tiny y)
+      val margin = ay * 1e-15 + 1e-12
+      if (frac > 0.5 + margin || frac < 0.5 - margin) {
+        val n = if (frac > 0.5) f + 1.0 else f
+        if (n >= 1.0e18 || n <= -1.0e18) return null // precision > 18
+        return n.toLong
+      }
+    }
+    val bd = java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+    if (bd.precision() > 18) null else bd.unscaledValue().longValue()
+  }
+
+  /** The exact reference path, kept callable for the differential spec. */
+  def scaledLongExact(x: Double, scale: Int): java.lang.Long = {
     if (!java.lang.Double.isFinite(x)) return null
     val bd = java.math.BigDecimal.valueOf(x)
       .setScale(scale, java.math.RoundingMode.HALF_UP)

@@ -310,6 +310,45 @@ object Prof {
       }
       spark.stop(); return
     }
+    if (args.contains("r10")) {
+      import graft.functions.DecScaledLong.decScaledLong
+      import graft.Tables
+      val l3 = Tables(spark, dir, "lineitem")
+        .select($"l_orderkey",
+          expr("unix_micros(cast(l_shipdate as timestamp))").as("sd"),
+          decScaledLong($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("rev4"))
+      val oP = Tables(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderpriority")
+      t("q124: lineitem scan+rev4")(l3)
+      t("q124: scan no rev4")(Tables(spark, dir, "lineitem")
+        .select($"l_orderkey",
+          expr("unix_micros(cast(l_shipdate as timestamp))").as("sd")))
+      t("q124: join only")(l3.join(oP, $"l_orderkey" === $"o_orderkey"))
+      t("q124: join+agg(count,sum) str key")(
+        l3.join(oP, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum($"rev4").as("r4")))
+      val oInt = Tables(spark, dir, "orders")
+        .select($"o_orderkey",
+          when($"o_orderpriority".startsWith("1"), 0)
+            .when($"o_orderpriority".startsWith("2"), 1)
+            .when($"o_orderpriority".startsWith("3"), 2)
+            .when($"o_orderpriority".startsWith("4"), 3)
+            .otherwise(4).as("pcode"))
+      t("q124: join int payload")(
+        l3.join(oInt, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"pcode").agg(count(lit(1)).as("n"), sum($"rev4").as("r4")))
+      t("q124: join int shuffle_hash")(
+        l3.join(oInt.hint("shuffle_hash"), $"l_orderkey" === $"o_orderkey")
+          .groupBy($"pcode").agg(count(lit(1)).as("n"), sum($"rev4").as("r4")))
+      t("q124: join str shuffle_hash")(
+        l3.join(oP.hint("shuffle_hash"), $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"), sum($"rev4").as("r4")))
+      t("q124: full")(graft.operators.ScaleOps.q124IncrJoin(spark, dir))
+      t("q153: full")(graft.operators.ScaleOps.q153RevenueBridge(spark, dir))
+      t("q155: full")(graft.operators.ScaleOps.q155ShareShift(spark, dir))
+      spark.stop(); return
+    }
     t("q44: full")(Dedup.q44SimhashPairs(spark, dir))
     t("q26: full")(Dedup.q26ShingleJaccard(spark, dir))
     t("q28: full")(Dedup.q28MinhashPairs(spark, dir))
