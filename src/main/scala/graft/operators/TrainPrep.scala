@@ -301,22 +301,27 @@ object TrainPrep {
     * at 100 TB, not trillions — and that table STAYS a DataFrame, so a
     * web-scale vocabulary never has to fit on the driver.
     *
-    * Each round: (1) adjacent symbol pairs explode IN-ROW weighted by
-    * word count and aggregate to pair totals; (2) the argmax pair (count
-    * desc, then lexicographic — a TOTAL order, so the result is
-    * partition-invariant and engine-reproducible) comes back as ONE
-    * driver row — the same bounded driver-side control flow as the CC
-    * iteration, never the data; (3) every word's symbol array folds
-    * through a greedy left-to-right non-overlapping merge (`aggregate`
-    * higher-order fold — in-row, no shuffle). The word table is
-    * localCheckpoint'ed per round (tiny) so lineage stays flat across
-    * rounds. N Spark rounds for N merges; pair counting re-aggregates
-    * only because symbols changed — each round is one exchange over the
-    * distinct-word table.
+    * Each batch round-trip: (1) adjacent symbol pairs explode IN-ROW
+    * weighted by word count and aggregate to pair totals; (2) the top
+    * [[bpeProbeN]] pairs by (count desc, then lexicographic — a TOTAL
+    * order, so the result is partition-invariant and engine-reproducible)
+    * come back as a BOUNDED driver row set — the same bounded driver-side
+    * control flow as the CC iteration, never the data; (3) the driver
+    * accepts the longest PREFIX of that ranking that is provably equal to
+    * running the merges one at a time (see [[bpeAcceptPrefix]]), and (4)
+    * every word's symbol array folds through the accepted merges' greedy
+    * left-to-right non-overlapping passes — chained `aggregate`
+    * higher-order folds in ONE projection, in-row, no shuffle. The word
+    * table is localCheckpoint'ed once per BATCH (tiny) so lineage stays
+    * flat. nMerges/|batch| Spark round-trips instead of one per merge;
+    * pair counting re-aggregates only because symbols changed — each
+    * batch is one exchange over the distinct-word table.
     *
     * Returns the learned merge table (rank, left, right, pair_count) —
     * deterministic for a given corpus; BpeSpec replays it against an
-    * in-memory reference implementation and pins partition invariance.
+    * in-memory SEQUENTIAL reference implementation (the batching is an
+    * execution detail, never a semantics change) and pins partition
+    * invariance.
     */
   def bpeLearn(docs: DataFrame, nMerges: Int): DataFrame = {
     import docs.sparkSession.implicits._
@@ -328,29 +333,90 @@ object TrainPrep {
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
-    for (rank <- 1 to nMerges if !done) {
+    while (merges.length < nMerges && !done) {
       val pairs = words
         .select($"cnt", explode(expr(
           "transform(slice(syms, 1, size(syms) - 1), " +
             "(x, i) -> struct(x AS l, element_at(syms, i + 2) AS r))")).as("p"))
         .groupBy($"p.l".as("l"), $"p.r".as("r"))
         .agg(sum($"cnt").as("c"))
-      val top = pairs.orderBy($"c".desc, $"l".asc, $"r".asc).limit(1).collect()
+      val top = pairs.orderBy($"c".desc, $"l".asc, $"r".asc)
+        .limit(bpeProbeN).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
       if (top.isEmpty) done = true
       else {
-        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((rank, l, r, c))
-        // greedy left-to-right non-overlapping merge, in-row fold
-        words = words
-          .select(aggregate($"syms", array().cast("array<string>"), (acc, x) =>
+        val accepted = bpeAcceptPrefix(top, nMerges - merges.length)
+        accepted.foreach { case (l, r, c) =>
+          merges += ((merges.length + 1, l, r, c))
+        }
+        // greedy left-to-right non-overlapping merge, chained in-row folds
+        // (batch order = sequential-reference order)
+        val folded = accepted.foldLeft($"syms": Column) { case (col, (l, r, _)) =>
+          aggregate(col, array().cast("array<string>"), (acc, x) =>
             when(size(acc) > 0 &&
                 element_at(acc, -1) === lit(l) && x === lit(r),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-              .otherwise(concat(acc, array(x)))).as("syms"), $"cnt")
-          .localCheckpoint(true)
+              .otherwise(concat(acc, array(x))))
+        }
+        words = words.select(folded.as("syms"), $"cnt").localCheckpoint(true)
       }
     }
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Driver rows collected per bpeLearn batch (bounded — never the data). */
+  val bpeProbeN = 64
+
+  /** The longest prefix of the ranked pair list whose batched application
+    * is PROVABLY identical to merging one pair per round. Candidate j is
+    * accepted only if, against every already-accepted merge i:
+    *
+    *  - **disjoint**: {l_j, r_j} shares no symbol with {l_i, r_i}, with
+    *    the merged string s_i = l_i+r_i (a created symbol may not
+    *    string-collide with a candidate's side), and s_j != s_i (two
+    *    accepted merges may not mint the same symbol) — so p_j's count is
+    *    untouched by applying p_i: no occurrence consumed, none created;
+    *  - **created-pair dominance**: every pair CREATED by merge i carries
+    *    s_i on one side, and each of its occurrences requires an ORIGINAL
+    *    adjacency (x, l_i) or (r_i, y) at the same position — so its
+    *    count is <= min(c_i, max over those adjacencies' original
+    *    counts). Collected adjacencies contribute their exact counts;
+    *    anything outside the top-[[bpeProbeN]] rows is bounded by the
+    *    smallest collected count (or 0 when the table fit entirely).
+    *    Candidate j must STRICTLY beat that cap, so no created pair can
+    *    outrank it at its sequential round (strictness also settles
+    *    lexicographic ties in the candidate's favor — a created pair with
+    *    a smaller count can never win).
+    *
+    * Original pairs ranked above p_j are all accepted (prefix property),
+    * and applying merges only ever DECREASES other original pairs'
+    * counts, so p_j stays the sequential argmax of its round. The first
+    * rejection ends the batch — a later candidate's sequential count
+    * could differ once an overlapping higher-ranked merge applies.
+    */
+  private[operators] def bpeAcceptPrefix(top: Seq[(String, String, Long)], maxN: Int)
+      : Seq[(String, String, Long)] = {
+    val unknownCap = if (top.length < bpeProbeN) 0L else top.last._3
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    accepted += top.head
+    var idx = 1
+    var open = true
+    while (open && idx < top.length && accepted.length < maxN) {
+      val (l, r, c) = top(idx)
+      val ok = accepted.forall { case (al, ar, ac) =>
+        val as = al + ar
+        val disjoint = l != al && l != ar && r != al && r != ar &&
+          l != as && r != as && (l + r) != as
+        val intoLeft = top.collect { case (_, y, cc) if y == al => cc }
+        val outOfRight = top.collect { case (x, _, cc) if x == ar => cc }
+        val createdCap = math.min(ac,
+          (intoLeft ++ outOfRight :+ unknownCap).max)
+        disjoint && c > createdCap
+      }
+      if (ok) accepted += top(idx) else open = false
+      idx += 1
+    }
+    accepted.toSeq.take(maxN)
   }
 
   /** Per-stratum sample size for q121. */

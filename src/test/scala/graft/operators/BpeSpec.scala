@@ -74,6 +74,27 @@ class BpeSpec extends AnyFunSuite {
     assert(got(1) == ((2, "aa", "aa", got(1)._4)))
   }
 
+  test("batched round-trips: disjoint top pairs land in ONE batch, reference-equal") {
+    // four frequent pairs over disjoint alphabets with strictly separated
+    // counts — the acceptance proof admits all four in a single driver
+    // round-trip, and the result must still equal the sequential reference
+    val docs = Seq(
+      Seq.fill(40)("xy").mkString(" "),
+      Seq.fill(30)("qr").mkString(" "),
+      Seq.fill(20)("mn").mkString(" "),
+      Seq.fill(10)("uv").mkString(" "))
+    val words = docs.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, g) => w -> g.length.toLong }
+    assert(learn(docs, 4) == refBpe(words, 4))
+    // the prefix-acceptance rule itself: all four are provably independent
+    val top = Seq(("x", "y", 40L), ("q", "r", 30L), ("m", "n", 20L), ("u", "v", 10L))
+    assert(TrainPrep.bpeAcceptPrefix(top, 4) == top)
+    // overlapping runner-up ends the batch at one: merging (e,s) rewrites
+    // (s,t) occurrences, so (s,t) may not ride along
+    val clash = Seq(("e", "s", 9L), ("s", "t", 9L), ("l", "o", 7L))
+    assert(TrainPrep.bpeAcceptPrefix(clash, 3) == clash.take(1))
+  }
+
   test("partition-invariant and deterministic on the real corpus") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").select($"text")
