@@ -115,4 +115,34 @@ object ArtifactStore {
       (compute: => T): T =
     scalars.getOrElseUpdate(keyOf(name, version, inputs), compute)
       .asInstanceOf[T]
+
+  private val frames =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The cluster-memory twin of [[cached]] for partition-shaped
+    * INTERMEDIATES that several queries — or several branches of one
+    * query — read: an eagerly-built MEMORY_AND_DISK persist, memoized
+    * per (session, name, version, input-file fingerprint). Steady state
+    * pays a cache scan, never the build.
+    *
+    * Why persist and not the alternatives (measured, q127 family at
+    * sf1p): exchange reuse deduplicates only physically-identical
+    * subtrees — one branch crossing the broadcast threshold re-plans
+    * every branch independently and the shared pipeline re-executes per
+    * branch; localCheckpoint materializes but under AQE captures
+    * UnknownPartitioning, so every consumer re-exchanges the rows.
+    * InMemoryRelation preserves the cached plan's partitioning AND
+    * ordering (AQE is barred from re-planning inside a cache by
+    * default), so consumers inherit both with zero recompute. The
+    * count() forces the build eagerly — concurrent downstream stages
+    * read, never race to fill.
+    */
+  def frameCached(spark: SparkSession, name: String, version: Int,
+      inputs: Seq[String])(build: => DataFrame): DataFrame =
+    frames.getOrElseUpdate((spark, keyOf(name, version, inputs)), {
+      val p = build.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    })
 }

@@ -2507,9 +2507,11 @@ object ScaleOps {
     * pair co-occurring in ≥ [[basketMinSupport]] orders: the pair count,
     * each part's order count, and the lift n_ab·N / (n_a·n_b).
     *
-    * Plan shape for 100 TB: pairs fan out from a CO-PARTITIONED
-    * sort-merge self-join of the ranked distinct item stream on the
-    * order key — one reused exchange, per-order-bounded expansion
+    * Plan shape for 100 TB: the fact table is scanned and exchanged
+    * ONCE into the materialized, ok-partitioned item cache (see
+    * [[basketItems]] for why sharing must not depend on exchange
+    * reuse); pairs fan out from a co-partitioned zero-sort merge
+    * self-join of that stream, per-order-bounded expansion
     * ([[basketCap]]), never a cartesian (see [[basketPairCounts]] for
     * why this beats the in-row array build). The two part-count joins
     * run AFTER the support floor prunes the pair table; lift is a
@@ -2519,24 +2521,19 @@ object ScaleOps {
     */
   def q127MarketBasket(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // the order count and pair fan-out both read the ranked stream (its
-    // ok exchange is reused); the per-part order counts aggregate the
-    // distinct item stream directly
     val items = basketItems(spark, dir)
-    val ranked = rankedItems(items)
-    // thin one-column distinct: deriving the order count from `ranked`
-    // (rn == 1) plants a limit-1 WindowGroupLimit under ITS copy of the
-    // distinct exchange, which makes the subtree canonically different
-    // from the pair branch's (limit-basketCap) and the item-count
-    // branch's (no limit) copies — AQE can then reuse NONE of them and
-    // materializes the same 168 MB exchange three times (measured)
-    val nOrders = Tables(spark, dir, "lineitem").select($"l_orderkey")
-      .distinct().agg(count(lit(1)).as("n_orders"))
-    val ic = items.groupBy($"pk").agg(count(lit(1)).as("n_item"))
+    val ranked = rankedItems(spark, dir)
+    // order count rides the items cache: distinct(ok) needs only
+    // hash(ok) co-location (already satisfied by the cached
+    // partitioning), so this is a zero-exchange aggregate over the
+    // materialized rows — no extra lineitem scan
+    val nOrders = items.select($"ok").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val ic = basketItemCounts(spark, dir)
     val pcnt = basketPairCounts(ranked)
     pcnt
-      .join(ic.select($"pk".as("p1"), $"n_item".as("n_a")), Seq("p1"))
-      .join(ic.select($"pk".as("p2"), $"n_item".as("n_b")), Seq("p2"))
+      .join(broadcast(ic.select($"pk".as("p1"), $"n_item".as("n_a"))), Seq("p1"))
+      .join(broadcast(ic.select($"pk".as("p2"), $"n_item".as("n_b"))), Seq("p2"))
       .crossJoin(broadcast(nOrders))
       .withColumn("lift_micro",
         round(($"n_ab".cast("double") * $"n_orders" * 1e6) /
@@ -2558,37 +2555,99 @@ object ScaleOps {
     */
   private def basketItems(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir, "lineitem")
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-      .distinct()
+    // ok-partitioned and MATERIALIZED (eager persist). The family reads
+    // this stream from FOUR+ branches (pair fan-out ×2, per-part counts
+    // ×2, order count); exchange reuse only deduplicates branches whose
+    // physical subtrees stay identical, and the moment the planner
+    // broadcasts ONE branch (at the deployment's 64 MB threshold —
+    // exactly what happens to the self-join side and both item-count
+    // dims at sf1p) every branch plans independently and the
+    // scan→distinct→rank pipeline re-executes per branch (measured: 3×
+    // a 168 MB exchange plus a full extra pipeline inside a
+    // BroadcastExchange — 4× the task time of the single-pipeline run).
+    // persist — NOT localCheckpoint — is the sharing tool that survives
+    // strategy changes: under AQE a checkpoint captures
+    // UnknownPartitioning (measured: every consumer re-exchanged the
+    // checkpointed rows), while InMemoryRelation preserves the cached
+    // plan's partitioning and ordering (AQE is barred from re-planning
+    // inside a cache by default), so every consumer reads hash(ok),
+    // (ok, pk)-ordered columnar batches with zero recompute.
+    //
+    // The single repartition(ok) (not (ok, pk)) is load-bearing: the
+    // distinct's HashAggregate needs only co-location of equal (ok, pk)
+    // rows — hash(ok) provides it — and every downstream consumer (the
+    // rank sort, the self-join, the order count) needs hash(ok) EXACTLY,
+    // so no second fact exchange ever runs. Trade: this exchange carries
+    // raw (ok, pk) rows without map-side dedup (TPC-H duplicate ratio
+    // ≈ 1; a dup-heavy corpus would want the dedup back).
+    graft.ArtifactStore.frameCached(spark, "basket_items", 1,
+      Seq(s"$dir/lineitem.parquet")) {
+      Tables(spark, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+        .repartition($"ok")
+        .distinct()
+    }
   }
 
   /** [[basketItems]] ranked within each order by ascending part key and
     * capped at [[basketCap]] — the deterministic kept-prefix the pair
     * fan-out bounds itself by.
     */
-  private def rankedItems(items: DataFrame): DataFrame = {
-    import items.sparkSession.implicits._
+  /** Per-part order counts (q127's n_a/n_b, q145's antecedent/consequent
+    * supports) — |parts|-bounded (a dimension), cached once per dataset
+    * and broadcast EXPLICITLY at the join sites: the items cache reports
+    * its true fact-sized stats, so the aggregate's estimate exceeds the
+    * auto-broadcast threshold and the planner would otherwise shuffle
+    * the far larger PAIR table on p1 and p2; and because the per-task
+    * item keys are near-unique, the aggregate's partial output is
+    * fact-sized (measured: 109 MB on the wire at sf1p, built once per
+    * consuming branch = twice per query). The cache pays that exchange
+    * once per dataset, steady state reads 200k cached rows.
+    */
+  private def basketItemCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.ArtifactStore.frameCached(spark, "basket_ic", 1,
+      Seq(s"$dir/lineitem.parquet")) {
+      basketItems(spark, dir)
+        .groupBy($"pk").agg(count(lit(1)).as("n_item"))
+    }
+  }
+
+  private def rankedItems(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"ok").orderBy($"pk")
-    items.withColumn("rn", row_number().over(w)).filter($"rn" <= basketCap)
+    // materialized like its input (both self-join sides read it): the
+    // rank is an in-partition sort + WindowGroupLimit over the items
+    // cache — NO exchange — and the cache preserves the (ok, pk)
+    // ordering, so the pair join needs no sort either
+    graft.ArtifactStore.frameCached(spark, "basket_ranked", 1,
+      Seq(s"$dir/lineitem.parquet")) {
+      basketItems(spark, dir)
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= basketCap)
+    }
   }
 
   /** Support-floored unordered pair counts (q127's candidate structure,
-    * reused as q136's edge list): the i<j fan-out is a CO-PARTITIONED
-    * self-join of the ranked item stream on the order key — the one
-    * exchange is reused by both sides (ReusedExchange), the sort-merge
-    * runs on already-(ok, pk)-sorted input, and every operator is plain
-    * long-typed whole-stage codegen. Pair volume is Σ kᵢ·(kᵢ−1)/2
-    * bounded by [[basketCap]] per order — identical to the in-row array
-    * fan-out this replaces, without the ObjectHashAggregate basket
-    * build.
+    * reused as q136's edge list): the i<j fan-out is a CO-PARTITIONED,
+    * ZERO-EXCHANGE, ZERO-SORT merge self-join of the MATERIALIZED ranked
+    * stream on the order key — both sides read the same cached
+    * partitions, whose hash(ok) partitioning and (ok, pk) ordering
+    * already satisfy the join — and every operator is plain long-typed
+    * whole-stage codegen. Pair volume is Σ kᵢ·(kᵢ−1)/2 bounded by
+    * [[basketCap]] per order — identical to the in-row array fan-out
+    * this replaces, without the ObjectHashAggregate basket build.
     */
   private def basketPairCounts(ranked: DataFrame): DataFrame = {
     import ranked.sparkSession.implicits._
     val x = ranked.select($"ok", $"pk".as("p1"), $"rn".as("i"))
     val y = ranked.select($"ok", $"pk".as("p2"), $"rn".as("j"))
-    x.join(y, Seq("ok")).filter($"i" < $"j")
+    // merge hint: the planner would otherwise BROADCAST one cache side
+    // once it fits the threshold — a driver-side build of a fact-sized
+    // relation; the merge join inherits the cache's hash(ok)
+    // partitioning and (ok, pk) ordering, so it adds neither exchange
+    // nor sort
+    x.join(y.hint("merge"), Seq("ok")).filter($"i" < $"j")
       .groupBy($"p1", $"p2").agg(count(lit(1)).as("n_ab"))
       .filter($"n_ab" >= basketMinSupport)
   }
@@ -2606,16 +2665,14 @@ object ScaleOps {
   def q145AssocRules(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val items = basketItems(spark, dir)
-    val ranked = rankedItems(items)
-    // thin one-column distinct: deriving the order count from `ranked`
-    // (rn == 1) plants a limit-1 WindowGroupLimit under ITS copy of the
-    // distinct exchange, which makes the subtree canonically different
-    // from the pair branch's (limit-basketCap) and the item-count
-    // branch's (no limit) copies — AQE can then reuse NONE of them and
-    // materializes the same 168 MB exchange three times (measured)
-    val nOrders = Tables(spark, dir, "lineitem").select($"l_orderkey")
-      .distinct().agg(count(lit(1)).as("n_orders"))
-    val ic = items.groupBy($"pk").agg(count(lit(1)).as("n_item"))
+    val ranked = rankedItems(spark, dir)
+    // order count rides the items cache: distinct(ok) needs only
+    // hash(ok) co-location (already satisfied by the cached
+    // partitioning), so this is a zero-exchange aggregate over the
+    // materialized rows — no extra lineitem scan
+    val nOrders = items.select($"ok").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val ic = basketItemCounts(spark, dir)
     val pcnt = basketPairCounts(ranked)
     // both rule directions in ONE in-row explode: a unionAll of two
     // selects over pcnt re-runs the pair finalize per branch (only the
@@ -2625,8 +2682,8 @@ object ScaleOps {
         struct($"p2".as("ante"), $"p1".as("cons"), $"n_ab"))).as("r"))
       .select($"r.ante".as("ante"), $"r.cons".as("cons"), $"r.n_ab".as("n_ab"))
     rules
-      .join(ic.select($"pk".as("ante"), $"n_item".as("n_a")), Seq("ante"))
-      .join(ic.select($"pk".as("cons"), $"n_item".as("n_b")), Seq("cons"))
+      .join(broadcast(ic.select($"pk".as("ante"), $"n_item".as("n_a"))), Seq("ante"))
+      .join(broadcast(ic.select($"pk".as("cons"), $"n_item".as("n_b"))), Seq("cons"))
       .crossJoin(broadcast(nOrders))
       .withColumn("conf_micro",
         round($"n_ab".cast("double") * 1e6 / $"n_a").cast("long"))
@@ -2671,7 +2728,7 @@ object ScaleOps {
     */
   def q136PageRank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pcnt = basketPairCounts(rankedItems(basketItems(spark, dir)))
+    val pcnt = basketPairCounts(rankedItems(spark, dir))
     // The basket-build subtree is referenced by every power iteration;
     // materialize it ONCE (q48's localCheckpoint discipline) so a plan
     // re-optimization can never silently re-run it prIters times.

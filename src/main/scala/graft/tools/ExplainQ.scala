@@ -28,7 +28,10 @@ object ExplainQ {
     val df = fn(spark, sfDir)
     df.write.format("noop").mode("overwrite").save()
     println(s"=== $name (AQE final) ===")
-    println(df.queryExecution.executedPlan.toString)
+    if (args.contains("--formatted"))
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    else println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

@@ -360,12 +360,36 @@ class PlanSpec extends AnyFunSuite {
       s"more than two corpus explodes:\n$fin")
   }
 
-  test("q127: codegen pair self-join — reused ok exchange, no object agg, no cartesian") {
+  test("q127: codegen pair self-join — fact scanned once via checkpoint, no object agg, no cartesian") {
     val df = ScaleOps.q127MarketBasket(spark, dir)
     df.collect()
     val p = plan(df)
-    // the ranked stream's ok exchange feeds both self-join sides once
-    assert(p.contains("ReusedExchange"), s"self-join sides re-shuffle:\n$p")
+    // every consumer branch (pair fan-out ×2, item counts ×2, order
+    // count) reads the MATERIALIZED item/ranked caches (frameCached) —
+    // exchange reuse broke the moment one branch crossed the broadcast
+    // threshold (the scan→distinct→rank pipeline re-executed 4× at
+    // sf1p); the cache is the sharing that survives strategy changes
+    assert(p.contains("InMemoryTableScan"),
+      s"the basket family no longer reads the materialized caches:\n$p")
+    // the pair self-join runs on the cache's hash(ok) partitioning and
+    // (ok, pk) ordering: a merge join with NO consumer-added ok exchange
+    // (the only hashpartitioning(ok...) line allowed is the
+    // REPARTITION_BY_COL inside the printed cache definition) and no
+    // fact-sized broadcast
+    // formatted node detail blocks: "(n) NodeName\nLeft keys [1]: ..."
+    val blocks = p.split("\n\n")
+    assert(blocks.exists(b =>
+        b.contains("SortMergeJoin") && b.contains("Left keys [1]: [ok#")),
+      s"the pair self-join is not the zero-exchange merge join:\n$p")
+    // no ok-keyed broadcast join anywhere — that would be a fact-sized
+    // broadcast side of the pair self-join
+    assert(!blocks.exists(b =>
+        b.contains("BroadcastHashJoin") && b.contains("keys [1]: [ok#")),
+      s"a fact-sized side of the pair self-join is broadcast:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("hashpartitioning(ok") &&
+          l.contains("ENSURE_REQUIREMENTS")),
+      s"a consumer re-shuffles the cached stream on ok:\n$p")
     // the basket family must stay whole-stage codegen: the former
     // collect_set build planned as ObjectHashAggregate (boxed per-group
     // sets + sort-based fallback at scale)
