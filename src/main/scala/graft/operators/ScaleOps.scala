@@ -2125,24 +2125,30 @@ object ScaleOps {
     // corpus exchange, the window sort, and the totals join. Keys here
     // are near-unique, so the deleted pre-aggregate had no map-side
     // combine benefit to lose.
+    // quantities fold as EXACT SCALED-LONG cents (dec_scaled_long,
+    // bit-identical to the decimal cast): the in-row walk is an
+    // interpreted HOF evaluated once per collected element, and a long
+    // add/compare per step replaces per-step Decimal allocation +
+    // BigDecimal add (the q153/q155 lever applied to the fold). Σqc and
+    // the 2·cum ≥ t threshold are integer-exact; t/100 as double is the
+    // same correctly-rounded rational the decimal cast produced.
     Tables(spark, dir, "lineitem")
       .select($"l_partkey".as("p"), $"l_extendedprice".as("price"),
-        $"l_quantity".cast(DecimalType(18, 2)).as("q"))
+        graft.functions.DecScaledLong.decScaledLong($"l_quantity", 2).as("qc"))
       .groupBy($"p")
-      .agg(sort_array(collect_list(struct($"price", $"q"))).as("a"))
-      .withColumn("t", expr(
-        "aggregate(a, cast(0 as decimal(38,2)), (acc, x) -> cast(acc + x.q as decimal(38,2)))"))
+      .agg(sort_array(collect_list(struct($"price", $"qc"))).as("a"))
+      .withColumn("t", expr("aggregate(a, 0L, (acc, x) -> acc + x.qc)"))
       .withColumn("n_prices",
         size(array_distinct(expr("transform(a, x -> x.price)"))).cast("long"))
       .withColumn("w_median", expr(
         """aggregate(a,
-          |  struct(cast(0 as decimal(38,2)) as cum, cast(null as double) as med),
-          |  (acc, x) -> struct(cast(acc.cum + x.q as decimal(38,2)),
+          |  struct(0L as cum, cast(null as double) as med),
+          |  (acc, x) -> struct(acc.cum + x.qc,
           |    coalesce(acc.med,
-          |      if((acc.cum + x.q) * 2 >= t, x.price, cast(null as double)))),
+          |      if((acc.cum + x.qc) * 2 >= t, x.price, cast(null as double)))),
           |  acc -> acc.med)""".stripMargin))
       .select($"p".as("p_partkey"), $"w_median",
-        $"t".cast("double").as("total_qty"), $"n_prices")
+        ($"t".cast("double") / 100).as("total_qty"), $"n_prices")
       .orderBy($"p_partkey")
   }
 
