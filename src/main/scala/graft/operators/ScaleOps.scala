@@ -1535,34 +1535,71 @@ object ScaleOps {
     * aggregates, one broadcast of the per-(nation, half) totals, one
     * rank window per nation.
     */
-  def q155ShareShift(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-order half dimension shared by the bridge family (q153
+    * revenue bridge, q155 share shift): the half flag is a pure function
+    * of the order date, computed ONCE PER ORDER (|orders| rows, a 4-byte
+    * int through the projection joins below).
+    */
+  private def bridgeHalf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.functions.DecScaledLong.decScaledLong
     val oside = Tables(spark, dir, "orders")
       .select($"o_orderkey", expr("unix_micros(cast(o_orderdate as timestamp))").as("ou"))
     val mid = ouMidpoint(Tables(spark, dir, "lineitem").select($"l_orderkey")
       .join(oside, $"l_orderkey" === $"o_orderkey"), dir)
-    // the half flag is a pure function of the order date, so it computes
-    // ONCE PER ORDER on the dimension-sized side of the join (|orders|
-    // rows) instead of once per lineitem row; the join then carries a
-    // 4-byte int. No broadcast hint: at bench scale the threshold makes
-    // this a broadcast build, at fact×fact scale it degrades to the
-    // shuffle join on its own.
-    val oHalf = oside.select($"o_orderkey",
+    oside.select($"o_orderkey",
       when($"ou" * 2 < mid, 1).otherwise(2).as("half"))
+  }
+
+  /** The half-tagged lineitem stream materialized as GRAIN-CLUSTERED
+    * PROJECTIONS (the
+    * C-Store/warehouse projection move: one copy of the derived fact
+    * stream per query access path, each hash-clustered on its grouping
+    * key). Built once per dataset state via frameCached; a consumer's
+    * groupBy then rides the cached partitioning with NO exchange and no
+    * fact-wide partial-aggregate spill — the near-unique-key partial
+    * output of the former inline plan was 202 MB on the wire at sf1p.
+    * At 100 TB these are the bucketed materialized views a deployment
+    * maintains incrementally alongside the q124 join view.
+    */
+  private def bridgeByPart(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.DecScaledLong.decScaledLong
+    graft.ArtifactStore.frameCached(spark, "bridge_by_part", 1,
+      Seq(s"$dir/orders.parquet", s"$dir/lineitem.parquet")) {
+      Tables(spark, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey",
+          decScaledLong($"l_quantity", 2).as("qc"),
+          decScaledLong($"l_extendedprice", 2).as("xc"))
+        .join(bridgeHalf(spark, dir), $"l_orderkey" === $"o_orderkey")
+        .select($"l_partkey", $"qc", $"xc", $"half")
+        .repartition($"l_partkey")
+    }
+  }
+
+  private def bridgeBySupp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.DecScaledLong.decScaledLong
+    graft.ArtifactStore.frameCached(spark, "bridge_by_supp", 1,
+      Seq(s"$dir/orders.parquet", s"$dir/lineitem.parquet")) {
+      Tables(spark, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey",
+          decScaledLong($"l_extendedprice", 2).as("xc"))
+        .join(bridgeHalf(spark, dir), $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey", $"xc", $"half")
+        .repartition($"l_suppkey")
+    }
+  }
+
+  def q155ShareShift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val sup = Tables(spark, dir, "supplier")
       .select($"s_suppkey", $"s_nationkey".as("nation"))
-    // per-row exact cents via the native dec_scaled_long (bit-identical
-    // to cast→DECIMAL(18,2)→×100→long, no per-row Decimal machinery),
-    // summed as LONGs: sum(decimal)×100 rounds an integral value, so
-    // Σcents is identical — and the agg buffers/partial rows are thin
-    // longs instead of nullable decimals
-    val rev = Tables(spark, dir, "lineitem")
-      .select($"l_orderkey", $"l_suppkey",
-        decScaledLong($"l_extendedprice", 2).as("xcr"))
-      .join(oHalf, $"l_orderkey" === $"o_orderkey")
+    // the supplier-grain aggregate rides the cached projection's
+    // hash(l_suppkey) partitioning — zero exchange before the
+    // dimension-sized rows
+    val rev = bridgeBySupp(spark, dir)
       .groupBy($"l_suppkey", $"half")
-      .agg(sum($"xcr").as("xc"))
+      .agg(sum($"xc").as("xc"))
       .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
     val tot = rev.groupBy($"nation", $"half").agg(sum($"xc").as("t"))
     val shares = rev.join(broadcast(tot), Seq("nation", "half"))
@@ -1597,31 +1634,21 @@ object ScaleOps {
     */
   def q153RevenueBridge(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.functions.DecScaledLong.decScaledLong
-    val oside = Tables(spark, dir, "orders")
-      .select($"o_orderkey", expr("unix_micros(cast(o_orderdate as timestamp))").as("ou"))
-    val mid = ouMidpoint(Tables(spark, dir, "lineitem").select($"l_orderkey")
-      .join(oside, $"l_orderkey" === $"o_orderkey"), dir)
-    // half computed per ORDER on the dimension-sized join side (see q155)
-    val oHalf = oside.select($"o_orderkey",
-      when($"ou" * 2 < mid, 1).otherwise(2).as("half"))
-    // ONE part-keyed exchange computes both halves as conditional sums
-    // (identical values to the former (part, half) pivot — a half with no
-    // rows sums to NULL, so its q and price coalesce to 0 exactly as the
-    // pivot's missing row did); the per-half unit price derives in-row.
-    // Sums run over exact per-row CENTS as longs via dec_scaled_long
-    // (bit-identical to the decimal cast, no per-row Decimal machinery):
-    // q_half = HALF_UP(Σqc/100) = (Σqc + 50) div 100 for the non-negative
-    // quantities, and cast(Σxc as double)/100 is bit-equal to
-    // cast(decimal-sum as double) — one correctly-rounded division of
-    // the same exact rational either way.
+    // the part-grain pass computes both halves as conditional sums over
+    // the part-clustered cached projection — ZERO exchange, no fact-wide
+    // partial-aggregate rows (identical values to the former (part,
+    // half) pivot — a half with no rows sums to NULL, so its q and price
+    // coalesce to 0 exactly as the pivot's missing row did); the
+    // per-half unit price derives in-row. Sums run over exact per-row
+    // CENTS as longs (dec_scaled_long, bit-identical to the decimal
+    // cast — see [[bridgeByPart]]): q_half = HALF_UP(Σqc/100) =
+    // (Σqc + 50) div 100 for the non-negative quantities, and
+    // cast(Σxc as double)/100 is bit-equal to cast(decimal-sum as
+    // double) — one correctly-rounded division of the same exact
+    // rational either way.
     def dv(qs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       coalesce(floor((qs + 50L) / 100L).cast("long"), lit(0L))
-    val wide = Tables(spark, dir, "lineitem")
-      .select($"l_orderkey", $"l_partkey",
-        decScaledLong($"l_quantity", 2).as("qc"),
-        decScaledLong($"l_extendedprice", 2).as("xc"))
-      .join(oHalf, $"l_orderkey" === $"o_orderkey")
+    val wide = bridgeByPart(spark, dir)
       .groupBy($"l_partkey")
       .agg(
         dv(sum(when($"half" === 1, $"qc"))).as("q1"),

@@ -57,7 +57,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q136_pagerank" -> 2437202L,
     "q139_weighted_median" -> 683316L,
     "q145_assoc_rules" -> 1179068L,
-    "q153_revenue_bridge" -> 82037L)
+    // re-pinned round 10: the part-clustered bridge projection absorbs
+    // the fact exchange into a once-per-dataset cache build; steady
+    // state shuffles only the brand rollup
+    "q153_revenue_bridge" -> 16725L)
 
   for ((name, budget) <- budgets) {
     test(s"$name: shuffle volume within +25% of the reviewed plan's bytes") {
