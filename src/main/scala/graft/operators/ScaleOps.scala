@@ -2144,15 +2144,11 @@ object ScaleOps {
   /** q139 — grouped weighted median: per part, the sale price at which
     * half the shipped QUANTITY sits below (the robust "typical price
     * paid" that a quantity-blind median gets wrong). Spelling: quantity
-    * collapses to one row per (part, price) FIRST (map-side-combining
-    * aggregate, decimal-exact), then each part's few distinct prices
-    * collect into ONE in-row sorted array and a single `aggregate` HOF
-    * walk finds min price with 2·cum ≥ total — decimal-exact, no
-    * division anywhere. Two map-side-combining exchanges total; the
-    * earlier cumulative-window spelling paid a per-part window sort
-    * PLUS a join back to the totals (3 extra stages, 5× the task time
-    * at sf0.1, identical rows — the plan-constant lesson). Per-part
-    * state is bounded by the distinct-price count (never raw rows); a
+    * collapses to one row per (part, price), a cumulative and a
+    * whole-group window find min price with 2·cum ≥ total — exact longs,
+    * no division anywhere — and every step after the single part-keyed
+    * repartition rides that partitioning. Per-part window state is
+    * bounded by the distinct-price count (never raw rows); a
     * single-group corpus-scale quantile remains q100's sketch.
     */
   def q139WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
@@ -2166,30 +2162,37 @@ object ScaleOps {
     // corpus exchange, the window sort, and the totals join. Keys here
     // are near-unique, so the deleted pre-aggregate had no map-side
     // combine benefit to lose.
-    // quantities fold as EXACT SCALED-LONG cents (dec_scaled_long,
-    // bit-identical to the decimal cast): the in-row walk is an
-    // interpreted HOF evaluated once per collected element, and a long
-    // add/compare per step replaces per-step Decimal allocation +
-    // BigDecimal add (the q153/q155 lever applied to the fold). Σqc and
-    // the 2·cum ≥ t threshold are integer-exact; t/100 as double is the
+    // ONE part-keyed repartition and everything rides it: the (p, price)
+    // collapse (plain codegen HashAggregate over longs — hash(p)
+    // co-locates the subset keys), the cumulative and whole-group
+    // windows (one in-partition sort, group size bounded by distinct
+    // prices per part), and the final per-part rollup. The former
+    // collect_list spelling built a 6M-element boxed struct buffer per
+    // pass through a non-codegen ObjectHashAggregate — measured 2 s on a
+    // fresh heap but 13–20 s once the heap carried tenured state (GC
+    // amplification on the boxed buffers), while this shape allocates
+    // nothing per row. Quantities are EXACT SCALED-LONG cents
+    // (dec_scaled_long, bit-identical to the decimal cast); Σqc and the
+    // 2·cum ≥ t threshold are integer-exact; t/100 as double is the
     // same correctly-rounded rational the decimal cast produced.
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy($"p").orderBy($"price")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"p")
     Tables(spark, dir, "lineitem")
       .select($"l_partkey".as("p"), $"l_extendedprice".as("price"),
         graft.functions.DecScaledLong.decScaledLong($"l_quantity", 2).as("qc"))
+      .repartition($"p")
+      .groupBy($"p", $"price").agg(sum($"qc").as("q"))
+      .withColumn("cum", sum($"q").over(wCum))
+      .withColumn("t", sum($"q").over(wAll))
+      .withColumn("np", count(lit(1)).over(wAll))
+      .filter($"cum" * 2 >= $"t")
       .groupBy($"p")
-      .agg(sort_array(collect_list(struct($"price", $"qc"))).as("a"))
-      .withColumn("t", expr("aggregate(a, 0L, (acc, x) -> acc + x.qc)"))
-      .withColumn("n_prices",
-        size(array_distinct(expr("transform(a, x -> x.price)"))).cast("long"))
-      .withColumn("w_median", expr(
-        """aggregate(a,
-          |  struct(0L as cum, cast(null as double) as med),
-          |  (acc, x) -> struct(acc.cum + x.qc,
-          |    coalesce(acc.med,
-          |      if((acc.cum + x.qc) * 2 >= t, x.price, cast(null as double)))),
-          |  acc -> acc.med)""".stripMargin))
+      .agg(min($"price").as("w_median"), max($"t").as("tc"),
+        max($"np").as("n_prices"))
       .select($"p".as("p_partkey"), $"w_median",
-        ($"t".cast("double") / 100).as("total_qty"), $"n_prices")
+        ($"tc".cast("double") / 100).as("total_qty"), $"n_prices")
       .orderBy($"p_partkey")
   }
 
