@@ -323,12 +323,13 @@ object Dedup {
     * suffix-array ExactSubstr; [[q78ExactSubstrRewrite]] is the
     * cut/rewrite half that consumes the same window stream.
     *
-    * Plan shape (the one-subtree lesson): windows collapse to
-    * (fp, doc_id, w_in_doc) in ONE aggregation; the per-fp document
-    * count is a second groupBy OVER THAT RESULT, so both sides of the
-    * join back share the identical (fp, doc_id) exchange subtree and
-    * runtime reuse evaluates the explode once. Rows are ~1 per token
-    * (linear); the fp shuffle is high-cardinality and uniform.
+    * Plan shape: windows collapse to (fp, doc_id, w_in_doc) in ONE
+    * map-side-combining aggregation whose result is a MATERIALIZED,
+    * fp-partitioned corpus index (frameCached — see the body comment
+    * for why subtree reuse alone cannot keep the explode single); the
+    * per-fp document count and the join back both ride the cached
+    * partitions. Rows are ~1 per token (linear); the fp shuffle is
+    * high-cardinality and uniform, keyed on two longs.
     */
   def q77DupSubstrings(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

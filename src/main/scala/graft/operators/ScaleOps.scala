@@ -485,8 +485,10 @@ object ScaleOps {
     * construction wrap-around can never masquerade as a verified
     * refresh). In a deployment the old⋈old quadrant is yesterday's
     * materialization read back, and only the delta-sided quadrants run;
-    * this query keeps the full recompute ONLY because it doubles as the
-    * audit, and the oracle checks the merged result. The cut scalars
+    * here the tagged joined stream IS that materialization (frameCached
+    * per dataset state — see the body comment), the audit re-derives
+    * both paths from it, and the oracle checks the merged result. The
+    * cut scalars
     * (newest ship date / order date) are the ouMidpoint pattern:
     * computed once per dataset, cached, injected as literals so no
     * BroadcastNestedLoopJoin splits the fact stream's codegen.
@@ -1526,15 +1528,6 @@ object ScaleOps {
       if (r.isNullAt(0)) 0L else r.getLong(0) + r.getLong(1)
     })
 
-  /** q155 — supplier market-share shift: each supplier's revenue share
-    * of its nation's total, first order-date half vs second, with the
-    * share delta in basis points and gainer/loser rank — the
-    * competitive-dynamics report (q153 explains WHY revenue moved;
-    * this shows WHO took the share). Shares are micro-fixed per
-    * (nation, half) from decimal-exact cent revenues; two map-side
-    * aggregates, one broadcast of the per-(nation, half) totals, one
-    * rank window per nation.
-    */
   /** The per-order half dimension shared by the bridge family (q153
     * revenue bridge, q155 share shift): the half flag is a pure function
     * of the order date, computed ONCE PER ORDER (|orders| rows, a 4-byte
@@ -1590,6 +1583,16 @@ object ScaleOps {
     }
   }
 
+  /** q155 — supplier market-share shift: each supplier's revenue share
+    * of its nation's total, first order-date half vs second, with the
+    * share delta in basis points and gainer/loser rank — the
+    * competitive-dynamics report (q153 explains WHY revenue moved;
+    * this shows WHO took the share). Shares are micro-fixed per
+    * (nation, half) from exact cent revenues; the supplier-grain
+    * aggregate rides the [[bridgeBySupp]] projection's partitioning,
+    * then one broadcast of the per-(nation, half) totals and one rank
+    * window per nation.
+    */
   def q155ShareShift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sup = Tables(spark, dir, "supplier")
@@ -1629,8 +1632,9 @@ object ScaleOps {
     * (pᵢ = revᵢ/qtyᵢ rounded once) and derived micro revenues
     * revᵢ' = qᵢ·pᵢ, so the identity vol + price = Δrev' holds EXACTLY
     * by algebra in integer micro units — no residual plug, which the
-    * oracle pins per brand. Two map-side-combining aggregates (per
-    * (part, half) then per brand), one bounded top-1 window per brand.
+    * oracle pins per brand. The part-grain pass rides the
+    * [[bridgeByPart]] projection's partitioning (zero exchange); then
+    * one brand rollup with an in-aggregate top-1 argmax.
     */
   def q153RevenueBridge(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
