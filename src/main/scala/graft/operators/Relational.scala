@@ -197,11 +197,17 @@ object Relational {
       .orderBy($"c_custkey")
   }
 
-  /** Semi-join: parts that were actually ordered. */
+  /** Semi-join: parts that were actually ordered. shuffle_hash, not
+    * broadcast: the probe side is a dimension but the EXISTENCE side is
+    * the fact table's key column — at the deployment's 64 MB threshold
+    * the planner broadcast all 6M lineitem keys (a driver-side
+    * HashedRelation build, measured 2.7 s at sf1p and simply wrong at
+    * 100 TB); the shuffled semi builds per-partition key sets instead.
+    */
   def q9Semi(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.part(spark, dir)
-      .join(Tables.lineitem(spark, dir).select($"l_partkey"),
+      .join(Tables.lineitem(spark, dir).select($"l_partkey").hint("shuffle_hash"),
         $"p_partkey" === $"l_partkey", "left_semi")
       .select($"p_partkey", $"p_brand")
       .orderBy($"p_partkey")

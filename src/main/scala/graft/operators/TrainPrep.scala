@@ -642,17 +642,24 @@ object TrainPrep {
     * in ~every doc) inside ONE task, which dies at corpus scale; the
     * aggregate form combines map-side (each map partition emits ≤ |local
     * vocab| rows) and the join back is AQE-planned — broadcast when the
-    * vocab is small, skew-split shuffle when it is not. Both branches
-    * derive from the same plan fragment, so ReuseExchange evaluates the
-    * raw-document scan+shuffle ONCE; only the (cheap, in-memory) tokenize
-    * + partial-agg re-runs on the df branch — the deliberate alternative
-    * to persisting a corpus-scale tf cache. Asserted by PlanSpec.
+    * vocab is small, skew-split shuffle when it is not. The tf table is
+    * the corpus's TERM-FREQUENCY INDEX — built once per dataset
+    * (frameCached), landed hash(word)-partitioned so the df aggregate
+    * AND the join back both ride the cached partitions; steady state
+    * pays one doc_id exchange for the ranking window and nothing else
+    * corpus-wide (the former reuse-based sharing re-tokenized the corpus
+    * on the df branch and re-exchanged tf twice more on word and
+    * doc_id). Asserted by PlanSpec.
     */
   def q53Tfidf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val words = Tables.spreadBy(Tables.documents(spark, dir), "doc_id") // gated: skipped on wide inputs
-      .select($"doc_id", explode(split($"text", " ")).as("word"))
-    val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val tf = graft.ArtifactStore.frameCached(spark, "tf_index", 1,
+      Seq(s"$dir/documents.parquet")) {
+      Tables.spreadBy(Tables.documents(spark, dir), "doc_id") // gated: skipped on wide inputs
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+        .repartition($"word")
+    }
     val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir).select(countDistinct($"doc_id").as("n_docs"))
     val scored = tf
