@@ -700,11 +700,9 @@ object TrainPrep {
     * `approx_percentile` sketch — see the threshold-mode note there and
     * the q79 contract that oracles the sketch path.
     */
-  def q73DsirSample(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    dsirSample(Tables.spreadBy(Tables.documents(spark, dir), "doc_id"),
+  def q73DsirSample(spark: SparkSession, dir: String): DataFrame =
+    dsirSampleScored(dsirScoredCached(spark, dir),
       exactThreshold = true) // oracle pin; production default is the sketch
-  }
 
   /** The q73 engine over any (doc_id, lang, source, text) frame — also a
     * stage of the [[q74CorpusPipelineV2]] composition.
@@ -720,9 +718,12 @@ object TrainPrep {
     * oracles the sketch path itself (threshold within 5% of exact,
     * selection agreement ≥ 95%).
     */
-  def dsirSample(docs: DataFrame, exactThreshold: Boolean = false): DataFrame = {
-    import docs.sparkSession.implicits._
-    val scored = dsirScores(docs)
+  def dsirSample(docs: DataFrame, exactThreshold: Boolean = false): DataFrame =
+    dsirSampleScored(dsirScores(docs), exactThreshold)
+
+  private def dsirSampleScored(scored: DataFrame,
+      exactThreshold: Boolean): DataFrame = {
+    import scored.sparkSession.implicits._
     val thr = dsirThreshold(scored, exactThreshold)
     scored.join(broadcast(thr), Seq("lang"))
       .select($"doc_id", $"lang", $"n_tokens",
@@ -746,17 +747,53 @@ object TrainPrep {
   /** The per-document DSIR score stream (doc_id, lang, n_tokens, avg_raw)
     * behind [[dsirSample]] and the q75 threshold contract.
     */
-  private[operators] def dsirScores(docs: DataFrame): DataFrame = {
+  private[operators] def dsirScores(docs: DataFrame): DataFrame =
+    dsirScoresFromTf(dsirTf(docs))
+
+  /** The (doc, lang, source, word, tf) stream every DSIR statistic
+    * derives from: word stats are sums of tf (identical values to
+    * counting raw tokens) and corpus totals are sums over the word
+    * stats, so the corpus is scanned once.
+    */
+  private def dsirTf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    // Everything derives from ONE (doc, word) tf stream: the word stats
-    // are sums of tf (identical values to counting raw tokens), and the
-    // corpus totals / vocabulary size are sums over the word stats — so
-    // the corpus is scanned once (the tf exchange is the same subtree on
-    // both its consumers and reuses), instead of once per statistic.
-    val tf = docs
+    docs
       .select($"doc_id", $"lang", $"source", explode(split($"text", " ")).as("word"))
       .groupBy($"doc_id", $"lang", $"source", $"word")
       .agg(count(lit(1)).as("tf"))
+  }
+
+  /** [[dsirTf]] over the RAW corpus as a cached, word-partitioned index
+    * (frameCached — built once per dataset state): the word-stat
+    * aggregate and the per-token score join both ride the cached
+    * partitioning, so a steady-state q73/q75 run pays one doc-keyed
+    * exchange for the per-document rollup and nothing else corpus-wide.
+    * Only the raw-corpus entry points use this — compositions scoring
+    * pipeline INTERMEDIATES (q74's cleaned docs) keep the inline
+    * [[dsirTf]], whose input is not an at-rest dataset.
+    */
+  /** The per-document DSIR score table over the raw corpus, cached: the
+    * threshold aggregate and the selection join BOTH consume it (without
+    * the cache each branch re-ran the score join + per-doc rollup), and
+    * its rows are |docs|-bounded — four narrow columns.
+    */
+  private def dsirScoredCached(spark: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.frameCached(spark, "dsir_scored_index", 1,
+      Seq(s"$dir/documents.parquet")) {
+      dsirScoresFromTf(dsirTfCached(spark, dir))
+    }
+
+  private def dsirTfCached(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.ArtifactStore.frameCached(spark, "dsir_tf_index", 1,
+      Seq(s"$dir/documents.parquet")) {
+      dsirTf(Tables.spreadBy(Tables.documents(spark, dir), "doc_id"))
+        .repartition($"word")
+    }
+  }
+
+  private[operators] def dsirScoresFromTf(tf: DataFrame): DataFrame = {
+    import tf.sparkSession.implicits._
     val ws = tf.groupBy($"word").agg(
       sum(when($"source" === "src0", $"tf").otherwise(0L)).as("ct"),
       sum($"tf").as("cr"))
@@ -788,7 +825,7 @@ object TrainPrep {
     */
   def q75DsirThresholds(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    dsirScores(Tables.spreadBy(Tables.documents(spark, dir), "doc_id"))
+    dsirScoredCached(spark, dir)
       .groupBy($"lang")
       .agg(
         expr("percentile(avg_raw, 0.9)").as("thr_exact"),
