@@ -2782,23 +2782,35 @@ object ScaleOps {
     */
   def q136PageRank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pcnt = basketPairCounts(rankedItems(spark, dir))
-    // The basket-build subtree is referenced by every power iteration;
-    // materialize it ONCE (q48's localCheckpoint discipline) so a plan
-    // re-optimization can never silently re-run it prIters times.
-    val edges = pcnt.select(explode(array(
-        struct($"p1".as("u"), $"p2".as("v"), $"n_ab"),
-        struct($"p2".as("u"), $"p1".as("v"), $"n_ab"))).as("e"))
-      .select($"e.u".as("u"), $"e.v".as("v"), $"e.n_ab".as("n_ab"))
-      .localCheckpoint(true)
-    val deg = edges.groupBy($"u").agg(sum($"n_ab").as("deg"))
-      .localCheckpoint(true)
+    // The edge list and degree table are referenced by every power
+    // iteration; both build once per dataset state as frameCached caches
+    // (the basket-family discipline). Edges land hash(v)-PARTITIONED:
+    // each iteration's (node, rank) and degree sides are |nodes|-bounded
+    // and broadcast, so the contribution projection preserves the edge
+    // partitioning and the groupBy(v) sum rides it — a power iteration
+    // costs two broadcast joins and an in-partition aggregate, ZERO
+    // exchanges of the edge-sized stream (the former localCheckpoint
+    // surfaced UnknownPartitioning under AQE and re-exchanged the
+    // contributions every iteration).
+    val edges = graft.ArtifactStore.frameCached(spark, "basket_edges", 1,
+      Seq(s"$dir/lineitem.parquet")) {
+      basketPairCounts(rankedItems(spark, dir)).select(explode(array(
+          struct($"p1".as("u"), $"p2".as("v"), $"n_ab"),
+          struct($"p2".as("u"), $"p1".as("v"), $"n_ab"))).as("e"))
+        .select($"e.u".as("u"), $"e.v".as("v"), $"e.n_ab".as("n_ab"))
+        .repartition($"v")
+    }
+    val deg = graft.ArtifactStore.frameCached(spark, "basket_deg", 1,
+      Seq(s"$dir/lineitem.parquet")) {
+      edges.groupBy($"u").agg(sum($"n_ab").as("deg"))
+    }
     val n = deg.agg(count(lit(1)).as("n_nodes"))
     var rank = deg.select($"u").crossJoin(broadcast(n))
       .withColumn("r_pico", round(lit(1e12) / $"n_nodes").cast("long"))
       .select($"u", $"r_pico")
     for (_ <- 1 to prIters) {
-      val contrib = rank.join(edges, Seq("u")).join(deg, Seq("u"))
+      val contrib = edges
+        .join(broadcast(rank), Seq("u")).join(broadcast(deg), Seq("u"))
         .select($"v",
           round($"r_pico".cast("double") * $"n_ab" / $"deg").cast("long").as("c"))
         .groupBy($"v").agg(sum($"c").as("sc"))
