@@ -84,12 +84,24 @@ object ArtifactStore {
         path + s".staging-${ProcessHandle.current.pid}-${System.nanoTime}")
       build.write.mode("overwrite").parquet(staging.getPath)
       if (!staging.renameTo(dst)) {
-        // another process won the race (dst exists) — serve its artifact
-        if (!new File(dst, "_SUCCESS").isFile)
-          throw new java.io.IOException(
-            s"artifact commit failed: cannot rename $staging -> $path " +
-              "and no complete artifact exists at the destination")
-        deleteRecursively(staging)
+        if (new File(dst, "_SUCCESS").isFile) {
+          // another process won the race — serve its complete artifact
+          deleteRecursively(staging)
+        } else {
+          // dst exists but is INCOMPLETE (a crashed writer from before the
+          // staging protocol, or a torn direct write): without this, every
+          // subsequent run fails the rename forever. Clear the stale wreck
+          // and retry once; if the retry also loses, a complete artifact
+          // must have appeared concurrently — serve it.
+          deleteRecursively(dst)
+          if (!staging.renameTo(dst)) {
+            if (!new File(dst, "_SUCCESS").isFile)
+              throw new java.io.IOException(
+                s"artifact commit failed: cannot rename $staging -> $path " +
+                  "and no complete artifact exists at the destination")
+            deleteRecursively(staging)
+          }
+        }
       }
     }
     spark.read.parquet(path)
@@ -116,8 +128,35 @@ object ArtifactStore {
     scalars.getOrElseUpdate(keyOf(name, version, inputs), compute)
       .asInstanceOf[T]
 
+  /** One memoized persisted frame. The lazy body runs the build at most
+    * once even under concurrent first callers (the JVM's lazy-val lock),
+    * and the evicted/built handshake guarantees a superseded holder's
+    * persisted frame is unpersisted no matter how evict() interleaves
+    * with a build in flight — `unpersist` is idempotent, so the one
+    * double-call interleaving is harmless.
+    */
+  private final class FrameHolder(val fp: String, build: () => DataFrame) {
+    private val built =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame]
+    @volatile private var evicted = false
+    lazy val frame: DataFrame = {
+      val p = build().persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      built.set(p)
+      if (evicted) p.unpersist(false)
+      p
+    }
+    def evict(): Unit = {
+      evicted = true
+      val p = built.get
+      if (p != null) p.unpersist(false)
+    }
+  }
+
   private val frames =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Int), FrameHolder]
 
   /** The cluster-memory twin of [[cached]] for partition-shaped
     * INTERMEDIATES that several queries — or several branches of one
@@ -138,11 +177,19 @@ object ArtifactStore {
     * read, never race to fill.
     */
   def frameCached(spark: SparkSession, name: String, version: Int,
-      inputs: Seq[String])(build: => DataFrame): DataFrame =
-    frames.getOrElseUpdate((spark, keyOf(name, version, inputs)), {
-      val p = build.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      p
-    })
+      inputs: Seq[String])(build: => DataFrame): DataFrame = {
+    val fp = keyOf(name, version, inputs)
+    val key = (spark, name, version)
+    val fresh = new FrameHolder(fp, () => build)
+    var cur = frames.putIfAbsent(key, fresh).getOrElse(fresh)
+    // input data changed since this entry was built: swap in the new
+    // holder and UNPERSIST the superseded frame — in a long-lived session
+    // (streaming driver, notebook) each refresh would otherwise leak a
+    // full cached intermediate of executor storage forever
+    while (cur.fp != fp) {
+      if (frames.replace(key, cur, fresh)) { cur.evict(); cur = fresh }
+      else cur = frames.getOrElse(key, fresh)
+    }
+    cur.frame
+  }
 }

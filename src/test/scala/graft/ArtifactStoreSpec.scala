@@ -36,10 +36,14 @@ class ArtifactStoreSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("asfc").toString
     writeInput(dir, Seq((1L, 10L), (2L, 20L)))
     var builds = 0
+    // the lit(builds) marker makes each build's logical plan distinct, so
+    // Dataset.storageLevel below resolves THIS build's cache entry rather
+    // than a sameResult match against the successor's
     def cached() = ArtifactStore.frameCached(spark, "asfc_t", 1,
       Seq(s"$dir/t.parquet")) {
       builds += 1
       spark.read.parquet(s"$dir/t.parquet").repartition($"k")
+        .withColumn("b", lit(builds))
     }
     val a = cached()
     val b = cached()
@@ -54,6 +58,48 @@ class ArtifactStoreSpec extends AnyFunSuite {
     val c = cached()
     assert(builds == 2, "a changed input fingerprint must rebuild")
     assert(c.count() == 3)
+    // the superseded frame must be UNPERSISTED, not leaked: in a
+    // long-lived session each dataset refresh would otherwise pin a
+    // full stale intermediate in executor storage forever
+    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "superseded frameCached entry still persisted — storage leak")
+    assert(c.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "current frameCached entry must stay persisted")
+  }
+
+  test("cached: a stale incomplete destination (no _SUCCESS) self-heals") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ashl").toString
+    writeInput(dir, Seq((1L, 10L), (2L, 20L)))
+    val artRoot = Files.createTempDirectory("ashlroot").toString
+    spark.conf.set("graft.artifacts.dir", artRoot)
+    try {
+      // plant a wreck at the EXACT destination key: a directory with a
+      // part file but no _SUCCESS (a writer that died mid-write before
+      // the staging protocol existed). renameTo over a non-empty dir
+      // fails, so without self-healing every subsequent build throws.
+      val probe = ArtifactStore.cached(spark, "ashl_idx", 1,
+        Seq(s"$dir/t.parquet")) {
+        spark.read.parquet(s"$dir/t.parquet")
+      }
+      assert(probe.count() == 2)
+      val committed = new java.io.File(artRoot).listFiles()
+        .filter(_.getName.startsWith("ashl_idx-"))
+      assert(committed.length == 1)
+      val dst = committed.head
+      // wreck it: drop _SUCCESS, leave a stale part file behind
+      new java.io.File(dst, "_SUCCESS").delete()
+      val stale = new java.io.File(dst, "stale-part.bin")
+      Files.write(stale.toPath, Array[Byte](1, 2, 3))
+      val healed = ArtifactStore.cached(spark, "ashl_idx", 1,
+        Seq(s"$dir/t.parquet")) {
+        spark.read.parquet(s"$dir/t.parquet")
+      }
+      assert(healed.count() == 2, "rebuild over a wrecked dst must serve fresh data")
+      assert(new java.io.File(dst, "_SUCCESS").isFile,
+        "healed artifact must carry _SUCCESS")
+      assert(!stale.exists, "the stale part file must not survive the heal")
+    } finally spark.conf.unset("graft.artifacts.dir")
   }
 
   test("frameCached: consumers ride the cached partitioning — no re-exchange") {
