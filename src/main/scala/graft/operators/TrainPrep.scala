@@ -87,13 +87,15 @@ object TrainPrep {
     import spark.implicits._
     val planted = concat($"text", lit(" contact user"), $"doc_id".cast("string"),
       lit("@example.com or call 555-"), $"doc_id".cast("string"), lit(" now"))
+    // fused single-expression scrub (graft.functions.PiiScrub): one string
+    // decode + three matcher traversals instead of four expressions × four
+    // decodes × four traversals — semantics bit-identical to the oracle's
+    // 4-call chain (counts on raw, replace sequentially; see PiiScrubOps)
     Tables.documents(spark, dir)
       .select($"doc_id", planted.as("raw"))
-      .select($"doc_id",
-        size(regexp_extract_all($"raw", lit(emailRe), lit(0))).as("n_emails"),
-        size(regexp_extract_all($"raw", lit(phoneRe), lit(0))).as("n_phones"),
-        regexp_replace(regexp_replace($"raw", emailRe, "<EMAIL>"),
-          phoneRe, "<PHONE>").as("clean_text"))
+      .select($"doc_id", graft.functions.PiiScrub.piiScrub($"raw").as("pii"))
+      .select($"doc_id", $"pii.n_emails".as("n_emails"),
+        $"pii.n_phones".as("n_phones"), $"pii.clean_text".as("clean_text"))
       .orderBy($"doc_id")
   }
 
