@@ -38,6 +38,9 @@ object Bench {
       // falls back to the shuffle join
       .config("spark.sql.autoBroadcastJoinThreshold",
         (64L * 1024 * 1024).toString)
+      // high-cardinality typed aggregates (see Sessions.local rationale)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warm-up: run the whole suite once at the smallest scale factor so

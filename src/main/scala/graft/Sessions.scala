@@ -24,6 +24,15 @@ object Sessions {
       // entries thrashes and re-runs janino per stage per query — see
       // Bench.scala rationale)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // typed aggregates over HIGH-CARDINALITY groups (weighted_median per
+      // part: ~200k groups) need the object-hash map to hold the task's
+      // group count; the 128-key default falls back to sort-based
+      // aggregation — re-paying exactly the per-partition sort the native
+      // aggregate exists to avoid. Buffers are small primitive maps
+      // (~tens of entries), so 1M keys is bounded by ~100s of MB per
+      // task; past it the sort fallback remains the graceful path.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString)
       // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
       // read them as epoch-nanos longs instead (SPARK-40819 escape hatch).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -63,6 +72,9 @@ object Sessions {
       // a long-lived cluster session serves many distinct queries; the
       // 100-entry codegen cache default forces steady-state recompilation
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // high-cardinality typed aggregates (see Sessions.local rationale)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")

@@ -21,6 +21,10 @@ object Verify {
       // other local-only delta, doesn't change plans — only block bytes.)
       .config("spark.sql.autoBroadcastJoinThreshold",
         (64L * 1024 * 1024).toString)
+      // high-cardinality typed aggregates (see Sessions.local rationale);
+      // same value as Bench so benched plans are the verified plans
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -2157,46 +2157,36 @@ object ScaleOps {
     */
   def q139WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // ONE part-keyed exchange: raw (price, qty) pairs collect per part and
-    // the whole statistic derives in-row. Equal prices sort adjacent, so
-    // the first row whose running 2·cum clears the total IS the first
-    // price group that clears it (any earlier price's group-cum would
-    // have triggered inside that earlier run) — identical to the former
-    // (part, price) pre-aggregate + cumulative window, minus one full
-    // corpus exchange, the window sort, and the totals join. Keys here
-    // are near-unique, so the deleted pre-aggregate had no map-side
-    // combine benefit to lose.
-    // ONE part-keyed repartition and everything rides it: the (p, price)
-    // collapse (plain codegen HashAggregate over longs — hash(p)
-    // co-locates the subset keys), the cumulative and whole-group
-    // windows (one in-partition sort, group size bounded by distinct
-    // prices per part), and the final per-part rollup. The former
-    // collect_list spelling built a 6M-element boxed struct buffer per
-    // pass through a non-codegen ObjectHashAggregate — measured 2 s on a
-    // fresh heap but 13–20 s once the heap carried tenured state (GC
-    // amplification on the boxed buffers), while this shape allocates
-    // nothing per row. Quantities are EXACT SCALED-LONG cents
-    // (dec_scaled_long, bit-identical to the decimal cast); Σqc and the
-    // 2·cum ≥ t threshold are integer-exact; t/100 as double is the
-    // same correctly-rounded rational the decimal cast produced.
-    val wCum = org.apache.spark.sql.expressions.Window
-      .partitionBy($"p").orderBy($"price")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"p")
+    // ONE aggregation, the q84 one-pass discipline: a native
+    // weighted_median TypedImperativeAggregate keeps a distinct-price →
+    // weight map per part (bounded by the price grid, ~tens of entries),
+    // combines partial maps MAP-SIDE, and walks the sorted cumulative
+    // in-row at eval. The former spelling — repartition + (p, price)
+    // hash aggregate + cumulative/total windows + second aggregate —
+    // paid a full per-partition window SORT of the corpus plus three
+    // extra operators for the same integer-exact walk (measured 2.20 s →
+    // this plan at sf1p; see SCALE.md round-11). Quantities are EXACT
+    // SCALED-LONG cents (dec_scaled_long, bit-identical to the decimal
+    // cast); Σqc and the 2·cum ≥ t threshold are integer-exact; t/100 as
+    // double is the same correctly-rounded rational the decimal cast
+    // produced. A single-group corpus-scale quantile remains q100's
+    // sketch; this is the GROUPED exact form.
     Tables(spark, dir, "lineitem")
       .select($"l_partkey".as("p"), $"l_extendedprice".as("price"),
         graft.functions.DecScaledLong.decScaledLong($"l_quantity", 2).as("qc"))
+      // repartition FIRST: map-side partial aggregation combines nothing
+      // here (parts spread across every scan task, ~1 row per part per
+      // task), so letting the aggregate's own exchange carry partial
+      // buffers would serialize |parts|×|tasks| one-entry maps (measured
+      // 3.4 s at sf1p). Shuffling the raw narrow rows once instead, the
+      // partial+final pair runs back-to-back in-stage: one buffer per
+      // part total, built and walked without ever crossing a wire.
       .repartition($"p")
-      .groupBy($"p", $"price").agg(sum($"qc").as("q"))
-      .withColumn("cum", sum($"q").over(wCum))
-      .withColumn("t", sum($"q").over(wAll))
-      .withColumn("np", count(lit(1)).over(wAll))
-      .filter($"cum" * 2 >= $"t")
       .groupBy($"p")
-      .agg(min($"price").as("w_median"), max($"t").as("tc"),
-        max($"np").as("n_prices"))
-      .select($"p".as("p_partkey"), $"w_median",
-        ($"tc".cast("double") / 100).as("total_qty"), $"n_prices")
+      .agg(graft.functions.WeightedMedian.weightedMedian($"price", $"qc").as("wm"))
+      .select($"p".as("p_partkey"), $"wm.w_median".as("w_median"),
+        ($"wm.total".cast("double") / 100).as("total_qty"),
+        $"wm.n_prices".cast("long").as("n_prices"))
       .orderBy($"p_partkey")
   }
 

@@ -58,7 +58,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // commit) made power iterations exchange-free — steady state shuffles
     // only the tiny rank/deg rollups that feed each iteration's broadcast
     "q136_pagerank" -> 12731L,
-    "q139_weighted_median" -> 683316L,
+    // re-pinned round 11: the native weighted_median aggregate replaced
+    // the window pair; the exchange still carries the raw narrow rows
+    // once (repartition before the in-stage partial+final aggregate),
+    // plus slightly wider final-sort input (struct result per part)
+    "q139_weighted_median" -> 847268L,
     "q145_assoc_rules" -> 1179068L,
     // re-pinned round 10: the part-clustered bridge projection absorbs
     // the fact exchange into a once-per-dataset cache build; steady
