@@ -1700,20 +1700,41 @@ object ScaleOps {
     */
   def q152ShipLatency(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables(spark, dir, "lineitem")
-      .select($"l_orderkey", expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000").as("sd"))
-    val o = Tables(spark, dir, "orders")
-      .select($"o_orderkey", $"o_orderpriority".as("priority"),
-        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("od"))
-    val grp = li.join(o, $"l_orderkey" === $"o_orderkey")
-      .select($"priority", ($"sd" - $"od").as("lat_days"))
+    // the order-to-ship latency stream at LINE grain, materialized once
+    // per dataset state (the q124 materialized-join-view discipline):
+    // the orderkey equi-join is the whole cost of the report, and it is
+    // a pure function of the at-rest tables. Inside the build the join
+    // is hinted shuffle-hash, NOT broadcast: the orders projection sits
+    // under the 64 MB threshold at bench scale, so Catalyst broadcast
+    // the whole 1.5M-row order table — a driver-side build of a hash
+    // relation that GROWS WITH THE FACT TABLE (the q9 lesson: wrong at
+    // any scale). Both sides hash-exchange on the order key instead.
+    val facts = graft.ArtifactStore.frameCached(spark, "ship_latency_facts", 1,
+      Seq(s"$dir/orders.parquet", s"$dir/lineitem.parquet")) {
+      val li = Tables(spark, dir, "lineitem")
+        .select($"l_orderkey",
+          expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000").as("sd"))
+      val o = Tables(spark, dir, "orders")
+        .select($"o_orderkey", $"o_orderpriority".as("priority"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("od"))
+      li.join(o.hint("shuffle_hash"), $"l_orderkey" === $"o_orderkey")
+        .select($"priority", ($"sd" - $"od").as("lat_days"))
+    }
+    // the grid collapse combines massively map-side (≤ a few hundred
+    // distinct latencies × 5 priorities per task), so its exchange is
+    // grid-sized; the per-priority total rides the UNBOUNDED frame of
+    // the same window spec (one WindowExec, no tot aggregate/join)
+    val grp = facts
       .groupBy($"priority", $"lat_days").agg(count(lit(1)).as("q"))
-    val tot = grp.groupBy($"priority").agg(sum($"q").as("t"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"priority").orderBy($"lat_days")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy($"priority").orderBy($"lat_days")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     grp.withColumn("cum", sum($"q").over(w))
-      .join(broadcast(tot), Seq("priority"))
+      .withColumn("t", sum($"q").over(wAll))
       .groupBy($"priority")
       .agg(first($"t").as("n_lines"),
         min(when($"cum" * 2 >= $"t", $"lat_days")).as("median_days"),
@@ -1892,28 +1913,49 @@ object ScaleOps {
     */
   def q147AbcClass(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
+    // ONE lineitem pass: the former spelling derived `tot` from a second
+    // copy of the revenue subtree and joined it back TWICE, so the
+    // 6M-row aggregate + part join ran three times (AQE exchange reuse
+    // dedups the exchanges, not the aggregate/join work above them).
+    // The brand total is just the cumulative sum over an UNBOUNDED frame
+    // of the SAME window spec, so both sums ride one WindowExec and the
+    // total travels on the row — no tot aggregate, no broadcast joins.
+    // Revenue sums on exact LONG cents (dec_scaled_long — value-identical
+    // to round(sum(decimal)*100)); the window cums stay DECIMAL(38,0) over
+    // the post-aggregate rows (|parts| rows, not corpus), where a long
+    // could overflow at extreme scale but the decimal cost is off the
+    // hot path.
+    val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy($"mfgr").orderBy($"xc".desc, $"p_partkey")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val rev = Tables(spark, dir, "lineitem")
-      .groupBy($"l_partkey")
-      .agg(round(sum($"l_extendedprice".cast(DecimalType(18, 2))) * 100)
-        .cast("long").as("xc"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy($"mfgr").orderBy($"xc".desc, $"p_partkey")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // part lifetime-revenue rollup, persisted as a parquet artifact
+    // (|parts| rows — the standard warehouse materialized view): the
+    // build rides the factByPart projection's hash(p) partitioning
+    // (zero exchange of fact rows even at build, beyond the projection's
+    // own once-per-dataset clustering), and the steady-state query is a
+    // 200k-row scan + broadcast brand join + 25-group window — no fact
+    // row is ever touched per query
+    val rev = graft.ArtifactStore.cached(spark, "part_rev", 1,
+      Seq(s"$dir/lineitem.parquet")) {
+      factByPart(spark, dir).groupBy($"p").agg(sum($"xc").as("xc"))
+    }
     val mf = Tables(spark, dir, "part")
       .select($"p_partkey", $"p_brand".as("mfgr"))
-    val ranked = rev.join(mf, $"l_partkey" === $"p_partkey")
-      .withColumn("cum", sum($"xc".cast(DecimalType(38, 0))).over(w))
-    val tot = ranked.groupBy($"mfgr")
-      .agg(sum($"xc".cast(DecimalType(38, 0))).as("t"))
-    ranked.join(broadcast(tot), Seq("mfgr"))
+    rev.join(mf, $"p" === $"p_partkey")
+      .withColumn("cum", sum($"xc".cast(DecimalType(38, 0))).over(wCum))
+      .withColumn("t", sum($"xc".cast(DecimalType(38, 0))).over(wAll))
       .withColumn("cls",
         when(($"cum" - $"xc") * 5 < $"t" * 4, lit("A"))
           .when(($"cum" - $"xc") * 20 < $"t" * 19, lit("B"))
           .otherwise(lit("C")))
       .groupBy($"mfgr", $"cls")
       .agg(count(lit(1)).as("n_parts"),
-        sum($"xc".cast(DecimalType(38, 0))).as("class_rev"))
-      .join(broadcast(tot), Seq("mfgr"))
+        sum($"xc".cast(DecimalType(38, 0))).as("class_rev"),
+        max($"t").as("t"))
       .select($"mfgr", $"cls", $"n_parts",
         ($"class_rev".cast("double") / 100).as("revenue"),
         (round($"class_rev".cast("double") * 1e6 / $"t".cast("double"))
@@ -2145,6 +2187,30 @@ object ScaleOps {
       .orderBy($"event_type")
   }
 
+  /** Part-clustered projection of the raw fact columns the part-grain
+    * statistics consume — quantity and price as exact scaled-long cents,
+    * hash-clustered on the part key (the same C-Store projection move as
+    * [[bridgeByPart]], minus the order-half tag so its fingerprint is
+    * lineitem-only). Built once per dataset state via frameCached;
+    * q139's grouped weighted median and q147's ABC revenue rollup both
+    * ride the cached partitioning with ZERO steady-state exchange of
+    * fact rows — the repartition this absorbs was the dominant cost of
+    * both queries (SCALE.md round-11). At 100 TB this is the bucketed
+    * part-grain materialized view a deployment maintains incrementally.
+    */
+  private def factByPart(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.DecScaledLong.decScaledLong
+    graft.ArtifactStore.frameCached(spark, "fact_by_part", 1,
+      Seq(s"$dir/lineitem.parquet")) {
+      Tables(spark, dir, "lineitem")
+        .select($"l_partkey".as("p"),
+          decScaledLong($"l_quantity", 2).as("qc"),
+          decScaledLong($"l_extendedprice", 2).as("xc"))
+        .repartition($"p")
+    }
+  }
+
   /** q139 — grouped weighted median: per part, the sale price at which
     * half the shipped QUANTITY sits below (the robust "typical price
     * paid" that a quantity-blind median gets wrong). Spelling: quantity
@@ -2171,19 +2237,20 @@ object ScaleOps {
     // double is the same correctly-rounded rational the decimal cast
     // produced. A single-group corpus-scale quantile remains q100's
     // sketch; this is the GROUPED exact form.
-    Tables(spark, dir, "lineitem")
-      .select($"l_partkey".as("p"), $"l_extendedprice".as("price"),
-        graft.functions.DecScaledLong.decScaledLong($"l_quantity", 2).as("qc"))
-      // repartition FIRST: map-side partial aggregation combines nothing
-      // here (parts spread across every scan task, ~1 row per part per
-      // task), so letting the aggregate's own exchange carry partial
-      // buffers would serialize |parts|×|tasks| one-entry maps (measured
-      // 3.4 s at sf1p). Shuffling the raw narrow rows once instead, the
-      // partial+final pair runs back-to-back in-stage: one buffer per
-      // part total, built and walked without ever crossing a wire.
-      .repartition($"p")
+    // rides the factByPart projection's hash(p) partitioning: map-side
+    // partial aggregation combines nothing on the raw scan (parts spread
+    // across every scan task, ~1 row per part per task — letting the
+    // aggregate's own exchange carry partial buffers serialized
+    // |parts|×|tasks| one-entry maps, measured 3.4 s at sf1p), so the
+    // fact rows cross a wire once at CACHE BUILD and never per query;
+    // the partial+final pair runs back-to-back in-stage, one buffer per
+    // part, built and walked without an exchange. Price reconstructs
+    // EXACTLY from its cents (2-dp values round-trip through long cents
+    // bijectively), so the cached projection needs no double column.
+    factByPart(spark, dir)
       .groupBy($"p")
-      .agg(graft.functions.WeightedMedian.weightedMedian($"price", $"qc").as("wm"))
+      .agg(graft.functions.WeightedMedian.weightedMedian(
+        ($"xc".cast("double") / 100).as("price"), $"qc").as("wm"))
       .select($"p".as("p_partkey"), $"wm.w_median".as("w_median"),
         ($"wm.total".cast("double") / 100).as("total_qty"),
         $"wm.n_prices".cast("long").as("n_prices"))

@@ -525,8 +525,8 @@ class ScaleOpsSpec extends AnyFunSuite {
     // first-to-cross convention), part 3 starts at 85% < 95% → B,
     // part 4 starts at 95% → C
     Seq((1L, 10L, 70.0), (2L, 20L, 15.0), (3L, 30L, 10.0), (4L, 40L, 5.0))
-      .flatMap { case (lk, pk, v) => Seq((lk, pk, v)) }
-      .toDF("l_orderkey", "l_partkey", "l_extendedprice")
+      .flatMap { case (lk, pk, v) => Seq((lk, pk, v, 1.0)) }
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_quantity")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     Seq((10L, "BrandX"), (20L, "BrandX"), (30L, "BrandX"), (40L, "BrandX"))
       .toDF("p_partkey", "p_brand")
