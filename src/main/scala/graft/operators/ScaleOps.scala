@@ -555,9 +555,7 @@ object ScaleOps {
           abs(coalesce(min($"rev4"), lit(0L)))).as("maxabs"))
     // merge the quadrant partials per priority: counts add, exact scaled
     // longs add — the associative arithmetic a real refresh runs, here
-    // over the materialized cell rows; inc_ok pins the merged totals
-    // against the same-pass direct sums (disjointness of the cells is the
-    // algebraic identity the oracle checks the OUTPUT of)
+    // over the materialized cell rows
     def quad(q: Int, v: org.apache.spark.sql.Column) =
       coalesce(sum(when(pmod($"cell", lit(4)) === q, v)), lit(0L))
     val agg = cells
@@ -566,16 +564,26 @@ object ScaleOps {
         sum($"n").as("n"), sum($"r4").as("r4"), max($"maxabs").as("maxabs"),
         (quad(0, $"n") + quad(1, $"n") + quad(2, $"n") + quad(3, $"n")).as("n_i"),
         (quad(0, $"r4") + quad(1, $"r4") + quad(2, $"r4") + quad(3, $"r4")).as("r4_i"))
+    // the audit's INDEPENDENT side: direct per-priority totals from the
+    // materialized join rows, bypassing the cell tagging entirely (pq is
+    // pi*4 + old/new flag, so pq div 4 never touches `ln` or `cell`
+    // arithmetic). A bug in the quadrant tags or cut scalars (overlapping
+    // old/new, a row double-counted across cells) now flips inc_ok —
+    // the former spelling re-summed the SAME cell rows on both sides,
+    // making inc_ok true by construction.
+    val direct = joined
+      .groupBy(($"pq" / 4).cast("int").as("pi"))
+      .agg(count(lit(1)).as("n_d"), sum($"rev4").as("r4_d"))
     val pName = prios.zipWithIndex.tail.foldLeft(lit(prios.head)) {
       case (acc, (p, i)) => when($"pi" === i, p).otherwise(acc)
     }
-    agg.select(pName.as("o_orderpriority"), $"n",
+    agg.join(direct, Seq("pi")).select(pName.as("o_orderpriority"), $"n",
       when($"n".cast("double") * $"maxabs".cast("double") < 9.0e18,
         $"r4".cast("double") / 1e4)
         .otherwise(raise_error(lit(
           "q124 overflow canary: Σ|rev4| may exceed 2^63; re-aggregate " +
             "with a decimal buffer"))).as("revenue"),
-      ($"n_i" === $"n" && $"r4_i" === $"r4").as("inc_ok"))
+      ($"n_i" === $"n_d" && $"r4_i" === $"r4_d").as("inc_ok"))
       .orderBy($"o_orderpriority")
   }
 

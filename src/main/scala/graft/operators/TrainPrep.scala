@@ -347,7 +347,8 @@ object TrainPrep {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
       if (top.isEmpty) done = true
       else {
-        val accepted = bpeAcceptPrefix(top, nMerges - merges.length)
+        val accepted = bpeAcceptPrefix(top, nMerges - merges.length,
+          merges.map { case (_, l, r, _) => l + r }.toSet)
         accepted.foreach { case (l, r, c) =>
           merges += ((merges.length + 1, l, r, c))
         }
@@ -396,16 +397,26 @@ object TrainPrep {
     * rejection ends the batch — a later candidate's sequential count
     * could differ once an overlapping higher-ranked merge applies.
     */
-  private[operators] def bpeAcceptPrefix(top: Seq[(String, String, Long)], maxN: Int)
-      : Seq[(String, String, Long)] = {
+  private[operators] def bpeAcceptPrefix(top: Seq[(String, String, Long)], maxN: Int,
+      minted: Set[String] = Set.empty): Seq[(String, String, Long)] = {
     val unknownCap = if (top.length < bpeProbeN) 0L else top.last._3
     val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     accepted += top.head
     var idx = 1
-    var open = true
+    // cross-batch minting collision: if an accepted merge's symbol
+    // string-equals a symbol minted in an EARLIER batch via a different
+    // split ('ab'+'c' now, 'a'+'bc' before — both "abc"), its created
+    // occurrences MERGE INTO an existing original pair's count, so the
+    // created-pair dominance bound (which caps created occurrences alone)
+    // no longer bounds that pair's sequential total. The head is still the
+    // true argmax of its round (applying it alone is always correct), but
+    // nothing after it can be safely batched — end the batch at one.
+    // Every multi-char symbol in the vocabulary came from a merge, so the
+    // driver-held minted set IS the complete collision surface.
+    var open = !minted.contains(top.head._1 + top.head._2)
     while (open && idx < top.length && accepted.length < maxN) {
       val (l, r, c) = top(idx)
-      val ok = accepted.forall { case (al, ar, ac) =>
+      val ok = !minted.contains(l + r) && accepted.forall { case (al, ar, ac) =>
         val as = al + ar
         val disjoint = l != al && l != ar && r != al && r != ar &&
           l != as && r != as && (l + r) != as

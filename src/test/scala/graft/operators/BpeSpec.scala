@@ -93,6 +93,15 @@ class BpeSpec extends AnyFunSuite {
     // (s,t) occurrences, so (s,t) may not ride along
     val clash = Seq(("e", "s", 9L), ("s", "t", 9L), ("l", "o", 7L))
     assert(TrainPrep.bpeAcceptPrefix(clash, 3) == clash.take(1))
+    // cross-batch minting collision: a candidate whose merged symbol
+    // string-equals a symbol minted in an EARLIER batch (here "xy",
+    // re-minted via a different split) may not ride in a batch — its
+    // created occurrences merge into an existing pair's count, breaking
+    // the created-pair dominance bound. Mid-batch: stop before it.
+    assert(TrainPrep.bpeAcceptPrefix(top, 4, minted = Set("mn")) == top.take(2))
+    // at the head: the argmax itself is still correct alone, but nothing
+    // may be batched behind it
+    assert(TrainPrep.bpeAcceptPrefix(top, 4, minted = Set("xy")) == top.take(1))
   }
 
   test("partition-invariant and deterministic on the real corpus") {
