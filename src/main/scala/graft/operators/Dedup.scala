@@ -247,7 +247,20 @@ object Dedup {
   }
 
   def q72PassageDedup(spark: SparkSession, dir: String): DataFrame =
-    passageDedupFrame(Tables.documents(spark, dir))
+    passageDedupCached(spark, dir)
+
+  /** [[passageDedupFrame]] over the RAW corpus as a cached frame (the
+    * cleaned-corpus stage every downstream consumer reuses): built once
+    * per dataset state, served to q72 directly and to the q74 pipeline's
+    * rebuild join — re-deriving the fingerprint aggregate per query paid
+    * the full passage explode + min_by exchange every run. The rows are
+    * |docs|-grain (doc_id, n_passages, n_kept, clean_text).
+    */
+  private[operators] def passageDedupCached(spark: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.frameCached(spark, "passage_dedup_frame", 1,
+      Seq(s"$dir/documents.parquet")) {
+      passageDedupFrame(Tables.spreadBy(Tables.documents(spark, dir), "doc_id"))
+    }
 
   /** The q72 engine over any (doc_id, text, ...) frame — also a stage of
     * the [[TrainPrep.q74CorpusPipelineV2]] composition.

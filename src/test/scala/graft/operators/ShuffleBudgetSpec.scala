@@ -33,7 +33,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q48_neardup_clusters" -> 303268L,
     "q54_corpus_pipeline" -> 489549L,
     "q56_quality_survivor" -> 311792L,
-    "q74_corpus_pipeline_v2" -> 640750L,
+    // re-pinned round 11: the cleaned corpus (shared passage-dedup
+    // frame) and the rebuilt-text DSIR score table are cached stages, so
+    // steady state shuffles only the rebuild join, threshold broadcast,
+    // selection semi join, and pack window rows
+    "q74_corpus_pipeline_v2" -> 16107L,
     // re-pinned round 10 (twice): two-long window fingerprints, then the
     // (fp, doc) window table and the q78 first-occurrence table moved
     // into frameCached indexes — steady state shuffles only the per-doc
