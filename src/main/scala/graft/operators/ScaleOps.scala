@@ -21,10 +21,15 @@ object ScaleOps {
     */
   def q36ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // pre-distinct (the q93/q112 discipline): countDistinct beside the
+    // imperative HLL++ aggregate would plan through Expand with a sketch
+    // buffer per (type, user) group; sketching the distinct pairs is
+    // value-idempotent so n_approx is identical
     Tables.events(spark, dir)
+      .select($"event_type", $"user_id").distinct()
       .groupBy($"event_type")
       .agg(
-        countDistinct($"user_id").as("n_exact"),
+        count(lit(1)).as("n_exact"),
         approx_count_distinct($"user_id").as("n_approx"))
       .select(
         $"event_type", $"n_exact",
@@ -76,10 +81,19 @@ object ScaleOps {
   def q93HllSketch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val events = Tables.events(spark, dir)
+    // the q112 pre-distinct discipline: countDistinct BESIDE a typed
+    // aggregate plans through Expand with the HLL partial evaluated per
+    // (type, user) group — |users| 4 KB register arrays allocated,
+    // merged, and serialized through the exchange (measured 10-30 s at
+    // sf1p). HLL is idempotent per value, so sketching the DISTINCT
+    // pairs yields bit-identical registers while the exact count
+    // becomes a plain count(1) — two codegen'd hash aggregates, 5
+    // sketch buffers total.
     val direct = events
+      .select($"event_type", $"user_id").distinct()
       .groupBy($"event_type")
       .agg(
-        countDistinct($"user_id").as("n_exact"),
+        count(lit(1)).as("n_exact"),
         Hll.hllSketch($"user_id").as("sk_direct"))
     val merged = sketchRollup(buildUserSketches(events))
       .select($"event_type", $"sketch".as("sk_merged"))
@@ -610,14 +624,22 @@ object ScaleOps {
         sum($"n").as("n_incr"),
         sum($"tot").as("tot_incr"),
         Hll.hllMerge($"sk").as("sk_incr"))
+    // exact_users in its OWN aggregation: countDistinct beside the typed
+    // HLL aggregate plans through Expand with an HLL partial per
+    // (type, user) group — |users| 4 KB buffers (the q93/q112 lesson).
+    // Split, each aggregation is a plain codegen'd two-phase plan and
+    // the join key is 5 rows.
     val direct = events
       .groupBy($"event_type")
       .agg(
         count(lit(1)).as("n_events"),
         sum($"value".cast(DecimalType(18, 2))).cast("double").as("total_value"),
-        countDistinct($"user_id").as("exact_users"),
         Hll.hllSketch($"user_id").as("sk_direct"))
-    direct.join(incr, Seq("event_type"))
+    val exact = events
+      .select($"event_type", $"user_id").distinct()
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("exact_users"))
+    direct.join(broadcast(exact), Seq("event_type")).join(incr, Seq("event_type"))
       .select($"event_type", $"n_events", $"total_value", $"exact_users",
         ($"n_incr" === $"n_events").as("count_ok"),
         ($"tot_incr".cast("double") === $"total_value").as("total_ok"),
