@@ -416,4 +416,66 @@ class PlanSpec extends AnyFunSuite {
     // then a single global aggregate
     assert(!p.contains("Join"), s"a join crept into the sketch-overlap plan:\n$p")
   }
+
+  test("q93/q117/q36: no Expand — countDistinct never rides beside a sketch aggregate") {
+    // the round-11 pathology: a distinct aggregate BESIDE an imperative
+    // sketch plans through Expand with the sketch partial evaluated per
+    // (group, user) pair — one 4 KB register array per distinct user.
+    // The pre-distinct spelling must keep Expand out of all three plans.
+    for (q <- Seq(ScaleOps.q93HllSketch _, ScaleOps.q117IncrAgg _,
+        ScaleOps.q36ApproxDistinct _)) {
+      val p = plan(q(spark, dir))
+      assert(!p.contains("Expand"),
+        s"mixed-distinct Expand machinery crept back:\n$p")
+    }
+  }
+
+  test("q139: one native weighted_median aggregate — no window pair, no object-agg fallback trigger") {
+    val p = plan(ScaleOps.q139WeightedMedian(spark, dir))
+    assert(p.contains("weighted_median"), s"native aggregate missing:\n$p")
+    assert(!p.contains("Window"), s"the window pair crept back:\n$p")
+  }
+
+  test("q147: ONE WindowExec computes cum and total; no second revenue subtree") {
+    val p = plan(ScaleOps.q147AbcClass(spark, dir))
+    val windows = p.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 2, // formatted mode lists the operator + its detail section
+      s"the brand total must ride the same WindowExec as the cumulative:\n$p")
+    // the revenue aggregate reads the persisted part_rev artifact, so no
+    // lineitem scan appears anywhere in the steady-state plan
+    assert(!p.contains("lineitem"), s"a fact scan crept into the ride:\n$p")
+  }
+
+  test("q152: the order join lives in the cached view build as shuffle-hash, never broadcast") {
+    val p = ScaleOps.q152ShipLatency(spark, dir).queryExecution.executedPlan.toString
+    // the InMemoryRelation subtree records the build plan: the orderkey
+    // equi-join must be shuffle-hash (a broadcast side would grow with
+    // the fact table — the q9 anti-pattern this round removed)
+    assert(p.contains("ShuffledHashJoin"), s"build join is not shuffle-hash:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"a corpus-sized broadcast crept back:\n$p")
+  }
+
+  test("similarity probes: the corpus embedding table is never the broadcast build side") {
+    // regression pin for the round-11 fix: an un-hinted candidate ⋈ corpus
+    // join broadcast the whole embedding projection (driver-side build
+    // growing with the corpus). Every BroadcastExchange subtree that
+    // touches the embeddings table must carry the query-side vec_id
+    // pushdown; the full-corpus scan stays outside broadcast subtrees.
+    for (q <- Seq(Similarity.q30CosineTopK _, Similarity.q40LshAnn _,
+        Similarity.q32IvfAnn _)) {
+      val p = q(spark, dir).queryExecution.executedPlan.toString
+      val segs = p.split("BroadcastExchange").drop(1)
+      segs.foreach { seg =>
+        // within a broadcast subtree, an embeddings FileScan is legal only
+        // for the filtered query rows (pushdown visible in the scan)
+        val upToNextExchange = seg.split("Exchange hashpartitioning").head
+        if (upToNextExchange.contains("embeddings") ||
+            upToNextExchange.contains("embedding#")) {
+          assert(upToNextExchange.contains("LessThan(vec_id") ||
+            upToNextExchange.contains("vec_id#") && upToNextExchange.contains("< 10"),
+            s"a corpus-sized embedding relation is broadcast:\n$p")
+        }
+      }
+    }
+  }
 }
