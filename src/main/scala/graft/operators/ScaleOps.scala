@@ -35,7 +35,7 @@ object ScaleOps {
         $"event_type", $"n_exact",
         (abs($"n_approx" - $"n_exact").cast("double") / $"n_exact" <= 0.15)
           .as("approx_within_tol"))
-      .orderBy($"event_type")
+      .transform(Relational.presentSorted(_, $"event_type"))
   }
 
   import graft.functions.Hll
@@ -103,7 +103,7 @@ object ScaleOps {
         (abs(Hll.hllEst($"sk_direct") - $"n_exact").cast("double") / $"n_exact" <= 0.05)
           .as("est_ok"),
         ($"sk_merged" === $"sk_direct").as("merge_ok"))
-      .orderBy($"event_type")
+      .transform(Relational.presentSorted(_, $"event_type"))
   }
 
   import graft.functions.HistSketch
@@ -154,7 +154,7 @@ object ScaleOps {
         (abs(HistSketch.histQuantile($"sk_direct", 0.5) - $"p50_exact") <= tol).as("p50_ok"),
         (abs(HistSketch.histQuantile($"sk_direct", 0.9) - $"p90_exact") <= tol).as("p90_ok"),
         ($"sk_merged" === $"sk_direct").as("merge_ok"))
-      .orderBy($"event_type")
+      .transform(Relational.presentSorted(_, $"event_type"))
   }
 
   /** Bloom-pruned join (runtime-filter shape, spelled explicitly): the
@@ -210,7 +210,7 @@ object ScaleOps {
         count(lit(1)).as("n_lines"),
         countDistinct($"l_orderkey").as("n_orders"),
         Relational.dsum($"l_extendedprice").as("revenue"))
-      .orderBy($"l_returnflag")
+      .transform(Relational.presentSorted(_, $"l_returnflag"))
   }
 
   /** Skew-salted join: replicate the (small) dimension side per salt
@@ -235,7 +235,7 @@ object ScaleOps {
         count(lit(1)).as("n_events"),
         first($"user_total").as("user_total"),
         Relational.dsum($"value").as("total_value"))
-      .orderBy($"user_id")
+      .transform(Relational.presentSorted(_, $"user_id"))
   }
 
   /** Rollup hierarchy (beyond the reference: it has no grouping sets).
@@ -252,7 +252,7 @@ object ScaleOps {
         coalesce($"o_orderpriority", lit("<all>")).as("priority"),
         coalesce($"o_orderstatus", lit("<all>")).as("status"),
         $"n", $"total")
-      .orderBy($"priority", $"status")
+      .transform(Relational.presentSorted(_, $"priority", $"status"))
   }
 
   /** q114 — CUBE over (returnflag, linestatus): all four grouping
@@ -273,7 +273,7 @@ object ScaleOps {
         coalesce($"l_returnflag", lit("<all>")).as("returnflag"),
         coalesce($"l_linestatus", lit("<all>")).as("linestatus"),
         $"gid", $"n", $"total_qty")
-      .orderBy($"gid", $"returnflag", $"linestatus")
+      .transform(Relational.presentSorted(_, $"gid", $"returnflag", $"linestatus"))
   }
 
   /** q115 — the remaining rank-window functions in one query: per
@@ -373,7 +373,7 @@ object ScaleOps {
         count(lit(1)).as("n_rows"),
         min($"l_partkey").as("pmin"), max($"l_partkey").as("pmax"),
         min($"l_suppkey").as("smin"), max($"l_suppkey").as("smax"))
-      .orderBy($"zcell")
+      .transform(Relational.presentSorted(_, $"zcell"))
   }
 
   /** q96 — gaps-and-islands: collapse each user's CONSECUTIVE same-type
@@ -430,7 +430,7 @@ object ScaleOps {
     weekly.join(cohort, Seq("user_id"))
       .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
       .agg(countDistinct($"user_id").as("n_users"))
-      .orderBy($"cohort_week", $"week_offset")
+      .transform(Relational.presentSorted(_, $"cohort_week", $"week_offset"))
   }
 
   /** Write–audit–publish: stage the frame next to the target, run the
@@ -598,7 +598,7 @@ object ScaleOps {
           "q124 overflow canary: Σ|rev4| may exceed 2^63; re-aggregate " +
             "with a decimal buffer"))).as("revenue"),
       ($"n_i" === $"n_d" && $"r4_i" === $"r4_d").as("inc_ok"))
-      .orderBy($"o_orderpriority")
+      .transform(Relational.presentSorted(_, $"o_orderpriority"))
   }
 
   def q117IncrAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -644,7 +644,7 @@ object ScaleOps {
         ($"n_incr" === $"n_events").as("count_ok"),
         ($"tot_incr".cast("double") === $"total_value").as("total_ok"),
         ($"sk_incr" === $"sk_direct").as("users_ok"))
-      .orderBy($"event_type")
+      .transform(Relational.presentSorted(_, $"event_type"))
   }
 
   /** q116 — exact two-sample Kolmogorov–Smirnov drift test between the
@@ -691,7 +691,7 @@ object ScaleOps {
         ($"num_max" / ($"n_ref" * $"n_cur") >
           lit(1.36) * sqrt(($"n_ref" + $"n_cur") / ($"n_ref" * $"n_cur")))
           .as("drifted"))
-      .orderBy($"event_type")
+      .transform(Relational.presentSorted(_, $"event_type"))
   }
 
   /** q113 — one-pass column profile (the data-catalog staple): per
@@ -767,7 +767,7 @@ object ScaleOps {
         // the relative promise only makes sense above ~50 distinct
         (abs(Hll.hllEst($"sk") - $"n_exact") <=
           greatest(lit(2L), ceil($"n_exact" * 0.05).cast("long"))).as("est_ok"))
-      .orderBy($"hour_bucket", $"event_type")
+      .transform(Relational.presentSorted(_, $"hour_bucket", $"event_type"))
   }
 
   /** q110 — population-stability-index drift monitor: split the event
@@ -828,7 +828,7 @@ object ScaleOps {
       .agg((sum($"term_micro").cast("double") / 1e8).as("psi_raw"))
       .select($"event_type", round($"psi_raw", 6).as("psi"),
         ($"psi_raw" > 0.2).as("drifted"))
-      .orderBy($"event_type")
+      .transform(Relational.presentSorted(_, $"event_type"))
   }
 
   /** q109 — declarative data-quality constraint suite (the
@@ -901,7 +901,7 @@ object ScaleOps {
       .withColumn("rz", round(abs($"value" - $"med") / (lit(1.4826) * $"mad"), 6))
       .filter($"rz" > 3.5)
       .select($"event_type", $"event_id", $"value", $"med", $"mad", $"rz")
-      .orderBy($"event_type", $"event_id")
+      .transform(Relational.presentSorted(_, $"event_type", $"event_id"))
   }
 
   /** q120 — q106's documented 100 TB trade, EXECUTED: the same robust
@@ -950,7 +950,7 @@ object ScaleOps {
         (abs(first($"mad_sk") - first($"mad_exact")) <= tol).as("mad_ok"),
         (sum(when($"out_sk" =!= $"out_exact", 1L).otherwise(0L)) <=
           lit(2L) + count(lit(1)) / lit(100L)).as("gate_ok"))
-      .orderBy($"event_type")
+      .transform(Relational.presentSorted(_, $"event_type"))
   }
 
   /** KMV sample size for q119: rel. std. error ≈ 1/√(k−2) ≈ 4.4%. */
@@ -1062,7 +1062,7 @@ object ScaleOps {
         min($"value").as("v_min"),
         max($"value").as("v_max"),
         Relational.dsum($"value").as("v_sum"))
-      .orderBy($"decile")
+      .transform(Relational.presentSorted(_, $"decile"))
   }
 
   /** Quantile sketch next to the exact quantile — same shape as q36: the
@@ -1085,7 +1085,7 @@ object ScaleOps {
         // contract column into NULL or a sign-flipped comparison
         (abs($"med_approx" - $"med_exact") / greatest(abs($"med_exact"), lit(1e-9)) <= 0.05)
           .as("approx_within_tol"))
-      .orderBy($"event_type")
+      .transform(Relational.presentSorted(_, $"event_type"))
   }
 
   /** As-of join — an operator Spark has no built-in for, composed from
@@ -1148,7 +1148,7 @@ object ScaleOps {
       .select($"user_id", $"view_us", $"click_us", $"purchase_us",
         (lit(1) + when($"click_us".isNotNull, 1).otherwise(0) +
           when($"purchase_us".isNotNull, 1).otherwise(0)).as("stage"))
-      .orderBy($"user_id")
+      .transform(Relational.presentSorted(_, $"user_id"))
   }
 
   /** q125 — time-series resample + forward fill: each user's event stream
@@ -1290,7 +1290,7 @@ object ScaleOps {
     clicks.join(hits, Seq("event_id"), "left")
       .select($"event_id", $"user_id", $"c_us",
         coalesce($"n_views", lit(0L)).as("n_views"), $"last_v_us")
-      .orderBy($"event_id")
+      .transform(Relational.presentSorted(_, $"event_id"))
   }
 
   /** Half-width of the q81 time band: ±5 minutes, in microseconds. */
@@ -1344,7 +1344,7 @@ object ScaleOps {
         coalesce($"n_nearby", lit(0L)).as("n_nearby"),
         coalesce($"v", lit(0).cast(DecimalType(18, 2)))
           .cast("double").as("nearby_value"))
-      .orderBy($"event_id")
+      .transform(Relational.presentSorted(_, $"event_id"))
   }
 
   /** q83 — top-k per group through the native [[graft.functions.TopKAgg]]
@@ -1375,7 +1375,7 @@ object ScaleOps {
       .select($"event_type", posexplode($"tk"))
       .select($"event_type", ($"pos" + lit(1)).cast("long").as("rank"),
         $"col.event_id".as("event_id"), $"col.value".as("value"))
-      .orderBy($"event_type", $"rank")
+      .transform(Relational.presentSorted(_, $"event_type", $"rank"))
   }
 
   /** q84 — the composition claim of q83, oracled: top-3 exemplars ride in
@@ -1401,7 +1401,7 @@ object ScaleOps {
       .select($"event_type", $"n", $"total_value",
         ($"pos" + lit(1)).cast("long").as("rank"),
         $"col.event_id".as("event_id"), $"col.value".as("value"))
-      .orderBy($"event_type", $"rank")
+      .transform(Relational.presentSorted(_, $"event_type", $"rank"))
   }
 
   /** q129 — user-journey Markov transition matrix: for every ordered
@@ -1435,7 +1435,7 @@ object ScaleOps {
         round($"n".cast("double") * 1e6 / $"n_from").cast("long"))
       .select($"from_type", $"to_type", $"n", $"n_from",
         ($"p_micro".cast("double") / 1e6).as("p"))
-      .orderBy($"from_type", $"to_type")
+      .transform(Relational.presentSorted(_, $"from_type", $"to_type"))
   }
 
   /** q131 — CUSUM change-point detection on the hourly event series (the
@@ -1477,7 +1477,7 @@ object ScaleOps {
       .select($"event_type", $"hour", $"x",
         ($"s_micro".cast("double") / 1e6).as("cusum"),
         ($"s_micro" > $"h_micro").as("alarm"))
-      .orderBy($"event_type", $"hour")
+      .transform(Relational.presentSorted(_, $"event_type", $"hour"))
   }
 
   /** Benford expected first-digit frequencies, micro-fixed at BUILD time
@@ -1534,7 +1534,7 @@ object ScaleOps {
         ($"spend_cents".cast("double") / 100).as("spend"),
         (round($"anom_hours".cast("double") * 1e6 / $"type_hours").cast("long"))
           .as("anomalous_ppm"))
-      .orderBy($"week")
+      .transform(Relational.presentSorted(_, $"week"))
   }
 
   /** `u0 + u1` over the order-date micros column `ou` of `li`, evaluated
@@ -1651,7 +1651,7 @@ object ScaleOps {
         ($"sh1".cast("double") / 1e6).as("share_h1"),
         ($"sh2".cast("double") / 1e6).as("share_h2"),
         $"delta_bp", $"gain_rank")
-      .orderBy($"nation", $"gain_rank")
+      .transform(Relational.presentSorted(_, $"nation", $"gain_rank"))
   }
 
   /** q153 — price–volume revenue bridge (the finance waterfall): why
@@ -1715,7 +1715,7 @@ object ScaleOps {
         (sum($"vol" + $"price" - $"drev")).as("residual_micro"),
         (-max(struct(abs($"drev").as("a"), (-$"l_partkey").as("np")))
           .getField("np")).as("top_driver_part"))
-      .orderBy($"brand")
+      .transform(Relational.presentSorted(_, $"brand"))
   }
 
   /** q152 — order-to-ship latency percentiles by order priority (the
@@ -1770,7 +1770,7 @@ object ScaleOps {
         min(when($"cum" * 2 >= $"t", $"lat_days")).as("median_days"),
         min(when($"cum" * 10 >= $"t" * 9, $"lat_days")).as("p90_days"),
         max($"lat_days").as("max_days"))
-      .orderBy($"priority")
+      .transform(Relational.presentSorted(_, $"priority"))
   }
 
   /** q151 — difference-in-differences: the observational-causal
@@ -1860,7 +1860,7 @@ object ScaleOps {
         ($"m_cents".cast("double") / 100).as("monetary"),
         $"r_score", $"f_score", $"m_score",
         concat($"r_score", $"f_score", $"m_score").as("segment"))
-      .orderBy($"user_id")
+      .transform(Relational.presentSorted(_, $"user_id"))
   }
 
   /** q148 — new vs returning weekly actives: per week, how many active
@@ -1884,7 +1884,7 @@ object ScaleOps {
       .withColumn("active_users", $"new_users" + $"returning_users")
       .withColumn("new_share_ppm",
         round($"new_users".cast("double") * 1e6 / $"active_users").cast("long"))
-      .orderBy($"week")
+      .transform(Relational.presentSorted(_, $"week"))
   }
 
   /** q149 — funnel stage latency: per conversion stage (view→click,
@@ -1925,7 +1925,7 @@ object ScaleOps {
         first($"t").as("n_users"),
         min(when($"cum" * 2 >= $"t", $"delta_s")).as("median_s"),
         min(when($"cum" * 10 >= $"t" * 9, $"delta_s")).as("p90_s"))
-      .orderBy($"stage")
+      .transform(Relational.presentSorted(_, $"stage"))
   }
 
   /** q147 — ABC (Pareto) classification of parts by revenue within each
@@ -1990,7 +1990,7 @@ object ScaleOps {
         ($"class_rev".cast("double") / 100).as("revenue"),
         (round($"class_rev".cast("double") * 1e6 / $"t".cast("double"))
           .cast("long").cast("double") / 1e6).as("rev_share"))
-      .orderBy($"mfgr", $"cls")
+      .transform(Relational.presentSorted(_, $"mfgr", $"cls"))
   }
 
   /** Lag window for [[q146LeadLag]] (days, symmetric). */
@@ -2036,7 +2036,7 @@ object ScaleOps {
       .filter($"rk" === 1)
       .select($"ta", $"tb", $"lag".as("best_lag"), $"n".as("n_days"),
         ($"r_micro".cast("double") / 1e6).as("r"))
-      .orderBy($"ta", $"tb")
+      .transform(Relational.presentSorted(_, $"ta", $"tb"))
   }
 
   /** q143 — Benford first-digit audit on order totals: the classic
@@ -2074,7 +2074,7 @@ object ScaleOps {
         ($"chi2_micro".cast("double") / 1e6).as("chi2_term"),
         ($"chi2_total_micro".cast("double") / 1e6).as("chi2"),
         ($"chi2_total_micro" > 15510000L).as("deviates"))
-      .orderBy($"digit")
+      .transform(Relational.presentSorted(_, $"digit"))
   }
 
   /** q144 — per-nation Gini coefficient of customer revenue: the
@@ -2109,7 +2109,7 @@ object ScaleOps {
       .select($"nation", $"n".as("n_customers"),
         ($"t".cast("double") / 100).as("revenue"),
         ($"gini_micro".cast("double") / 1e6).as("gini"))
-      .orderBy($"nation")
+      .transform(Relational.presentSorted(_, $"nation"))
   }
 
   /** q142 — pairwise Pearson correlation matrix between the event types'
@@ -2151,7 +2151,7 @@ object ScaleOps {
       .select($"ta", $"tb", $"n".as("n_days"),
         ($"r_micro".cast("double") / 1e6).as("r"),
         ($"vx" > 0 && $"vy" > 0).as("defined"))
-      .orderBy($"ta", $"tb")
+      .transform(Relational.presentSorted(_, $"ta", $"tb"))
   }
 
   /** q141 — Mann–Kendall trend test + Theil–Sen slope per event type
@@ -2214,7 +2214,7 @@ object ScaleOps {
         ($"z_micro".cast("double") / 1e6).as("z"),
         (abs($"z_micro") > 1960000L).as("trending"),
         ($"ts_slope_micro".cast("double") / 1e6).as("ts_slope"))
-      .orderBy($"event_type")
+      .transform(Relational.presentSorted(_, $"event_type"))
   }
 
   /** Part-clustered projection of the raw fact columns the part-grain
@@ -2284,7 +2284,7 @@ object ScaleOps {
       .select($"p".as("p_partkey"), $"wm.w_median".as("w_median"),
         ($"wm.total".cast("double") / 100).as("total_qty"),
         $"wm.n_prices".cast("long").as("n_prices"))
-      .orderBy($"p_partkey")
+      .transform(Relational.presentSorted(_, $"p_partkey"))
   }
 
   /** q140 — hash-split A/B conversion z-test: users assigned to arms by
@@ -2360,7 +2360,7 @@ object ScaleOps {
       .agg(count(lit(1)).as("n_events"), sum($"term_micro").as("sm"))
       .select($"user_id", $"n_events",
         ($"sm".cast("double") / 1e6).as("engagement"))
-      .orderBy($"user_id")
+      .transform(Relational.presentSorted(_, $"user_id"))
   }
 
   /** q138 — 2-D skyline (Pareto frontier): the parts no other part beats
@@ -2388,7 +2388,7 @@ object ScaleOps {
       .filter($"p_size" === $"min_size" &&
         ($"strict_prev".isNull || $"p_size" < $"strict_prev"))
       .select($"p_partkey", $"p_retailprice", $"p_size")
-      .orderBy($"p_retailprice", $"p_partkey")
+      .transform(Relational.presentSorted(_, $"p_retailprice", $"p_partkey"))
   }
 
   /** Stop-gram document-frequency cap for [[q135FuzzyJoin]]: a trigram
@@ -2449,7 +2449,7 @@ object ScaleOps {
       .filter($"j_micro" >= fuzzyTauMicro)
       .select($"cid", $"sid", $"inter", $"na", $"nb",
         ($"j_micro".cast("double") / 1e6).as("jaccard"))
-      .orderBy($"cid", $"sid")
+      .transform(Relational.presentSorted(_, $"cid", $"sid"))
   }
 
   /** The q133 24-bin profile as a standalone persistable artifact (the
@@ -2517,7 +2517,7 @@ object ScaleOps {
           round($"cov_n".cast("double") * $"cov_n" * 1e6
             / ($"vt".cast("double") * $"vy")).cast("long"))
           .otherwise(lit(1000000L)).cast("double") / 1e6).as("r2"))
-      .orderBy($"event_type")
+      .transform(Relational.presentSorted(_, $"event_type"))
   }
 
   /** The q131 reference block — per event type, the first-half hour
@@ -2587,7 +2587,7 @@ object ScaleOps {
             (($"n" - 1) * ($"sxx" - $"x" * $"x") -
               ($"sx" - $"x") * ($"sx" - $"x")).cast("double"))
           .as("is_anomaly"))
-      .orderBy($"event_type", $"hour")
+      .transform(Relational.presentSorted(_, $"event_type", $"hour"))
   }
 
   /** Journey length cap for [[q130TopPaths]]: only each user's first

@@ -100,7 +100,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(wTop))
       .filter($"rnk" <= 5)
       .select($"qid", $"rnk".cast("long").as("rnk"), $"vid", $"sim")
-      .orderBy($"qid", $"rnk")
+      .transform(Relational.presentSorted(_, $"qid", $"rnk"))
   }
 
   /** Embedding near-dup pairs blocked by label: rounded cosine ≥ 0.3
@@ -119,7 +119,7 @@ object Similarity {
       .select($"label", $"vec_a", $"vec_b",
         round(ddot($"ea", $"eb") / (sqrt($"na") * sqrt($"nb")), 6).as("sim"))
       .filter($"sim" >= 0.3)
-      .orderBy($"vec_a", $"vec_b")
+      .transform(Relational.presentSorted(_, $"vec_a", $"vec_b"))
   }
 
   /** IVF-style ANN: fixed deterministic centroid set (vec_id % 50 == 0),
@@ -239,7 +239,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(wTop))
       .filter($"rnk" <= k)
       .select($"qid", $"rnk".cast("long").as("rnk"), $"vid", $"sim")
-      .orderBy($"qid", $"rnk")
+      .transform(Relational.presentSorted(_, $"qid", $"rnk"))
   }
 
   /** Random-hyperplane LSH ANN (sign random projection): 2 bands of 6-bit
@@ -362,7 +362,7 @@ object Similarity {
     val emb = Tables.spread(Tables.embeddings(spark, dir)) // parallelism restore, gated on split count
       .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
     lshSimPairs(emb, bands = 2, bits = 6, tau = 0.3)
-      .orderBy($"vec_a", $"vec_b")
+      .transform(Relational.presentSorted(_, $"vec_a", $"vec_b"))
   }
 
   /** LSH-blocked exact-cosine pair stream (vec_a, vec_b, sim ≥ tau at
@@ -470,7 +470,7 @@ object Similarity {
         round(ddot($"embedding", element_at($"S", k + 1)), 6)
       }: _*)).as(Seq("k", "p")))
       .select($"vec_id", $"k", $"p")
-      .orderBy($"vec_id", $"k")
+      .transform(Relational.presentSorted(_, $"vec_id", $"k"))
   }
 
   /** Coarse candidate count per query for [[q90ProjAnn]]. */
@@ -525,7 +525,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(wTop))
       .filter($"rnk" <= 5)
       .select($"qid", $"rnk".cast("long").as("rnk"), $"vid", $"sim")
-      .orderBy($"qid", $"rnk")
+      .transform(Relational.presentSorted(_, $"qid", $"rnk"))
   }
 
   /** Seed count for [[q58Kmeans]]: the first `kmeansK` vectors by vec_id. */
@@ -683,7 +683,7 @@ object Similarity {
       .select($"cid", $"n_vecs",
         (round($"ssum".cast("double") / $"n_vecs").cast("long")
           .cast("double") / 1e6).as("mean_sil"))
-      .orderBy($"cid")
+      .transform(Relational.presentSorted(_, $"cid"))
   }
 
   /** q111 — embedding centroid drift: per label, the decimal-exact
@@ -726,7 +726,7 @@ object Similarity {
       .select($"label",
         round(ddot($"ce_a", $"ce_b") / sqrt($"nn_a" * $"nn_b"), 6).as("cos_sim"))
       .withColumn("stable", $"cos_sim" >= 0.98)
-      .orderBy($"label")
+      .transform(Relational.presentSorted(_, $"label"))
   }
 
   /** Cosine threshold for [[q62Semdedup]] — the family's near-dup bar. */
@@ -794,7 +794,7 @@ object Similarity {
     assign
       .join(dups, Seq("vec_id"), "left")
       .select($"vec_id", $"cid", coalesce($"is_dup", lit(false)).as("is_dup"))
-      .orderBy($"vec_id")
+      .transform(Relational.presentSorted(_, $"vec_id"))
   }
 
   /** SemDeDup verdicts over LSH cells — the SCALED sibling of [[q62Semdedup]]
@@ -819,7 +819,7 @@ object Similarity {
     emb.select($"vec_id")
       .join(dups, Seq("vec_id"), "left")
       .select($"vec_id", coalesce($"is_dup", lit(false)).as("is_dup"))
-      .orderBy($"vec_id")
+      .transform(Relational.presentSorted(_, $"vec_id"))
   }
 
   /** q80 — the scaled SemDeDup contract: [[semdedupLsh]] at the pinned
@@ -864,7 +864,7 @@ object Similarity {
       .agg(sum(coalesce($"hit", lit(0L))).as("n_hits"))
       .select($"qid", $"n_hits",
         ($"n_hits".cast("double") / lit(5.0)).as("recall"))
-      .orderBy($"qid")
+      .transform(Relational.presentSorted(_, $"qid"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

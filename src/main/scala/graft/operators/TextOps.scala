@@ -38,7 +38,7 @@ object TextOps {
             .cast("double") / size(w), 6).as("avg_token_len"),
         length(regexp_replace($"text", "[^.!?,;:]", "")).cast("long").as("n_punct"),
         length(regexp_replace($"text", "[^A-Z]", "")).cast("long").as("n_upper"))
-      .orderBy($"doc_id")
+      .transform(Relational.presentSorted(_, $"doc_id"))
   }
 
   /** Quality scoring: length band + stopword ratio + mean token length →
@@ -107,7 +107,7 @@ object TextOps {
         votes(2)._2.cast("long").as("votes_es"),
         votes(3)._2.cast("long").as("votes_fr"),
         predicted.as("predicted_lang"))
-      .orderBy($"doc_id")
+      .transform(Relational.presentSorted(_, $"doc_id"))
   }
 
   /** Whitespace-normalized lower-cased text — the canonical form behind
@@ -135,7 +135,7 @@ object TextOps {
         fingerprintExpr($"text").as("fingerprint"),
         md5(array_join(slice(words(normalizedText($"text")), lit(1), lit(8)), " "))
           .as("prefix_fingerprint"))
-      .orderBy($"doc_id")
+      .transform(Relational.presentSorted(_, $"doc_id"))
   }
 
   /** BPE-style pretokenizer regex (the GPT-2 pattern family minus its
@@ -159,7 +159,7 @@ object TextOps {
         size(split($"text", " ")).cast("long").as("n_ws_tokens"),
         size(regexp_extract_all($"text", lit(bpePattern), lit(0)))
           .cast("long").as("n_bpe_tokens"))
-      .orderBy($"doc_id")
+      .transform(Relational.presentSorted(_, $"doc_id"))
   }
 
   /** q59 — repetition metrics, the Gopher-family filter a pretraining
@@ -188,7 +188,7 @@ object TextOps {
         round(lit(1.0) - $"rs" (1).cast("double") / $"rs" (0), 6)
           .as("dup_2gram_frac"),
         round($"rs" (2).cast("double") / $"rs" (0), 6).as("top_2gram_frac"))
-      .orderBy($"doc_id")
+      .transform(Relational.presentSorted(_, $"doc_id"))
   }
 
   /** q60 — unigram-LM quality score (the zero-dependency stand-in for a
@@ -240,7 +240,7 @@ object TextOps {
       .select($"doc_id", $"n_tokens",
         ($"lp_micro".cast("double") / ($"n_tokens".cast("double") * lit(1e6)))
           .as("logprob"))
-      .orderBy($"doc_id")
+      .transform(Relational.presentSorted(_, $"doc_id"))
   }
 
   /** Feature-hash bucket count for [[q69HashClassifier]]. */
@@ -289,7 +289,7 @@ object TextOps {
       .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-$"logit")), 6))
       .withColumn("keep", $"score" >= 0.5)
       .select($"doc_id", $"n_tokens", $"logit", $"score", $"keep")
-      .orderBy($"doc_id")
+      .transform(Relational.presentSorted(_, $"doc_id"))
   }
 
   /** The q95 retrieval bench: three fixed keyword queries over the corpus
@@ -437,7 +437,7 @@ object TextOps {
     bm25TopK(
       Tables.spreadBy(Tables.documents(spark, dir), "doc_id"),
       bm25Queries.toDF("qid", "qtext"))
-      .orderBy($"qid", $"rk")
+      .transform(Relational.presentSorted(_, $"qid", $"rk"))
   }
 
   /** q105 — the same retrieval THROUGH the inverted-index path
@@ -453,7 +453,7 @@ object TextOps {
     // an incremental deployment actually sees. Round-trip exactness is
     // pinned by TextOpsSpec; the all-long/string schema makes it trivial.
     bm25FromIndex(textIndex(spark, dir), bm25Queries.toDF("qid", "qtext"))
-      .orderBy($"qid", $"rk")
+      .transform(Relational.presentSorted(_, $"qid", $"rk"))
   }
 
   /** The persisted [[buildTextIndex]] artifact for `dir`'s documents
@@ -573,7 +573,7 @@ object TextOps {
       .withColumn("fused_rk", row_number().over(wf))
       .select($"qid", $"doc_id", $"bm25_rk", $"quality_rk",
         ($"rrf_micro".cast("double") / 1e6).as("rrf"), $"fused_rk")
-      .orderBy($"qid", $"fused_rk")
+      .transform(Relational.presentSorted(_, $"qid", $"fused_rk"))
   }
 
   /** q154 — readability scoring: words-per-sentence and characters-per-
@@ -606,7 +606,7 @@ object TextOps {
         ($"wps_micro".cast("double") / 1e6).as("words_per_sentence"),
         ($"cpw_micro".cast("double") / 1e6).as("chars_per_word"),
         ($"grade_micro".cast("double") / 1e6).as("grade"))
-      .orderBy($"doc_id")
+      .transform(Relational.presentSorted(_, $"doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -683,7 +683,7 @@ object TextOps {
         coalesce($"recall_ok", lit(true)).as("recall_ok"),
         coalesce($"underest_ok", lit(true)).as("underest_ok"),
         coalesce($"err_ok", lit(true)).as("err_ok"))
-      .orderBy($"lang")
+      .transform(Relational.presentSorted(_, $"lang"))
   }
 
   /** Count-min grid for q118: expected overcount per probe row is
@@ -746,7 +746,7 @@ object TextOps {
     direct.join(merged, Seq("lang")).join(audit, Seq("lang"))
       .select($"lang", $"n_tokens", $"n_words",
         $"overest_ok", $"err_ok", ($"sk" === $"sk_merged").as("merge_ok"))
-      .orderBy($"lang")
+      .transform(Relational.presentSorted(_, $"lang"))
   }
 
   private def stopList(lang: String): String =
