@@ -89,17 +89,47 @@ object ArtifactStore {
           deleteRecursively(staging)
         } else {
           // dst exists but is INCOMPLETE (a crashed writer from before the
-          // staging protocol, or a torn direct write): without this, every
-          // subsequent run fails the rename forever. Clear the stale wreck
-          // and retry once; if the retry also loses, a complete artifact
-          // must have appeared concurrently — serve it.
-          deleteRecursively(dst)
-          if (!staging.renameTo(dst)) {
-            if (!new File(dst, "_SUCCESS").isFile)
-              throw new java.io.IOException(
-                s"artifact commit failed: cannot rename $staging -> $path " +
-                  "and no complete artifact exists at the destination")
-            deleteRecursively(staging)
+          // staging protocol, or a torn direct write): without a heal,
+          // every subsequent run fails the rename forever. Healing must
+          // not delete in place — between the _SUCCESS probe above and a
+          // delete, a concurrent process can COMPLETE its own rename, and
+          // the delete would transiently destroy a complete artifact
+          // (readers mid-open see FileNotFound). Instead take exclusive
+          // CUSTODY of whatever dst currently is via an atomic
+          // rename-aside; only a directory we own and have re-verified
+          // incomplete is ever deleted. Open readers survive the rename
+          // (their file handles stay valid); nothing complete is removed.
+          val wreck = new File(
+            path + s".wreck-${ProcessHandle.current.pid}-${System.nanoTime}")
+          if (dst.renameTo(wreck)) {
+            if (new File(wreck, "_SUCCESS").isFile) {
+              // we lost the probe race and moved a COMPLETE artifact
+              // aside — put it back (or, if a rival already installed an
+              // equivalent one, discard ours: artifacts are deterministic
+              // per key, so any complete copy serves)
+              if (!wreck.renameTo(dst)) deleteRecursively(wreck)
+              deleteRecursively(staging)
+            } else {
+              deleteRecursively(wreck)
+              if (!staging.renameTo(dst)) {
+                if (!new File(dst, "_SUCCESS").isFile)
+                  throw new java.io.IOException(
+                    s"artifact commit failed: cannot rename $staging -> $path " +
+                      "and no complete artifact exists at the destination")
+                deleteRecursively(staging)
+              }
+            }
+          } else {
+            // custody lost: another process healed (dst gone) or completed
+            // (dst complete) in the window — retry our install, else serve
+            // the rival's complete artifact
+            if (!staging.renameTo(dst)) {
+              if (!new File(dst, "_SUCCESS").isFile)
+                throw new java.io.IOException(
+                  s"artifact commit failed: cannot rename $staging -> $path " +
+                    "and no complete artifact exists at the destination")
+              deleteRecursively(staging)
+            }
           }
         }
       }

@@ -109,6 +109,29 @@ object Bench {
       }
       n -> best
     }
+    // solo re-measure for the slow tail (VERDICT r11 "do this" #5): a
+    // 164-query sweep through one JVM leaves tenured garbage that
+    // inflates whichever heavy aggregate runs next — in-suite times ran
+    // up to 1.8× solo (q156 2.34 vs 1.31 at sf1p) and mis-ranked the
+    // weak list. For every query whose in-suite best crosses the
+    // threshold, clean the heap and re-time it in isolation (min of 2);
+    // both numbers are reported so rankings can use the steady-state
+    // figure without losing the in-suite evidence. Bounded to the 12
+    // slowest so the re-measure can't dominate the run.
+    val soloThreshold = sys.env.getOrElse("SPARK_GRAFT_SOLO_THRESHOLD", "0.8").toDouble
+    val soloCandidates = results.filter(_._2 >= soloThreshold)
+      .sortBy(-_._2).take(12).map(_._1)
+    val solo: Map[String, Double] = soloCandidates.map { name =>
+      val fn = SparkEntry.queries(name)
+      System.gc()
+      val reps = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => Double.MaxValue }
+      }
+      name -> reps.min
+    }.toMap
+
     // measured per-query harness constant: a trivial one-row plan through
     // the same noop sink — scheduling + planning + sink overhead that every
     // query pays regardless of its actual work. Min over individually-timed
@@ -126,17 +149,20 @@ object Bench {
     def r2(v: Double) = f"$v%.2f"
     // the harness keeps only the LAST ~2000 chars of stdout: the reported
     // line must fit that window WHOLE or the artifact is head-truncated
-    // and unparseable (round 6's was). Three levers: per-query keys shrink
-    // to their unique qNN prefix, per-query timings round to centiseconds
-    // (at 123 queries the millisecond line would brush the window), and
-    // the full-name full-precision map goes to target/bench_full.json for
-    // round-over-round diffing.
+    // and unparseable (round 6's was, and round 11's again at 164
+    // queries — short names + centisecond rounding alone brush ~1970
+    // chars before the envelope). The stdout line therefore carries only
+    // the TOP-40 slowest queries (the only per-query figures a ranking
+    // reads) plus totals; the full-name full-precision map always goes
+    // to target/bench_full.json, whose path rides in the line.
     val shortName: Map[String, String] = {
       val pref = names.map(n => n -> n.takeWhile(_ != '_')).toMap
       if (pref.values.toSet.size == names.size) pref
       else names.map(n => n -> n).toMap // prefix collision → keep full names
     }
-    val qs = results.map { case (k, v) => jstr(shortName(k)) + ":" + r2(v) }
+    val topN = 40
+    val qs = results.sortBy(-_._2).take(topN)
+      .map { case (k, v) => jstr(shortName(k)) + ":" + r2(v) }
       .mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(shortName(k)) + ":" + jstr(v.take(80)) }
@@ -148,15 +174,21 @@ object Bench {
     val fullSuite = names.size == SparkEntry.queries.size
     val subset = if (fullSuite) "" else
       s""","subset":${names.map(n => jstr(shortName(n))).mkString("[", ",", "]")}"""
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.count(_._2 < 0)},"passes":2,"overhead_per_query":${f"$overhead%.4f"},"full_suite":$fullSuite$subset,"sf":"$sfDir"}"""
+    val soloJs = solo.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(shortName(k)) + ":" + r2(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_top":${math.min(topN, names.size)},"solo":$soloJs,"errors":$errs,"failed":${results.count(_._2 < 0)},"passes":2,"overhead_per_query":${f"$overhead%.4f"},"full_suite":$fullSuite$subset,"full":"target/bench_full.json","sf":"$sfDir"}"""
     val fullQs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val fullSolo = solo.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val fullErrs = errors.toSeq.sortBy(_._1) // full 200-char messages live here
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"queries":$fullQs,"errors":$fullErrs,"overhead_per_query":$overhead,"sf":"$sfDir"}""")
+      s"""{"queries":$fullQs,"solo":$fullSolo,"errors":$fullErrs,"overhead_per_query":$overhead,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
     println(line)
     spark.stop()

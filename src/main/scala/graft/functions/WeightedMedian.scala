@@ -23,6 +23,13 @@ import org.apache.spark.sql.types._
   * Weights are exact longs (scaled cents upstream), so the cumulative
   * threshold 2·cum ≥ total is integer-exact — bit-identical to the
   * oracle's DECIMAL cumulative-window formulation.
+  *
+  * Key canonicalization: update() normalizes -0.0 to +0.0 and every NaN
+  * to the canonical quiet NaN BEFORE taking bits, so ±0.0 is one price
+  * and NaN one key. NaN sorts after every finite price in result()'s
+  * walk (Scala's total ordering), so it is returned as the median only
+  * when NaN rows hold the upper half of the group's weight — callers
+  * feeding possibly-NaN prices should filter or accept that convention.
   */
 final class WMedBuffer(initialCapacity: Int = 4) {
   // open addressing, linear probing; keys are raw price bits, entries with
@@ -152,9 +159,16 @@ case class WeightedMedianAgg(
   override def update(buffer: WMedBuffer, input: InternalRow): WMedBuffer = {
     val p = priceExpr.eval(input)
     val w = weightExpr.eval(input)
-    if (p != null && w != null)
-      buffer.add(java.lang.Double.doubleToLongBits(p.asInstanceOf[Double]),
-        w.asInstanceOf[Long])
+    if (p != null && w != null) {
+      // Canonicalize the key at the ONLY raw-double entry point: `+ 0.0`
+      // folds -0.0 into +0.0 (IEEE round-to-nearest), and doubleToLongBits
+      // (not RawLongBits) collapses every NaN payload to the canonical
+      // quiet NaN. Without this, 0.0 and -0.0 count as distinct prices and
+      // distort n_prices and the median walk. merge()/deserialize() move
+      // already-canonical bits only, so no second normalization site exists.
+      buffer.add(java.lang.Double.doubleToLongBits(
+        p.asInstanceOf[Double] + 0.0), w.asInstanceOf[Long])
+    }
     buffer
   }
 

@@ -202,7 +202,7 @@ object Dedup {
       .groupBy($"fp")
       .agg(min($"doc_id").as("survivor_doc_id"), count(lit(1)).as("cluster_size"))
       .select($"survivor_doc_id", $"cluster_size")
-      .transform(Relational.presentSorted(_, $"survivor_doc_id"))
+      .transform(Relational.presentRanged(_, $"survivor_doc_id"))
   }
 
   /** Passage-level exact dedup (the CCNet/C4 "line dedup" move
@@ -382,7 +382,7 @@ object Dedup {
         when(coalesce($"n_windows", lit(0L)) === 0, lit(0.0))
           .otherwise(round($"n_dup_windows".cast("double") / $"n_windows", 6))
           .as("dup_fraction"))
-      .transform(Relational.presentSorted(_, $"doc_id"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** The overlapping [[PassageTokens]]-token window stream (doc_id, widx,
@@ -521,7 +521,7 @@ object Dedup {
           .otherwise(coalesce(
             expr("concat_ws(' ', transform(spans, sp -> concat_ws(' ', slice(toks, sp.lo + 1, sp.hi - sp.lo + 1))))"),
             lit(""))).as("clean_text"))
-      .transform(Relational.presentSorted(_, $"doc_id"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** BUILD-ONCE passage-fingerprint index: the distinct 16-token passage
@@ -623,7 +623,7 @@ object Dedup {
         round($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter"), 6))
       .filter($"jaccard" >= minJaccard)
       .select($"doc_a", $"doc_b", $"jaccard")
-      .transform(Relational.presentSorted(_, $"doc_a", $"doc_b"))
+      .transform(Relational.presentRanged(_, $"doc_a", $"doc_b"))
   }
 
   /** MinHash signatures: 8 permutations h_i(s) = (a_i·(g(s) mod P) + b_i)
@@ -759,7 +759,7 @@ object Dedup {
         bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
       .filter($"hamming" <= 3)
       .distinct()
-      .transform(Relational.presentSorted(_, $"doc_a", $"doc_b"))
+      .transform(Relational.presentRanged(_, $"doc_a", $"doc_b"))
   }
 
   /** One frontier step of min-label propagation: nodes whose label just
@@ -924,7 +924,7 @@ object Dedup {
     labeled
       .join(sizes, Seq("rep_doc_id"))
       .select($"doc_id", $"rep_doc_id", $"cluster_size")
-      .transform(Relational.presentSorted(_, $"doc_id"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** The distinct q28 candidate pair list (doc_a < doc_b), shared by the
@@ -1010,7 +1010,7 @@ object Dedup {
         size(array_intersect($"va.shs", $"vb.shs")).cast("long").as("inter"))
       .withColumn("containment_a", round($"inter".cast("double") / $"n_a", 6))
       .withColumn("containment_b", round($"inter".cast("double") / $"n_b", 6))
-      .transform(Relational.presentSorted(_, $"doc_a", $"doc_b"))
+      .transform(Relational.presentRanged(_, $"doc_a", $"doc_b"))
   }
 
   /** q99 — EDIT-DISTANCE verification for the LSH candidate pairs: the
@@ -1038,7 +1038,7 @@ object Dedup {
         greatest(length($"va.prefix"), length($"vb.prefix")).cast("long").as("max_len"))
       .withColumn("norm_dist", round($"edit_dist".cast("double") / $"max_len", 6))
       .withColumn("near_dup", $"norm_dist" <= 0.3)
-      .transform(Relational.presentSorted(_, $"doc_a", $"doc_b"))
+      .transform(Relational.presentRanged(_, $"doc_a", $"doc_b"))
   }
 
   /** q64 — incremental dedup gate, the batch flavor of
@@ -1140,7 +1140,7 @@ object Dedup {
         round($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter"), 6))
       .select($"doc_a", $"doc_b", $"est_jaccard", $"jaccard",
         round(abs($"est_jaccard" - $"jaccard"), 6).as("abs_err"))
-      .transform(Relational.presentSorted(_, $"doc_a", $"doc_b"))
+      .transform(Relational.presentRanged(_, $"doc_a", $"doc_b"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

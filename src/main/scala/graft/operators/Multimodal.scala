@@ -163,7 +163,7 @@ object Multimodal {
     decodeImages(spark, jpegTable(spark, dir))
       .select(col("doc_id"), col("width"), col("height"),
         round(col("mean_luma"), 0).as("mean_luma_r"))
-      .transform(Relational.presentSorted(_, col("doc_id")))
+      .transform(Relational.presentRanged(_, col("doc_id")))
 
   // ---- audio modality (REAL decode via javax.sound.sampled — WAV/PCM) ----
 
@@ -297,7 +297,7 @@ object Multimodal {
         (id, sr, ch, nf, rms)
       })
       .toDF("doc_id", "sample_rate", "channels", "n_frames", "rms_r")
-      .transform(Relational.presentSorted(_, col("doc_id")))
+      .transform(Relational.presentRanged(_, col("doc_id")))
   }
 
   // ---- video modality (REAL container decode: RIFF/AVI over MJPEG) ----
@@ -442,18 +442,18 @@ object Multimodal {
         (id, nf, fps, w, h, lumaR, digest)
       })
       .toDF("doc_id", "n_frames", "fps", "width", "height", "first_luma_r", "frames_digest")
-      .transform(Relational.presentSorted(_, col("doc_id")))
+      .transform(Relational.presentRanged(_, col("doc_id")))
   }
 
   def q34MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
     decodeStub(mediaTable(spark, dir))
       .select(col("doc_id"), col("media_type"), col("byte_len"), col("digest"),
         col("fake_width"), col("fake_height"), col("meta.origin").as("origin"))
-      .transform(Relational.presentSorted(_, col("doc_id")))
+      .transform(Relational.presentRanged(_, col("doc_id")))
 
   def q35FrameSample(spark: SparkSession, dir: String): DataFrame =
     frameSample(mediaTable(spark, dir))
-      .transform(Relational.presentSorted(_, col("doc_id"), col("frame_idx")))
+      .transform(Relational.presentRanged(_, col("doc_id"), col("frame_idx")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_multimodal_meta" -> (q34MultimodalMeta _),

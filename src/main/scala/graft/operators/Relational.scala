@@ -27,17 +27,39 @@ import graft.Tables
   */
 object Relational {
 
-  /** Presentation sort for DIMENSION-SIZED results: one partition,
+  /** Presentation sort for DIMENSION-BOUNDED results ONLY: one partition,
     * in-partition sort. A global `orderBy` plans a range exchange whose
     * SAMPLING pass re-executes every post-shuffle operator feeding it —
     * a window- or object-aggregate-heavy final stage runs TWICE to sort
     * a handful of rows (measured +0.32 s on q147's 75-row output at
     * sf1p). For results bounded by a dimension (brands, priorities,
-    * event types, parts) the single-partition sort is strictly cheaper
-    * and sampling-free; corpus-sized outputs keep the range sort.
+    * event types, weekdays, languages, cluster count k) the
+    * single-partition sort is strictly cheaper and sampling-free.
+    * Results whose row count grows with the DATA must use
+    * [[presentRanged]] instead — a single task sorting a corpus-grain
+    * frame is a 2 GB-partition wall at 100 TB.
     */
   def presentSorted(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
+
+  /** Presentation sort for CORPUS-GRAIN results — per-document,
+    * per-customer, per-user, per-event, per-part rows that grow with the
+    * data. The contract is CLUSTERED presentation: rows sort by key
+    * within each partition, with no cross-partition total order. That is
+    * the only spelling with zero scale cost — a single-partition sort
+    * ([[presentSorted]]) funnels the whole result through one task (a
+    * 2 GB wall at 100 TB), and a global range sort (`orderBy`) plans a
+    * sampling pass that RE-EXECUTES the entire query pipeline once
+    * before sorting it (measured +6.5 s across the sf0.1 suite when
+    * these ~50 call sites briefly used it). A distributed engine writes
+    * corpus-grain results partitioned anyway; a consumer that needs a
+    * total order pays `orderBy` at its own (visible) cost, and the
+    * driver's correctness gate compares row-sorted. In-partition order
+    * is deterministic per plan; partition assignment follows the plan's
+    * existing partitioning, exactly what the parquet sink preserves.
+    */
+  def presentRanged(df: DataFrame, cols: Column*): DataFrame =
+    df.sortWithinPartitions(cols: _*)
 
   /** Exact decimal(18,scale) sum of a double column, surfaced as double —
     * computed in fixed point: each value quantizes to its exact unscaled
@@ -122,7 +144,7 @@ object Relational {
       .select(
         $"c_custkey".as("custkey"), $"cust_url", $"cust_num",
         $"balance_band", $"segment_code", lit("etl_v1").as("pipeline_tag"))
-      .transform(presentSorted(_, $"custkey"))
+      .transform(presentRanged(_, $"custkey"))
   }
 
   /** P13 clock→seconds with the -1 sentinel on malformed input. Clock
@@ -159,7 +181,7 @@ object Relational {
       .withColumn("clean_text",
         array_join(slice(words, lit(1), greatest(size(words) - 1, lit(0))), " "))
       .select($"doc_id", $"clean_text")
-      .transform(presentSorted(_, $"doc_id"))
+      .transform(presentRanged(_, $"doc_id"))
   }
 
   /** Dimension-join rollup (J1/J5 analog; TPC-H Q5 shape). region/nation
@@ -196,7 +218,7 @@ object Relational {
         $"c_custkey",
         coalesce($"n_orders", lit(0L)).as("n_orders"),
         coalesce($"total_spent", lit(0.0)).as("total_spent"))
-      .transform(presentSorted(_, $"c_custkey"))
+      .transform(presentRanged(_, $"c_custkey"))
   }
 
   /** J7 anti-join: customers with no orders. */
@@ -206,7 +228,7 @@ object Relational {
       .join(Tables.orders(spark, dir).select($"o_custkey"),
         $"c_custkey" === $"o_custkey", "left_anti")
       .select($"c_custkey", $"c_name")
-      .transform(presentSorted(_, $"c_custkey"))
+      .transform(presentRanged(_, $"c_custkey"))
   }
 
   /** Semi-join: parts that were actually ordered. shuffle_hash, not
@@ -222,7 +244,7 @@ object Relational {
       .join(Tables.lineitem(spark, dir).select($"l_partkey").hint("shuffle_hash"),
         $"p_partkey" === $"l_partkey", "left_semi")
       .select($"p_partkey", $"p_brand")
-      .transform(presentSorted(_, $"p_partkey"))
+      .transform(presentRanged(_, $"p_partkey"))
   }
 
   /** E1/A1: posexplode with explicit ordinal (the half_move pattern —
@@ -336,7 +358,7 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"user_id", $"event_id".as("first_event_id"), $"value".as("first_value"))
-      .transform(presentSorted(_, $"user_id"))
+      .transform(presentRanged(_, $"user_id"))
   }
 
   /** A11-style deterministic dedup: first event per (user, type). Spark's
@@ -350,7 +372,7 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"user_id", $"event_type", $"event_id")
-      .transform(presentSorted(_, $"user_id", $"event_type"))
+      .transform(presentRanged(_, $"user_id", $"event_type"))
   }
 
   /** unionByName with a missing column (pandas concat parity,
@@ -453,7 +475,7 @@ object Relational {
       ($"o_custkey" % 25).cast("int").as("c_nationkey"),
       round($"spend", 2).as("c_acctbal"), lit("NEW").as("c_mktsegment"))
     applyChangeSet(cust, upserts.unionByName(inserts), "c_custkey")
-      .transform(presentSorted(_, $"c_custkey"))
+      .transform(presentRanged(_, $"c_custkey"))
   }
 
   /** Hourly tumbling-window aggregate (batch twin of the Structured

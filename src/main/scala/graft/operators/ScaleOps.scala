@@ -235,7 +235,7 @@ object ScaleOps {
         count(lit(1)).as("n_events"),
         first($"user_total").as("user_total"),
         Relational.dsum($"value").as("total_value"))
-      .transform(Relational.presentSorted(_, $"user_id"))
+      .transform(Relational.presentRanged(_, $"user_id"))
   }
 
   /** Rollup hierarchy (beyond the reference: it has no grouping sets).
@@ -901,7 +901,7 @@ object ScaleOps {
       .withColumn("rz", round(abs($"value" - $"med") / (lit(1.4826) * $"mad"), 6))
       .filter($"rz" > 3.5)
       .select($"event_type", $"event_id", $"value", $"med", $"mad", $"rz")
-      .transform(Relational.presentSorted(_, $"event_type", $"event_id"))
+      .transform(Relational.presentRanged(_, $"event_type", $"event_id"))
   }
 
   /** q120 — q106's documented 100 TB trade, EXECUTED: the same robust
@@ -1148,7 +1148,7 @@ object ScaleOps {
       .select($"user_id", $"view_us", $"click_us", $"purchase_us",
         (lit(1) + when($"click_us".isNotNull, 1).otherwise(0) +
           when($"purchase_us".isNotNull, 1).otherwise(0)).as("stage"))
-      .transform(Relational.presentSorted(_, $"user_id"))
+      .transform(Relational.presentRanged(_, $"user_id"))
   }
 
   /** q125 — time-series resample + forward fill: each user's event stream
@@ -1290,7 +1290,7 @@ object ScaleOps {
     clicks.join(hits, Seq("event_id"), "left")
       .select($"event_id", $"user_id", $"c_us",
         coalesce($"n_views", lit(0L)).as("n_views"), $"last_v_us")
-      .transform(Relational.presentSorted(_, $"event_id"))
+      .transform(Relational.presentRanged(_, $"event_id"))
   }
 
   /** Half-width of the q81 time band: ±5 minutes, in microseconds. */
@@ -1344,7 +1344,7 @@ object ScaleOps {
         coalesce($"n_nearby", lit(0L)).as("n_nearby"),
         coalesce($"v", lit(0).cast(DecimalType(18, 2)))
           .cast("double").as("nearby_value"))
-      .transform(Relational.presentSorted(_, $"event_id"))
+      .transform(Relational.presentRanged(_, $"event_id"))
   }
 
   /** q83 — top-k per group through the native [[graft.functions.TopKAgg]]
@@ -1860,7 +1860,7 @@ object ScaleOps {
         ($"m_cents".cast("double") / 100).as("monetary"),
         $"r_score", $"f_score", $"m_score",
         concat($"r_score", $"f_score", $"m_score").as("segment"))
-      .transform(Relational.presentSorted(_, $"user_id"))
+      .transform(Relational.presentRanged(_, $"user_id"))
   }
 
   /** q148 — new vs returning weekly actives: per week, how many active
@@ -1964,7 +1964,7 @@ object ScaleOps {
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     // part lifetime-revenue rollup, persisted as a parquet artifact
     // (|parts| rows — the standard warehouse materialized view): the
-    // build rides the factByPart projection's hash(p) partitioning
+    // build rides the factByPart projection's range(p) partitioning
     // (zero exchange of fact rows even at build, beyond the projection's
     // own once-per-dataset clustering), and the steady-state query is a
     // 200k-row scan + broadcast brand join + 25-group window — no fact
@@ -2231,13 +2231,21 @@ object ScaleOps {
   private def factByPart(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.DecScaledLong.decScaledLong
-    graft.ArtifactStore.frameCached(spark, "fact_by_part", 1,
+    // RANGE-clustered, not hash-clustered (v2): RangePartitioning
+    // satisfies the same ClusteredDistribution every consumer aggregate
+    // requires (partial+final still fuse in-stage, zero steady-state
+    // exchanges — both consumers are groupBy(p), never a co-partitioned
+    // join), and the part-ordered layout makes q139's presentation sort
+    // a free sortWithinPartitions instead of a range exchange whose
+    // sampling pass re-ran the whole aggregate (the r11 verdict's q139
+    // residual). The build pays range sampling ONCE per dataset state.
+    graft.ArtifactStore.frameCached(spark, "fact_by_part", 2,
       Seq(s"$dir/lineitem.parquet")) {
       Tables(spark, dir, "lineitem")
         .select($"l_partkey".as("p"),
           decScaledLong($"l_quantity", 2).as("qc"),
           decScaledLong($"l_extendedprice", 2).as("xc"))
-        .repartition($"p")
+        .repartitionByRange($"p")
     }
   }
 
@@ -2267,7 +2275,7 @@ object ScaleOps {
     // double is the same correctly-rounded rational the decimal cast
     // produced. A single-group corpus-scale quantile remains q100's
     // sketch; this is the GROUPED exact form.
-    // rides the factByPart projection's hash(p) partitioning: map-side
+    // rides the factByPart projection's range(p) partitioning: map-side
     // partial aggregation combines nothing on the raw scan (parts spread
     // across every scan task, ~1 row per part per task — letting the
     // aggregate's own exchange carry partial buffers serialized
@@ -2277,6 +2285,10 @@ object ScaleOps {
     // part, built and walked without an exchange. Price reconstructs
     // EXACTLY from its cents (2-dp values round-trip through long cents
     // bijectively), so the cached projection needs no double column.
+    // presentation rides the cache's RANGE(p) layout: partitions are
+    // already part-ordered ranges, so an in-partition sort yields the
+    // globally-sorted result with no exchange and no sampling re-run of
+    // the aggregate (the r11 residual — the sort was half the query)
     factByPart(spark, dir)
       .groupBy($"p")
       .agg(graft.functions.WeightedMedian.weightedMedian(
@@ -2284,7 +2296,7 @@ object ScaleOps {
       .select($"p".as("p_partkey"), $"wm.w_median".as("w_median"),
         ($"wm.total".cast("double") / 100).as("total_qty"),
         $"wm.n_prices".cast("long").as("n_prices"))
-      .transform(Relational.presentSorted(_, $"p_partkey"))
+      .sortWithinPartitions($"p_partkey")
   }
 
   /** q140 — hash-split A/B conversion z-test: users assigned to arms by
@@ -2360,7 +2372,7 @@ object ScaleOps {
       .agg(count(lit(1)).as("n_events"), sum($"term_micro").as("sm"))
       .select($"user_id", $"n_events",
         ($"sm".cast("double") / 1e6).as("engagement"))
-      .transform(Relational.presentSorted(_, $"user_id"))
+      .transform(Relational.presentRanged(_, $"user_id"))
   }
 
   /** q138 — 2-D skyline (Pareto frontier): the parts no other part beats
@@ -2388,7 +2400,7 @@ object ScaleOps {
       .filter($"p_size" === $"min_size" &&
         ($"strict_prev".isNull || $"p_size" < $"strict_prev"))
       .select($"p_partkey", $"p_retailprice", $"p_size")
-      .transform(Relational.presentSorted(_, $"p_retailprice", $"p_partkey"))
+      .transform(Relational.presentRanged(_, $"p_retailprice", $"p_partkey"))
   }
 
   /** Stop-gram document-frequency cap for [[q135FuzzyJoin]]: a trigram

@@ -119,7 +119,7 @@ object Similarity {
       .select($"label", $"vec_a", $"vec_b",
         round(ddot($"ea", $"eb") / (sqrt($"na") * sqrt($"nb")), 6).as("sim"))
       .filter($"sim" >= 0.3)
-      .transform(Relational.presentSorted(_, $"vec_a", $"vec_b"))
+      .transform(Relational.presentRanged(_, $"vec_a", $"vec_b"))
   }
 
   /** IVF-style ANN: fixed deterministic centroid set (vec_id % 50 == 0),
@@ -206,6 +206,15 @@ object Similarity {
     rerankTopK(cand, emb, queryPred, k)
   }
 
+  /** Candidate-volume ceiling for the rerank broadcast, in (qid, vid)
+    * rows (~16 B each → ≤ 32 MB under the 64 MB deployment threshold).
+    * Overridable via `graft.rerank.broadcastCandLimit` so specs can force
+    * the fallback path at dev scale.
+    */
+  private def broadcastCandLimit(spark: SparkSession): Long =
+    spark.conf.getOption("graft.rerank.broadcastCandLimit")
+      .map(_.toLong).getOrElse(1L << 21)
+
   /** Shared exact-rerank over a (qid, vid) candidate set: double-prefilter
     * to a 3k margin on narrow rows, exact-decimal rerank for the
     * survivors, top-k per query. Both index probes (IVF, LSH) end here.
@@ -224,9 +233,21 @@ object Similarity {
     // deployment threshold, so Catalyst broadcast the WHOLE embedding
     // table — a driver-side hash-relation build that grows with the
     // corpus (the q9 anti-pattern), paid twice per probe.
+    //
+    // The candidate list itself is bounded only by index-bucket occupancy
+    // (IVF cell / LSH bucket), so a skewed corpus concentrating in a few
+    // buckets would grow THIS broadcast with the corpus too (ADVICE r11).
+    // Gate on the actual count — one narrow job over the candidate
+    // pipeline, trivial next to the rerank — and above the ceiling join
+    // by SHUFFLE HASH instead (cand stays the build side, the corpus is
+    // never driver-collected): identical rows either way, so recall and
+    // oracle parity never pay for the safety.
+    val candSide =
+      if (cand.count() <= broadcastCandLimit(emb.sparkSession)) broadcast(cand)
+      else cand.hint("shuffle_hash")
     val topPre = topNKeepingTies(
       corpus
-        .join(broadcast(cand), Seq("vid"))
+        .join(candSide, Seq("vid"))
         .join(broadcast(qemb), Seq("qid"))
         .select($"qid", $"vid",
           (fdot($"qe", $"embedding") / (sqrt($"qn") * sqrt($"nn"))).as("fsim")),
@@ -362,7 +383,7 @@ object Similarity {
     val emb = Tables.spread(Tables.embeddings(spark, dir)) // parallelism restore, gated on split count
       .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
     lshSimPairs(emb, bands = 2, bits = 6, tau = 0.3)
-      .transform(Relational.presentSorted(_, $"vec_a", $"vec_b"))
+      .transform(Relational.presentRanged(_, $"vec_a", $"vec_b"))
   }
 
   /** LSH-blocked exact-cosine pair stream (vec_a, vec_b, sim ≥ tau at
@@ -470,7 +491,7 @@ object Similarity {
         round(ddot($"embedding", element_at($"S", k + 1)), 6)
       }: _*)).as(Seq("k", "p")))
       .select($"vec_id", $"k", $"p")
-      .transform(Relational.presentSorted(_, $"vec_id", $"k"))
+      .transform(Relational.presentRanged(_, $"vec_id", $"k"))
   }
 
   /** Coarse candidate count per query for [[q90ProjAnn]]. */
@@ -794,7 +815,7 @@ object Similarity {
     assign
       .join(dups, Seq("vec_id"), "left")
       .select($"vec_id", $"cid", coalesce($"is_dup", lit(false)).as("is_dup"))
-      .transform(Relational.presentSorted(_, $"vec_id"))
+      .transform(Relational.presentRanged(_, $"vec_id"))
   }
 
   /** SemDeDup verdicts over LSH cells — the SCALED sibling of [[q62Semdedup]]
@@ -819,7 +840,7 @@ object Similarity {
     emb.select($"vec_id")
       .join(dups, Seq("vec_id"), "left")
       .select($"vec_id", coalesce($"is_dup", lit(false)).as("is_dup"))
-      .transform(Relational.presentSorted(_, $"vec_id"))
+      .transform(Relational.presentRanged(_, $"vec_id"))
   }
 
   /** q80 — the scaled SemDeDup contract: [[semdedupLsh]] at the pinned

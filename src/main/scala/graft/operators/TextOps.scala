@@ -38,7 +38,7 @@ object TextOps {
             .cast("double") / size(w), 6).as("avg_token_len"),
         length(regexp_replace($"text", "[^.!?,;:]", "")).cast("long").as("n_punct"),
         length(regexp_replace($"text", "[^A-Z]", "")).cast("long").as("n_upper"))
-      .transform(Relational.presentSorted(_, $"doc_id"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** Quality scoring: length band + stopword ratio + mean token length →
@@ -107,7 +107,7 @@ object TextOps {
         votes(2)._2.cast("long").as("votes_es"),
         votes(3)._2.cast("long").as("votes_fr"),
         predicted.as("predicted_lang"))
-      .transform(Relational.presentSorted(_, $"doc_id"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** Whitespace-normalized lower-cased text — the canonical form behind
@@ -135,7 +135,7 @@ object TextOps {
         fingerprintExpr($"text").as("fingerprint"),
         md5(array_join(slice(words(normalizedText($"text")), lit(1), lit(8)), " "))
           .as("prefix_fingerprint"))
-      .transform(Relational.presentSorted(_, $"doc_id"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** BPE-style pretokenizer regex (the GPT-2 pattern family minus its
@@ -159,7 +159,7 @@ object TextOps {
         size(split($"text", " ")).cast("long").as("n_ws_tokens"),
         size(regexp_extract_all($"text", lit(bpePattern), lit(0)))
           .cast("long").as("n_bpe_tokens"))
-      .transform(Relational.presentSorted(_, $"doc_id"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** q59 — repetition metrics, the Gopher-family filter a pretraining
@@ -188,7 +188,7 @@ object TextOps {
         round(lit(1.0) - $"rs" (1).cast("double") / $"rs" (0), 6)
           .as("dup_2gram_frac"),
         round($"rs" (2).cast("double") / $"rs" (0), 6).as("top_2gram_frac"))
-      .transform(Relational.presentSorted(_, $"doc_id"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** q60 — unigram-LM quality score (the zero-dependency stand-in for a
@@ -240,7 +240,7 @@ object TextOps {
       .select($"doc_id", $"n_tokens",
         ($"lp_micro".cast("double") / ($"n_tokens".cast("double") * lit(1e6)))
           .as("logprob"))
-      .transform(Relational.presentSorted(_, $"doc_id"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** Feature-hash bucket count for [[q69HashClassifier]]. */
@@ -289,7 +289,7 @@ object TextOps {
       .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-$"logit")), 6))
       .withColumn("keep", $"score" >= 0.5)
       .select($"doc_id", $"n_tokens", $"logit", $"score", $"keep")
-      .transform(Relational.presentSorted(_, $"doc_id"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** The q95 retrieval bench: three fixed keyword queries over the corpus
@@ -314,21 +314,103 @@ object TextOps {
     * multiply+divide rounded to a micro long, and per-(query, doc)
     * scores are order-invariant integer sums.
     *
-    * Scale shape: tokens collapse to (doc, word) tf on ONE exchange; the
-    * query-term semi-join prunes that stream to the handful of scoring
-    * terms BEFORE df/idf work (never a full-vocabulary df pass — df for
-    * 9 words is countable from the pruned stream); doc lengths are a
-    * map-side-combined groupBy(doc_id); corpus totals and the idf table
-    * ride broadcasts. The only window is over ≤ |queries|·matched rows,
-    * partitioned by qid.
+    * Scale shape (the q53 single-pass discipline, r11 VERDICT item #2):
+    * the query workload is bounded by definition, so its terms become
+    * in-plan literals (the same driver-side collect the indexed probe
+    * already does) and EVERYTHING per-document happens in-row — `len`
+    * is `size(words)`, each term's tf is a bounded array `filter` count,
+    * no token ever leaves its row. The former spelling exploded every
+    * token and aggregated the FULL vocabulary through a (doc_id, word)
+    * exchange just to derive doc lengths (11.9× the oracle at sf0.1).
+    * Corpus statistics (N, L) and all per-term dfs collapse in ONE
+    * single-row aggregate over the narrow per-doc projection and ride a
+    * one-row broadcast back; scoring is then a pure projection. The two
+    * passes (stats, scores) consume the SAME scan→hash-exchange subtree,
+    * so ReuseExchange ships the text once. The only window is over
+    * matched docs, partitioned by qid.
     */
   def bm25TopK(docs: DataFrame, queriesDf: DataFrame, k: Int = 10): DataFrame = {
     import docs.sparkSession.implicits._
-    val tf = docs
-      .select($"doc_id", explode(words($"text")).as("word"))
-      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
-    val dlen = tf.groupBy($"doc_id").agg(sum($"tf").as("len"))
-    bm25Score(tf, dlen, queriesDf, k)
+    import org.apache.spark.sql.expressions.Window
+    // (qid, term) pairs with multiplicity — a duplicate term in a query
+    // contributes twice, exactly like the former per-occurrence join
+    val qpairs: Seq[(Long, String)] = queriesDf
+      .select($"qid".cast("long"), explode(split($"qtext", " ")).as("word"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val terms: Seq[String] = qpairs.map(_._2).distinct
+    val ti: Map[String, Int] = terms.zipWithIndex.toMap
+
+    // narrow per-doc projection: both branches below derive from this
+    // exact shape over the SAME (doc_id-keyed) exchange, so the corpus
+    // text is shuffled once and tokenized in parallel per branch.
+    //
+    // Token counting WITHOUT split(): `split` + a higher-order `filter`
+    // per term is codegen-fallback — tens of millions of interpreted
+    // boxed lambda calls dominated the runtime (measured: the whole
+    // rewrite saved nothing at sf1p until this went). Instead, pure
+    // codegen'd string ops with EXACT space-tokenizer semantics:
+    //   len  = count(' ') + 1            (split(" ", -1) keeps empties)
+    //   tf_t = occurrences of " t " in the double-spaced padded text
+    // Double-spacing gives every token exclusive delimiters, so
+    // consecutive equal tokens can't share a space and non-overlapping
+    // replace() counts each occurrence exactly once.
+    // Two-step select on purpose: `padded` feeds every tf expression and
+    // is non-cheap, so CollapseProject leaves it evaluated once per row.
+    val perDoc = docs
+      .select($"doc_id", $"text",
+        concat(lit(" "), replace($"text", lit(" "), lit("  ")), lit(" "))
+          .as("padded"))
+      .select(
+        $"doc_id",
+        when($"text".isNull, lit(null).cast("long"))
+          .otherwise(length($"text") - length(replace($"text", lit(" "))) + 1L)
+          .as("len"),
+        array(terms.map { t =>
+          ((length($"padded") - length(replace($"padded", lit(s" $t "))))
+            / lit(t.length + 2)).cast("long").as(s"tf_$t")
+        }: _*).as("tfs"))
+
+    // N, L, and per-term document frequencies in ONE single-row
+    // aggregate. count($"len") (not count(*)) keeps the former
+    // semantics: a null-text document never entered the token stream.
+    val stats = perDoc.agg(
+      count($"len").as("n_docs"),
+      sum($"len").as("l_total"),
+      array(terms.indices.map(i =>
+        sum(when($"tfs"(i) > 0, 1L).otherwise(0L))): _*).as("dfs"))
+
+    // in-row scoring against the broadcast one-row stats: identical
+    // arithmetic to the posting formulation — idf micro-fixed per term,
+    // each occurrence's contribution rounded to a micro long, summed
+    // exactly as longs
+    def idfMicro(i: Int): Column =
+      round(log(($"n_docs" - $"dfs"(i) + 0.5) / ($"dfs"(i) + 0.5) + 1.0) * 1e6)
+        .cast("long")
+    def cMicro(i: Int): Column =
+      when($"tfs"(i) > 0,
+        round(idfMicro(i) * (lit(22L) * $"tfs"(i) * $"l_total").cast("double")
+          / (lit(10L) * $"l_total" * $"tfs"(i) + lit(3L) * $"l_total"
+             + lit(9L) * $"len" * $"n_docs").cast("double")).cast("long"))
+        .otherwise(lit(0L))
+    val byQid: Seq[(Long, Seq[Int])] = qpairs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (q, ps) => q -> ps.map(p => ti(p._2)) }
+    val qStructs = byQid.map { case (qid, idxs) =>
+      struct(lit(qid).as("qid"),
+        idxs.map(cMicro).reduce(_ + _).as("s_micro"),
+        idxs.distinct.map(i => $"tfs"(i) > 0).reduce(_ || _).as("m"))
+    }
+    val w = Window.partitionBy($"qid").orderBy($"s_micro".desc, $"doc_id".asc)
+    perDoc
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", explode(array(qStructs: _*)).as("qs"))
+      // only docs matching ≥1 of the query's terms rank — the former
+      // posting stream produced no row at all for non-matching docs
+      .filter($"qs.m")
+      .select($"qs.qid".as("qid"), $"doc_id", $"qs.s_micro".as("s_micro"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"qid", $"doc_id",
+        ($"s_micro".cast("double") / 1e6).as("score"), $"rk")
   }
 
   /** Persistable inverted index for [[bm25FromIndex]]: one row per
@@ -388,35 +470,6 @@ object TextOps {
           .cast("long").as("idf_micro"))
     val contrib = qtf
       .join(broadcast(idf), Seq("word"))
-      .join(broadcast(qterms), Seq("word"))
-      .select($"qid", $"doc_id",
-        round($"idf_micro" * (lit(22L) * $"tf" * $"l_total").cast("double")
-          / (lit(10L) * $"l_total" * $"tf" + lit(3L) * $"l_total"
-             + lit(9L) * $"len" * $"n_docs").cast("double"))
-          .cast("long").as("c_micro"))
-    val w = Window.partitionBy($"qid").orderBy($"s_micro".desc, $"doc_id".asc)
-    contrib.groupBy($"qid", $"doc_id").agg(sum($"c_micro").as("s_micro"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= k)
-      .select($"qid", $"doc_id",
-        ($"s_micro".cast("double") / 1e6).as("score"), $"rk")
-  }
-
-  private def bm25Score(tf: DataFrame, dlen: DataFrame,
-      queriesDf: DataFrame, k: Int): DataFrame = {
-    import tf.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val qterms = queriesDf.select($"qid", explode(split($"qtext", " ")).as("word"))
-    val stats = dlen.agg(count(lit(1)).as("n_docs"), sum($"len").as("l_total"))
-    val qtf = tf.join(broadcast(qterms.select($"word").distinct()), Seq("word"))
-    val idf = qtf.groupBy($"word").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats))
-      .select($"word", $"n_docs", $"l_total",
-        round(log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) * 1e6)
-          .cast("long").as("idf_micro"))
-    val contrib = qtf
-      .join(broadcast(idf), Seq("word"))
-      .join(dlen, Seq("doc_id"))
       .join(broadcast(qterms), Seq("word"))
       .select($"qid", $"doc_id",
         round($"idf_micro" * (lit(22L) * $"tf" * $"l_total").cast("double")
@@ -606,7 +659,7 @@ object TextOps {
         ($"wps_micro".cast("double") / 1e6).as("words_per_sentence"),
         ($"cpw_micro".cast("double") / 1e6).as("chars_per_word"),
         ($"grade_micro".cast("double") / 1e6).as("grade"))
-      .transform(Relational.presentSorted(_, $"doc_id"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -41,7 +41,7 @@ object TrainPrep {
       .withColumn("bucket", bucket)
       .filter($"bucket" < when($"lang" === "en", 20).otherwise(10))
       .select($"doc_id", $"lang", $"source", $"bucket")
-      .transform(Relational.presentSorted(_, $"doc_id"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** Token budget per packed sequence (q50). */
@@ -96,7 +96,7 @@ object TrainPrep {
       .select($"doc_id", graft.functions.PiiScrub.piiScrub($"raw").as("pii"))
       .select($"doc_id", $"pii.n_emails".as("n_emails"),
         $"pii.n_phones".as("n_phones"), $"pii.clean_text".as("clean_text"))
-      .transform(Relational.presentSorted(_, $"doc_id"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** Benchmark membership for q52: every 97th document stands in for an
@@ -135,7 +135,7 @@ object TrainPrep {
       .agg(count(lit(1)).as("n_shared"), first($"n_shingles").as("n_shingles"))
       .select($"doc_id", $"n_shared",
         round($"n_shared".cast("double") / $"n_shingles", 6).as("contamination"))
-      .transform(Relational.presentSorted(_, $"doc_id"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** Bloom filter geometry for the broadcast decontamination gate: 2^21
@@ -252,7 +252,7 @@ object TrainPrep {
     perDoc.crossJoin(broadcast(global))
       .select($"doc_id", $"n_shingles", $"n_shared",
         ($"n_bloom" >= $"n_shared").as("superset_ok"), $"fp_rate_ok")
-      .transform(Relational.presentSorted(_, $"doc_id"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** Sample size per language stratum for q87. */
@@ -292,7 +292,7 @@ object TrainPrep {
       .select($"lang", explode($"tk.event_id").as("doc_id"))
     scored.join(broadcast(winners.select($"doc_id")), Seq("doc_id"), "left_semi")
       .select($"doc_id", $"lang", $"w6", $"key_micro")
-      .transform(Relational.presentSorted(_, $"doc_id"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** BPE merge learning at corpus scale (Sennrich et al. 2016): learn the
@@ -494,7 +494,7 @@ object TrainPrep {
     import spark.implicits._
     chunkCore(Tables.documents(spark, dir)
       .select($"doc_id", $"lang", split($"text", " ").as("toks")))
-      .transform(Relational.presentSorted(_, $"doc_id", $"chunk_id"))
+      .transform(Relational.presentRanged(_, $"doc_id", $"chunk_id"))
   }
 
   /** The chunking column pipeline over a (doc_id, lang, toks) frame —
@@ -544,7 +544,7 @@ object TrainPrep {
       .select($"first.doc_id".as("doc_id"), $"first.chunk_id".as("chunk_id"),
         $"first.start_tok".as("start_tok"), $"first.n_tok".as("n_tok"),
         $"fp", $"n_copies")
-      .transform(Relational.presentSorted(_, $"doc_id", $"chunk_id"))
+      .transform(Relational.presentRanged(_, $"doc_id", $"chunk_id"))
   }
 
   /** q107 — the CHUNK-grain corpus pipeline (v3), ONE composed plan:
@@ -583,7 +583,7 @@ object TrainPrep {
       .select($"doc_id", $"chunk_id", $"lang", $"n_tok",
         floor($"start_off" / lit(packBudget.toDouble)).as("bin_id"),
         ($"start_off" % packBudget).as("bin_offset"))
-      .transform(Relational.presentSorted(_, $"doc_id", $"chunk_id"))
+      .transform(Relational.presentRanged(_, $"doc_id", $"chunk_id"))
   }
 
   /** BUILD: the distinct chunk-fingerprint set of a reference corpus —
@@ -685,7 +685,7 @@ object TrainPrep {
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
       .select($"doc_id", $"word", $"score", $"rk")
-      .transform(Relational.presentSorted(_, $"doc_id", $"rk"))
+      .transform(Relational.presentRanged(_, $"doc_id", $"rk"))
   }
 
   /** q73 — DSIR-style importance resampling (data selection via importance
@@ -996,7 +996,7 @@ object TrainPrep {
         count(lit(1)).as("cluster_size"))
       .select($"cluster_id", $"_s.doc_id".as("survivor_doc_id"),
         $"_s.quality_score".as("survivor_quality"), $"cluster_size")
-      .transform(Relational.presentSorted(_, $"cluster_id"))
+      .transform(Relational.presentRanged(_, $"cluster_id"))
   }
 
   /** q63 — temperature-based domain mixing (the multilingual-corpus
@@ -1037,7 +1037,7 @@ object TrainPrep {
       .filter(Dedup.portableHash(concat(lit("mix:"), $"doc_id".cast("string")))
         % 1000000 < $"thresh")
       .select($"doc_id", $"lang", $"source", $"thresh")
-      .transform(Relational.presentSorted(_, $"doc_id"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** q67 — corpus snapshot diff, the data-versioning primitive a managed
@@ -1080,7 +1080,7 @@ object TrainPrep {
           .when($"in_new".isNull, "removed")
           .when(!($"fp_old" <=> $"fp_new"), "changed")
           .otherwise("unchanged").as("status"))
-      .transform(Relational.presentSorted(_, $"doc_id"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** q68 — corpus health report: per (lang, source) domain, the rollup a
@@ -1156,7 +1156,7 @@ object TrainPrep {
         when($"rk" <= expr("(n * 9) div 10"), "train")
           .when($"rk" <= expr("(n * 19) div 20"), "val")
           .otherwise("test").as("split"))
-      .transform(Relational.presentSorted(_, $"doc_id"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** Hash-space bins per stratum for the q82 quota cut (a power of two so
@@ -1223,7 +1223,7 @@ object TrainPrep {
       .select($"lang", $"source", $"bin")
     docs.join(broadcast(cut), Seq("lang", "source", "bin"))
       .select($"doc_id", $"lang", $"source", $"n_tokens", $"bin")
-      .transform(Relational.presentSorted(_, $"doc_id"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -50,6 +50,27 @@ object Prof {
           $"l_extendedprice", $"l_discount"))
       spark.stop(); return
     }
+    if (args.contains("bm25")) {
+      import graft.operators.TextOps
+      val docs = graft.Tables.spreadBy(graft.Tables.documents(spark, dir), "doc_id")
+      t("q95: raw scan")(graft.Tables.documents(spark, dir).select($"doc_id", $"text"))
+      t("q95: spreadBy scan")(docs.select($"doc_id", $"text"))
+      val padded = concat(lit(" "), replace($"text", lit(" "), lit("  ")), lit(" "))
+      t("q95: perDoc len only")(docs.select($"doc_id",
+        (length($"text") - length(replace($"text", lit(" "))) + 1L).as("len")))
+      val terms = Seq("fast", "hash", "join", "stream", "window", "agg", "slow", "table", "scan")
+      t("q95: perDoc full (9 tf)")(docs
+        .select($"doc_id", $"text", padded.as("padded"))
+        .select($"doc_id",
+          (length($"text") - length(replace($"text", lit(" "))) + 1L).as("len"),
+          array(terms.map { tm =>
+            ((length($"padded") - length(replace($"padded", lit(s" $tm "))))
+              / lit(tm.length + 2)).cast("long")
+          }: _*).as("tfs")))
+      t("q95: full")(TextOps.q95Bm25(spark, dir))
+      t("q105: full")(TextOps.q105Bm25Indexed(spark, dir))
+      spark.stop(); return
+    }
     if (args.contains("wav")) {
       import graft.operators.Multimodal
       t("q47: wav encode only")(Multimodal.wavTable(spark, dir))

@@ -78,6 +78,26 @@ class WeightedMedianSpec extends AnyFunSuite {
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 20).toString)
   }
 
+  test("-0.0 and 0.0 are ONE price key (ADVICE r11 canonicalization)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 0.0, 3L), (1L, -0.0, 4L), (1L, 5.0, 1L),
+      (2L, -0.0, 2L))
+      .toDF("p", "price", "w")
+      // spread across partitions so ±0.0 rows meet only in merge()
+      .repartition(4)
+      .groupBy($"p")
+      .agg(WeightedMedian.weightedMedian($"price", $"w").as("wm"))
+      .select($"p", $"wm.w_median", $"wm.total", $"wm.n_prices")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getInt(3)))).toMap
+    // group 1: ±0.0 collapse to one key of weight 7 (median, and n=2 not 3)
+    assert(rows(1L) == ((0.0, 8L, 2)))
+    assert(java.lang.Double.doubleToLongBits(rows(1L)._1) == 0L,
+      "median of a -0.0-containing group must surface canonical +0.0")
+    assert(rows(2L) == ((0.0, 2L, 1)))
+  }
+
   test("null inputs are ignored; an all-null group is NULL") {
     import spark.implicits._
     val df = Seq[(Long, Option[Double], Option[Long])](

@@ -66,9 +66,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // aggregate replaced the window pair (847268 — the one raw-row
     // repartition), then the part-grain fact projection moved that
     // exchange into the once-per-dataset fact_by_part cache build —
-    // steady state shuffles only the per-part result structs into the
-    // final sort. q147/q152 pinned below ride the same discipline.
-    "q139_weighted_median" -> 48576L,
+    // steady state shuffled only the per-part result structs into the
+    // final sort, and in round 12 THAT exchange went too: fact_by_part
+    // is RANGE(p)-clustered, so the aggregate fuses in-stage and the
+    // presentation sort is in-partition on the cache's own layout.
+    // Steady state is now exchange-FREE. q147/q152 pinned below ride
+    // the same cache discipline.
+    "q139_weighted_median" -> 0L,
     "q147_abc_class" -> 62017L,
     // q152 steady state = the (priority, lat_days) grid collapse: the
     // grid is CALENDAR-bounded (priorities × latency-day span, 19.5k at

@@ -70,6 +70,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probed.nonEmpty)
   }
 
+  test("rerank candidate-volume gate: shuffle fallback returns identical top-k (ADVICE r11)") {
+    import spark.implicits._
+    // default path (candidates broadcast) vs forced fallback (limit 0 →
+    // every probe joins candidates by shuffle hash): rows must be
+    // identical — the gate is purely physical, protecting the driver
+    // from skew-grown candidate lists, never a semantics change
+    val viaBroadcast = Similarity.q40LshAnn(spark, dir).collect().map(_.toSeq).toSeq
+    spark.conf.set("graft.rerank.broadcastCandLimit", "0")
+    try {
+      val q40 = Similarity.q40LshAnn(spark, dir)
+      val viaShuffle = q40.collect().map(_.toSeq).toSeq
+      assert(viaShuffle == viaBroadcast && viaShuffle.nonEmpty)
+      // and the fallback plan really did drop the candidate broadcast:
+      // no BroadcastExchange feeds the candidate (qid, vid) join — the
+      // only broadcasts left are the query-bounded qsigs/qemb/topPre sides
+      val planStr = q40.queryExecution.executedPlan.toString
+      assert(planStr.contains("ShuffledHashJoin"),
+        "forced fallback must plan the candidate join as shuffle-hash")
+      val ivfA = Similarity.q32IvfAnn(spark, dir).collect().map(_.toSeq).toSeq
+      spark.conf.unset("graft.rerank.broadcastCandLimit")
+      val ivfB = Similarity.q32IvfAnn(spark, dir).collect().map(_.toSeq).toSeq
+      assert(ivfA == ivfB && ivfA.nonEmpty)
+    } finally spark.conf.unset("graft.rerank.broadcastCandLimit")
+  }
+
   test("int8 quantization: codes bounded, dequantization error within half a step") {
     import spark.implicits._
     val rows = Similarity.q55Int8Quant(spark, dir)
