@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dev-only (SCALE.md round-12): build-vs-steady timing for the cached
+  * projection / index artifacts, at whatever scale SPARK_GRAFT_SF_DIR
+  * points to. For each artifact-backed query family this measures
+  *
+  *  - build:  first run against an EMPTY artifact root (disk artifacts)
+  *            and a fresh session (frameCached intermediates) — the
+  *            once-per-dataset-state cost, including the query on top;
+  *  - steady: the same query again in the same session (frameCached
+  *            hit) after the disk artifact exists — the probe cost an
+  *            incremental deployment pays per query.
+  *
+  * One JSON line out, two steady passes (min), same session configs as
+  * Bench so the measured plans are the benched plans.
+  */
+object ArtifactBench {
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val artDir = java.nio.file.Files
+      .createTempDirectory("graft-artbench").toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        (64L * 1024 * 1024).toString)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString)
+      .config("graft.artifacts.dir", artDir) // EMPTY root → first run builds
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val families: Seq[(String, String, (SparkSession, String) => DataFrame)] = Seq(
+      ("fact_by_part", "q139", graft.operators.ScaleOps.q139WeightedMedian),
+      ("part_rev(+fact_by_part)", "q147", graft.operators.ScaleOps.q147AbcClass),
+      ("ship_latency_facts", "q152", graft.operators.ScaleOps.q152ShipLatency),
+      ("text_index", "q105", graft.operators.TextOps.q105Bm25Indexed),
+      ("lsh_postings", "q40", graft.operators.Similarity.q40LshAnn),
+      ("basket_items", "q127", graft.operators.ScaleOps.q127MarketBasket))
+
+    // JIT/codegen warm on the tiny sibling so `build` is not charged JVM
+    // warmup (same discipline as Bench); artifacts built there land in a
+    // DIFFERENT fingerprint key, so the measured build still builds.
+    val warmDir = new java.io.File("/root/testdata/sf0.001")
+    if (warmDir.isDirectory)
+      families.foreach { case (_, _, fn) =>
+        try force(fn(spark, warmDir.getPath)) catch { case _: Throwable => () }
+      }
+
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    val rows = families.map { case (artifact, q, fn) =>
+      val build = time(force(fn(spark, sfDir)))
+      val steady = math.min(
+        time(force(fn(spark, sfDir))), time(force(fn(spark, sfDir))))
+      f""""$artifact":{"query":"$q","build":$build%.2f,"steady":$steady%.2f}"""
+    }
+    println(rows.mkString("{", ",", s""","sf":"$sfDir"}"""))
+    spark.stop()
+  }
+}
