@@ -329,14 +329,25 @@ object TextOps {
     * so ReuseExchange ships the text once. The only window is over
     * matched docs, partitioned by qid.
     */
-  def bm25TopK(docs: DataFrame, queriesDf: DataFrame, k: Int = 10): DataFrame = {
+  /** Frame-input convenience: collects the (bounded-by-definition) query
+    * workload and delegates. The Seq overload is the primary API — a
+    * literal query set never needs a Spark job to read back.
+    */
+  def bm25TopK(docs: DataFrame, queriesDf: DataFrame, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val qs = queriesDf.select($"qid".cast("long"), $"qtext")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    bm25TopK(docs, qs, k, Nil)
+  }
+
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, String)], k: Int = 10,
+      statsInputs: Seq[String] = Nil): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     // (qid, term) pairs with multiplicity — a duplicate term in a query
     // contributes twice, exactly like the former per-occurrence join
-    val qpairs: Seq[(Long, String)] = queriesDf
-      .select($"qid".cast("long"), explode(split($"qtext", " ")).as("word"))
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val qpairs: Seq[(Long, String)] =
+      queries.flatMap { case (q, text) => text.split(" ").map(q -> _) }
     val terms: Seq[String] = qpairs.map(_._2).distinct
     val ti: Map[String, Int] = terms.zipWithIndex.toMap
 
@@ -379,18 +390,41 @@ object TextOps {
       array(terms.indices.map(i =>
         sum(when($"tfs"(i) > 0, 1L).otherwise(0L))): _*).as("dfs"))
 
-    // in-row scoring against the broadcast one-row stats: identical
-    // arithmetic to the posting formulation — idf micro-fixed per term,
+    // Corpus statistics enter the score projection as CONSTANTS, the
+    // q153 ouMidpoint discipline: with `statsInputs` (the docs table's
+    // files) the one-row aggregate runs as a fingerprint-keyed
+    // scalarCached pre-pass — steady state reads the memo and the whole
+    // query is ONE pass over the text. The alternative (crossJoin of the
+    // broadcast one-row frame) plans a BroadcastNestedLoopJoin right
+    // between the per-doc string work and the scoring Generate, which
+    // splits whole-stage codegen at the hot seam AND re-runs the stats
+    // pass every execution. Without statsInputs (ad-hoc caller over an
+    // arbitrary frame) the stats job simply runs once per call — same
+    // literals, no memo.
+    val (nDocsL, lTotalL, dfsL): (Long, Long, Seq[Long]) = {
+      def head3(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), // empty corpus
+          r.getSeq[Long](2).toSeq)
+      if (statsInputs.nonEmpty)
+        graft.ArtifactStore.scalarCached(
+          s"bm25_stats_${terms.mkString(" ")}", 1, statsInputs) {
+          head3(stats.head())
+        }
+      else head3(stats.head())
+    }
+
+    // in-row scoring with literal stats: idf micro-fixed per term via
+    // the SAME java.lang.Math.log the former in-plan `log` evaluated,
     // each occurrence's contribution rounded to a micro long, summed
-    // exactly as longs
-    def idfMicro(i: Int): Column =
-      round(log(($"n_docs" - $"dfs"(i) + 0.5) / ($"dfs"(i) + 0.5) + 1.0) * 1e6)
-        .cast("long")
+    // exactly as longs — arithmetic identical to the posting formulation
+    def idfMicroL(i: Int): Long =
+      math.round(math.log(
+        ((nDocsL - dfsL(i)) + 0.5) / (dfsL(i) + 0.5) + 1.0) * 1e6)
     def cMicro(i: Int): Column =
       when($"tfs"(i) > 0,
-        round(idfMicro(i) * (lit(22L) * $"tfs"(i) * $"l_total").cast("double")
-          / (lit(10L) * $"l_total" * $"tfs"(i) + lit(3L) * $"l_total"
-             + lit(9L) * $"len" * $"n_docs").cast("double")).cast("long"))
+        round(lit(idfMicroL(i)) * (lit(22L) * $"tfs"(i) * lit(lTotalL)).cast("double")
+          / (lit(10L * lTotalL) * $"tfs"(i) + lit(3L * lTotalL)
+             + lit(9L * nDocsL) * $"len").cast("double")).cast("long"))
         .otherwise(lit(0L))
     val byQid: Seq[(Long, Seq[Int])] = qpairs.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (q, ps) => q -> ps.map(p => ti(p._2)) }
@@ -401,7 +435,6 @@ object TextOps {
     }
     val w = Window.partitionBy($"qid").orderBy($"s_micro".desc, $"doc_id".asc)
     perDoc
-      .crossJoin(broadcast(stats))
       .select($"doc_id", explode(array(qStructs: _*)).as("qs"))
       // only docs matching ≥1 of the query's terms rank — the former
       // posting stream produced no row at all for non-matching docs
@@ -487,9 +520,13 @@ object TextOps {
   /** q95 — BM25 retrieval over `documents` for the fixed query set. */
   def q95Bm25(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // statsInputs keys the one-row corpus-stats pre-pass to the table's
+    // file fingerprint (scalarCached): first run per dataset state pays
+    // the stats pass, steady state is ONE pass over the text
     bm25TopK(
       Tables.spreadBy(Tables.documents(spark, dir), "doc_id"),
-      bm25Queries.toDF("qid", "qtext"))
+      bm25Queries, k = 10,
+      statsInputs = Seq(s"$dir/documents.parquet"))
       .transform(Relational.presentSorted(_, $"qid", $"rk"))
   }
 
