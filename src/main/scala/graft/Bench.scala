@@ -116,11 +116,12 @@ object Bench {
     // weak list. For every query whose in-suite best crosses the
     // threshold, clean the heap and re-time it in isolation (min of 2);
     // both numbers are reported so rankings can use the steady-state
-    // figure without losing the in-suite evidence. Bounded to the 12
-    // slowest so the re-measure can't dominate the run.
+    // figure without losing the in-suite evidence. Bounded to the 24
+    // slowest so the re-measure can't dominate the run (at sf1p that
+    // covers every >=1 s entry — the whole weak-list candidate set).
     val soloThreshold = sys.env.getOrElse("SPARK_GRAFT_SOLO_THRESHOLD", "0.8").toDouble
     val soloCandidates = results.filter(_._2 >= soloThreshold)
-      .sortBy(-_._2).take(12).map(_._1)
+      .sortBy(-_._2).take(24).map(_._1)
     val solo: Map[String, Double] = soloCandidates.map { name =>
       val fn = SparkEntry.queries(name)
       System.gc()

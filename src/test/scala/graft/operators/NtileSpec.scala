@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[Relational.withGlobalNtile]] — the parallel rank decomposition
+  * that replaced q102's single-task global window — bit-identical to the
+  * window `ntile` across bucket counts that divide the row count evenly,
+  * unevenly, and exceed it, and across input partition layouts (the ids
+  * the helper derives ranks from are partition-local, so the layout is
+  * the thing that could break it).
+  */
+class NtileSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "7")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  private def viaWindow(df: org.apache.spark.sql.DataFrame, n: Int) = {
+    import spark.implicits._
+    df.withColumn("tile",
+      ntile(n).over(Window.orderBy($"v", $"id")).cast("int"))
+      .select($"id", $"tile")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+  }
+
+  private def viaHelper(df: org.apache.spark.sql.DataFrame, n: Int) = {
+    import spark.implicits._
+    Relational.withGlobalNtile(df, n, Seq($"v", $"id"), "tile")
+      .select($"id", $"tile")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+  }
+
+  test("equals window ntile: even, uneven, n > N, across layouts") {
+    import spark.implicits._
+    // 1003 rows (uneven vs 10), duplicate v values so the id tiebreaker
+    // is load-bearing
+    val base = spark.range(1003).select(
+      $"id", pmod(hash($"id"), lit(97)).cast("long").as("v"))
+    for (layout <- Seq(base.repartition(1), base.repartition(11),
+         base.repartitionByRange(5, $"id"));
+         n <- Seq(10, 17, 2000)) {
+      val w = viaWindow(layout, n)
+      val h = viaHelper(layout, n)
+      assert(h.size == 1003 && h == w, s"n=$n layout mismatch")
+    }
+  }
+
+  test("withGroupedRank equals the partitioned window rank family") {
+    import spark.implicits._
+    // small-cardinality group key (incl. a NULL group and a 1-row group
+    // for the percent_rank n=1 edge), duplicate v values so the id
+    // tiebreaker is load-bearing
+    val df = spark.range(2000).select(
+      when($"id" === 0, lit(null).cast("string"))
+        .when($"id" === 1, lit("solo"))
+        .otherwise(concat(lit("g"), pmod(hash($"id"), lit(4)))).as("g"),
+      $"id", pmod(hash($"id" * 13), lit(31)).cast("long").as("v"))
+      .repartition(9)
+    val w = Window.partitionBy($"g").orderBy($"v", $"id")
+    val expected = df.select($"g", $"id",
+      dense_rank().over(w).cast("long").as("drank"),
+      round(percent_rank().over(w), 6).as("prank"),
+      round(cume_dist().over(w), 6).as("cdist"))
+      .collect().map(r => (r.getLong(1),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val got = Relational.withGroupedRank(df, Seq("g"), Seq($"v", $"id"), "_r", "_gn")
+      .select($"id", $"_r".as("drank"),
+        round(when($"_gn" === 1, lit(0.0)).otherwise(
+          ($"_r" - 1).cast("double") / ($"_gn" - 1).cast("double")), 6).as("prank"),
+        round($"_r".cast("double") / $"_gn".cast("double"), 6).as("cdist"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.size == 2000 && got == expected)
+  }
+
+  test("single-task window is GONE from the q102 plan") {
+    val df = ScaleOps.q102NtileHist(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // an unpartitioned WindowExec prints 'Window [...], [v ASC ...]'
+    // with no partition spec; the helper's only window runs over the
+    // <=|partitions|-row offsets frame. Assert no window consumes the
+    // events-grain sort: the ntile itself must come from the rank
+    // arithmetic (projected), not a Window over the full stream.
+    assert(!plan.contains("ntile"), "q102 still plans a window ntile")
+  }
+}
