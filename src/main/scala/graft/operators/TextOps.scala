@@ -222,21 +222,20 @@ object TextOps {
     */
   def q60UnigramLm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tf = Tables.spreadBy(Tables.documents(spark, dir), "doc_id") // gated: skipped on wide inputs
-      .select($"doc_id", explode(words($"text")).as("word"))
-      .groupBy($"doc_id", $"word")
-      .agg(count(lit(1)).as("tf"))
-    val cw = tf.groupBy($"word").agg(sum($"tf").as("cw"))
-    val n = Tables.documents(spark, dir)
-      .select(sum(size(words($"text")).cast("long")).cast("double").as("n_total"))
-    tf
-      .join(cw, Seq("word"))
-      .crossJoin(broadcast(n))
+    // r12: scoring rides the inverted-index artifact. Per-term corpus
+    // frequency (cf) and the corpus token total (l_total) are INDEX
+    // COLUMNS ([[buildTextIndex]]), so the LM score is ONE posting scan
+    // + ONE doc-grain map-side-combined aggregate — no tokenize, no
+    // full-vocabulary exchange, no joins. The former from-text spelling
+    // (tokenize → (doc, word) agg → vocab agg → word-keyed join back)
+    // re-derived the cf table every run; arithmetic is unchanged
+    // (identical longs in, identical double division and 1e6 rounding).
+    textIndex(spark, dir)
       .groupBy($"doc_id")
       .agg(
         sum($"tf").as("n_tokens"),
-        sum(round($"tf" * log($"cw".cast("double") / $"n_total") * lit(1e6))
-          .cast("long")).as("lp_micro"))
+        sum(round($"tf" * log($"cf".cast("double") / $"l_total".cast("double"))
+          * lit(1e6)).cast("long")).as("lp_micro"))
       .select($"doc_id", $"n_tokens",
         ($"lp_micro".cast("double") / ($"n_tokens".cast("double") * lit(1e6)))
           .as("logprob"))
@@ -467,9 +466,15 @@ object TextOps {
       .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
     val dlen = tf.groupBy($"doc_id").agg(sum($"tf").as("len"))
     val stats = dlen.agg(count(lit(1)).as("n_docs"), sum($"len").as("l_total"))
+    // cf = per-term corpus frequency (what a real index stores beside
+    // df): RLE-free on the word-sorted artifact, and it makes unigram
+    // LM scoring (q60) a zero-join probe — the build pays the one
+    // word-keyed exchange, once per dataset state
+    val cf = tf.groupBy($"word").agg(sum($"tf").as("cf"))
     tf.join(dlen, Seq("doc_id"))
+      .join(cf, Seq("word"))
       .crossJoin(broadcast(stats))
-      .select($"word", $"doc_id", $"tf", $"len", $"n_docs", $"l_total")
+      .select($"word", $"doc_id", $"tf", $"len", $"cf", $"n_docs", $"l_total")
       // global word order: each parquet file/row-group of the persisted
       // artifact covers a narrow word range, so the probe's pushed
       // `word IN (...)` skips whole row groups off min/max stats — the
@@ -551,7 +556,7 @@ object TextOps {
     * the q105 probe and the q128 fusion.
     */
   private def textIndex(spark: SparkSession, dir: String): DataFrame =
-    graft.ArtifactStore.cached(spark, "text_index", 2,
+    graft.ArtifactStore.cached(spark, "text_index", 3, // v3: +cf column
       Seq(s"$dir/documents.parquet")) {
       buildTextIndex(Tables.spreadBy(Tables.documents(spark, dir), "doc_id"))
     }
