@@ -204,14 +204,18 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("windowspecdefinition(word"),
         s"$name windows over the token column:\n$p")
       // q53's tf table is a frameCached word-partitioned index (both
-      // branches read the cache); q60 still shares its raw shuffle via
-      // exchange reuse
+      // branches read the cache); q60 (r12) probes the text_index
+      // artifact — cf rides the postings, so the plan must contain NO
+      // tokenize (explode) and no raw-document branch at all
       if (name == "q53")
         assert(p.contains("InMemoryTableScan"),
           s"$name no longer reads the cached tf index:\n$p")
-      else
-        assert(p.contains("ReusedExchange"),
-          s"$name raw-document scan+shuffle instantiated per branch (no ReusedExchange):\n$p")
+      else {
+        assert(!p.contains("explode"),
+          s"$name re-tokenizes instead of probing the text index:\n$p")
+        assert(p.contains("Scan parquet"),
+          s"$name does not scan the persisted index artifact:\n$p")
+      }
     }
   }
 
