@@ -106,9 +106,21 @@ object ArtifactStore {
               // we lost the probe race and moved a COMPLETE artifact
               // aside — put it back (or, if a rival already installed an
               // equivalent one, discard ours: artifacts are deterministic
-              // per key, so any complete copy serves)
-              if (!wreck.renameTo(dst)) deleteRecursively(wreck)
-              deleteRecursively(staging)
+              // per key, so any complete copy serves). If the rename-back
+              // fails for a reason OTHER than a rival's complete install
+              // (transient IO), we still hold a complete STAGING copy —
+              // install that before discarding anything, and only delete
+              // a complete wreck once a complete dst is confirmed; the
+              // former unconditional double-delete could destroy both
+              // copies and leave the read below with nothing (ADVICE r12).
+              if (wreck.renameTo(dst)) deleteRecursively(staging)
+              else if (new File(dst, "_SUCCESS").isFile) {
+                deleteRecursively(wreck); deleteRecursively(staging)
+              } else if (staging.renameTo(dst)) deleteRecursively(wreck)
+              else if (wreck.renameTo(dst)) deleteRecursively(staging)
+              else throw new java.io.IOException(
+                s"artifact commit failed: two complete copies exist " +
+                  s"($wreck, $staging) but neither installs at $path")
             } else {
               deleteRecursively(wreck)
               if (!staging.renameTo(dst)) {

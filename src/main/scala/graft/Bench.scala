@@ -125,12 +125,16 @@ object Bench {
     val solo: Map[String, Double] = soloCandidates.map { name =>
       val fn = SparkEntry.queries(name)
       System.gc()
-      val reps = (0 until 2).map { _ =>
+      val reps = (0 until 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => Double.MaxValue }
+        try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
       }
-      name -> reps.min
+      // a rep that fails is dropped; both failing records the -1 sentinel
+      // (the in-suite failed convention). The former Double.MaxValue
+      // rendered as a ~310-char literal under %.2f and could re-truncate
+      // the size-budgeted stdout line (ADVICE r12).
+      name -> (if (reps.isEmpty) -1.0 else reps.min)
     }.toMap
 
     // measured per-query harness constant: a trivial one-row plan through
@@ -192,6 +196,15 @@ object Bench {
       s"""{"queries":$fullQs,"solo":$fullSolo,"errors":$fullErrs,"overhead_per_query":$overhead,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
     println(line)
+    // the driver parses the captured stdout tail for a bare JSON line;
+    // under a non-forked `sbt runMain` the println above goes through
+    // sbt's logger and lands prefixed as `[info] {...}`, which fails the
+    // driver's parse (BENCH_r11/r12 both recorded "parsed": null).
+    // Writing straight to file descriptor 1 bypasses sbt's swapped
+    // System.out, so the line reaches the terminal unprefixed.
+    val rawOut = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+    rawOut.println("\n" + line) // leading \n: never append to a half-flushed logger line
     spark.stop()
   }
 }

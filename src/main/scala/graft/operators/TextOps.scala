@@ -345,8 +345,14 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     // (qid, term) pairs with multiplicity — a duplicate term in a query
     // contributes twice, exactly like the former per-occurrence join
+    // split(" ", -1), not split(" "): Scala's limit-0 split drops trailing
+    // empty tokens while the doc-side counting (and the former Spark
+    // split(qtext, ' ') spelling) keeps them — an ad-hoc query text with
+    // trailing/repeated spaces must see the same term multiset both sides
+    // (ADVICE r12; the fixed q95/q105 query sets are single-spaced either
+    // way).
     val qpairs: Seq[(Long, String)] =
-      queries.flatMap { case (q, text) => text.split(" ").map(q -> _) }
+      queries.flatMap { case (q, text) => text.split(" ", -1).map(q -> _) }
     val terms: Seq[String] = qpairs.map(_._2).distinct
     val ti: Map[String, Int] = terms.zipWithIndex.toMap
 
