@@ -78,10 +78,18 @@ object CmOps {
 final class CmBuffer(val depth: Int, val width: Int) {
   val counts = new Array[Long](depth * width)
 
-  def add(h: Long): Unit = {
+  def add(h: Long): Unit = addW(h, 1L)
+
+  /** Weighted insert: counter addition commutes, so adding an item's
+    * PRE-AGGREGATED count w yields the bit-identical grid to w unit
+    * inserts — the path that lets a persisted (stratum, item, cnt)
+    * count table rebuild its sketches without replaying the token
+    * stream (q118's artifact composition).
+    */
+  def addW(h: Long, w: Long): Unit = {
     var r = 0
     while (r < depth) {
-      counts(r * width + CmOps.slot(h, r, width)) += 1L
+      counts(r * width + CmOps.slot(h, r, width)) += w
       r += 1
     }
   }
@@ -239,10 +247,71 @@ case class CmQuery(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `cm_sketch_w(hash, weight, depth, width)`: the weighted-insert twin of
+  * [[CmSketchAgg]] for pre-aggregated (item, count) inputs. Counter-wise
+  * addition commutes, so the grid is BIT-EQUAL to the row-wise build over
+  * the expanded stream — pinned in CountMinSpec.
+  */
+case class CmSketchWAgg(
+    left: Expression,
+    right: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CmBuffer]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(depth > 0 && depth <= 16, s"cm_sketch_w depth must be in [1,16], got $depth")
+  require(width > 1 && Integer.bitCount(width) == 1,
+    s"cm_sketch_w width must be a power of two > 1, got $width")
+
+  override def prettyName: String = "cm_sketch_w"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cm_sketch_w requires (bigint hash, bigint weight), got ($l, $r)")
+    }
+
+  override def createAggregationBuffer(): CmBuffer = new CmBuffer(depth, width)
+
+  override def update(buffer: CmBuffer, input: InternalRow): CmBuffer = {
+    val h = left.eval(input)
+    val w = right.eval(input)
+    if (h != null && w != null)
+      buffer.addW(h.asInstanceOf[Long], w.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: CmBuffer, other: CmBuffer): CmBuffer = {
+    buffer.mergeIn(other); buffer
+  }
+
+  override def eval(buffer: CmBuffer): Any = buffer.serialize()
+  override def serialize(buffer: CmBuffer): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): CmBuffer = CmBuffer.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmSketchWAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmSketchWAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmSketchWAgg =
+    copy(left = newLeft, right = newRight)
+}
+
 object CountMin {
   def cmSketch(hash: Column, depth: Int, width: Int): Column =
     ColumnBridge.column(CmSketchAgg(
       ColumnBridge.expression(hash), depth, width).toAggregateExpression())
+  def cmSketchW(hash: Column, weight: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(CmSketchWAgg(
+      ColumnBridge.expression(hash), ColumnBridge.expression(weight),
+      depth, width).toAggregateExpression())
   def cmMerge(sketch: Column): Column =
     ColumnBridge.column(CmMergeAgg(
       ColumnBridge.expression(sketch)).toAggregateExpression())

@@ -48,11 +48,29 @@ final class MgBuffer(val k: Int) {
     }
   }
 
+  /** Weighted insert = merging a singleton summary {item: w} (a summary
+    * of the w-repetition stream, which is exact): counter add, then the
+    * same over-k correction as [[mergeIn]]. The Mergeable-Summaries
+    * guarantees therefore carry over verbatim — total decrement budget
+    * N/(k+1), so undercount and recall bounds hold for pre-aggregated
+    * (item, count) inputs exactly as for the unit stream (q86's artifact
+    * composition).
+    */
+  def addW(item: String, w: Long): Unit = {
+    if (w <= 0L) return
+    counts.merge(item, w, (a, b) => java.lang.Long.valueOf(a + b))
+    if (counts.size > k) overKCorrection()
+  }
+
   def mergeIn(other: MgBuffer): Unit = {
     other.counts.forEach { (item, v) =>
       counts.merge(item, v, (a, b) => java.lang.Long.valueOf(a + b))
     }
-    if (counts.size > k) {
+    if (counts.size > k) overKCorrection()
+  }
+
+  private def overKCorrection(): Unit = {
+    {
       val vals = new Array[Long](counts.size)
       var i = 0
       val vit = counts.values().iterator()
@@ -160,9 +178,79 @@ case class MgSketchAgg(
     copy(child = newChild)
 }
 
+/** `mg_sketch_w(item, weight, k)`: the weighted-insert twin of
+  * [[MgSketchAgg]] for pre-aggregated (item, count) inputs — each update
+  * is a singleton-summary merge (see [[MgBuffer.addW]]), so the
+  * Mergeable-Summaries recall/undercount guarantees hold for the count
+  * table exactly as for the unit stream. Slot RESIDUE differs from the
+  * row-wise build (it is partition-order dependent either way); q86
+  * emits only the contract, never the residue.
+  */
+case class MgSketchWAgg(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MgBuffer]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k > 0, s"mg_sketch_w needs k > 0, got $k")
+
+  override def prettyName: String = "mg_sketch_w"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("est", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"mg_sketch_w requires (string item, bigint weight), got ($l, $r)")
+    }
+
+  override def createAggregationBuffer(): MgBuffer = new MgBuffer(k)
+
+  override def update(buffer: MgBuffer, input: InternalRow): MgBuffer = {
+    val item = left.eval(input)
+    val w = right.eval(input)
+    if (item != null && w != null)
+      buffer.addW(item.asInstanceOf[UTF8String].toString, w.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: MgBuffer, other: MgBuffer): MgBuffer = {
+    buffer.mergeIn(other); buffer
+  }
+
+  override def eval(buffer: MgBuffer): Any =
+    new GenericArrayData(buffer.sorted.map { case (item, est) =>
+      InternalRow(UTF8String.fromString(item), est)
+    }.toArray[Any])
+
+  override def serialize(buffer: MgBuffer): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): MgBuffer =
+    MgBuffer.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MgSketchWAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MgSketchWAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MgSketchWAgg =
+    copy(left = newLeft, right = newRight)
+}
+
 object FreqSketch {
   /** `mgSketch(item, k)` → array<struct<item, est>> heavy-hitter summary. */
   def mgSketch(item: Column, k: Int): Column =
     ColumnBridge.column(MgSketchAgg(
       ColumnBridge.expression(item), k).toAggregateExpression())
+
+  /** `mgSketchW(item, weight, k)` — weighted insert over a count table. */
+  def mgSketchW(item: Column, weight: Column, k: Int): Column =
+    ColumnBridge.column(MgSketchWAgg(
+      ColumnBridge.expression(item), ColumnBridge.expression(weight),
+      k).toAggregateExpression())
 }

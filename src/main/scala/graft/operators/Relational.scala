@@ -594,17 +594,37 @@ object Relational {
     val spend = Tables.orders(spark, dir)
       .groupBy($"o_custkey").agg(dsum($"o_totalprice").as("spend"))
     val base = spend.join(cust, $"o_custkey" === $"c_custkey")
-    val upserts = base.select(
-      $"o_custkey".as("c_custkey"),
-      when($"o_custkey" % 10 === 0, "D").otherwise("U").as("op"),
-      $"c_name", $"c_nationkey",
-      round($"c_acctbal" + $"spend", 2).as("c_acctbal"), $"c_mktsegment")
-    val inserts = base.filter($"o_custkey" % 13 === 0).select(
-      ($"o_custkey" + 1000000L).as("c_custkey"), lit("I").as("op"),
-      concat(lit("NEW#"), $"o_custkey").as("c_name"),
-      ($"o_custkey" % 25).cast("int").as("c_nationkey"),
-      round($"spend", 2).as("c_acctbal"), lit("NEW").as("c_mktsegment"))
-    applyChangeSet(cust, upserts.unionByName(inserts), "c_custkey")
+    // r13: the U/D row and the optional I row emit from ONE in-row
+    // explode over a single execution of the base subtree — the former
+    // unionByName of two base-derived branches re-ran the orders
+    // aggregation and the customer join per branch (the dominant cost;
+    // exchange reuse did not hold across the branches' differing
+    // projections). Identical changeset rows, one pass.
+    val changes = base
+      .select(explode(when($"o_custkey" % 13 === 0, array(
+        struct(
+          $"o_custkey".as("c_custkey"),
+          when($"o_custkey" % 10 === 0, "D").otherwise("U").as("op"),
+          $"c_name".as("c_name"), $"c_nationkey".as("c_nationkey"),
+          round($"c_acctbal" + $"spend", 2).as("c_acctbal"),
+          $"c_mktsegment".as("c_mktsegment")),
+        struct(
+          ($"o_custkey" + 1000000L).as("c_custkey"), lit("I").as("op"),
+          concat(lit("NEW#"), $"o_custkey").as("c_name"),
+          ($"o_custkey" % 25).cast("int").as("c_nationkey"),
+          round($"spend", 2).as("c_acctbal"),
+          lit("NEW").as("c_mktsegment"))
+      )).otherwise(array(
+        struct(
+          $"o_custkey".as("c_custkey"),
+          when($"o_custkey" % 10 === 0, "D").otherwise("U").as("op"),
+          $"c_name".as("c_name"), $"c_nationkey".as("c_nationkey"),
+          round($"c_acctbal" + $"spend", 2).as("c_acctbal"),
+          $"c_mktsegment".as("c_mktsegment"))
+      ))).as("r"))
+      .select($"r.c_custkey", $"r.op", $"r.c_name", $"r.c_nationkey",
+        $"r.c_acctbal", $"r.c_mktsegment")
+    applyChangeSet(cust, changes, "c_custkey")
       .transform(presentRanged(_, $"c_custkey"))
   }
 

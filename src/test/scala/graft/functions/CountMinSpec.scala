@@ -52,6 +52,19 @@ class CountMinSpec extends AnyFunSuite {
     assert(miss.forall(_ == 0L))
   }
 
+  test("weighted insert over a count table is bit-equal to the row-wise build") {
+    import spark.implicits._
+    val direct = items.coalesce(1)
+      .agg(CountMin.cmSketch($"h", 4, 1024)).collect()(0).getAs[Array[Byte]](0)
+    val counted = items.groupBy($"item")
+      .agg(first($"h").as("h"), count(lit(1)).as("cnt"))
+      .repartition(5)
+      .agg(CountMin.cmSketchW($"h", $"cnt", 4, 1024))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(direct, counted),
+      "cm_sketch_w over (item, cnt) must equal cm_sketch over the stream")
+  }
+
   test("merge of partial sketches is bit-equal to the direct build, any partitioning") {
     import spark.implicits._
     val direct = items.coalesce(1)

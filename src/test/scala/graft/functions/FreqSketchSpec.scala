@@ -37,6 +37,21 @@ class FreqSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted insert over a count table honors the guarantees") {
+    // same adversarial stream, PRE-AGGREGATED to (item, cnt) and fed via
+    // addW in a hostile order (heavy items last, after the buffer is full
+    // of noise) — the mergeable-summaries budget must still hold
+    val heavy = Seq.fill(400)("the") ++ Seq.fill(300)("of") ++ Seq.fill(200)("and")
+    val noise = (0 until 2000).map(i => s"w$i")
+    val stream = heavy ++ noise
+    val counts = stream.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy(_._2) // ascending: all the noise first, heavy items last
+    val b = new MgBuffer(8)
+    counts.foreach { case (item, c) => b.addW(item, c) }
+    checkContract(stream, 8, b.sorted.toMap)
+    assert(b.sorted.toMap.contains("the"), "heaviest item must survive")
+  }
+
   test("buffer honors the guarantees on an adversarial Zipf-plus-noise stream") {
     // 3 genuinely heavy items drowned in 2000 distinct one-off items —
     // the stream that forces constant decrement churn in a 8-slot buffer

@@ -349,9 +349,14 @@ class PlanSpec extends AnyFunSuite {
       s"extra sort below the selection:\n$p")
   }
 
-  test("q120: the sketch gate's cutoffs broadcast back — no stratum-sized exchange of values") {
+  test("q120: the gate is one joinless events pass — cutoffs are baked-in literals") {
+    // r13: the four cutoff statistics are scalarCached constants, so the
+    // steady-state plan must contain NO join at all (the former pin
+    // asserted the cutoff join was at least broadcast; now it is gone)
+    // and no stratum-sized exchange of raw values — the only exchange
+    // is the per-type gate rollup
     val p = plan(ScaleOps.q120MadSketch(spark, dir))
-    assert(p.contains("BroadcastHashJoin"), s"cutoff join not broadcast:\n$p")
+    assert(!p.contains("Join"), s"a join crept back into the gate pass:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
   }
 
