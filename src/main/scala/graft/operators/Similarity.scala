@@ -541,15 +541,27 @@ object Similarity {
     import spark.implicits._
     val emb = Tables.spread(Tables.embeddings(spark, dir))
       .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
-    val proj = emb
-      .crossJoin(broadcast(signMatrix(spark)))
-      .select($"vec_id", $"embedding", $"nn",
-        array((0 until rpDims).map { k =>
-          round(ddot($"embedding", element_at($"S", k + 1)), 6)
-        }: _*).as("pv"))
-      .withColumn("pn", ddot($"pv", $"pv"))
-      .filter($"pn" > 0) // a fully-zeroed projection cannot rank (never occurs on real data)
+    // r13: the projection table is the third BUILD-ONCE index artifact
+    // (beside the IVF assignment and the LSH postings): the exact-decimal
+    // 8-dim projections are the expensive per-corpus pass, and they are a
+    // pure function of the embedding file — persisted once, every probe
+    // reads the (vec_id, pv, pn) parquet back (rounded doubles round-trip
+    // bit-exact). The former plan re-ran the decimal projection build in
+    // BOTH the query branch and the candidate branch on every run.
+    val proj = graft.ArtifactStore.cached(spark, "q90_projections", 1,
+      Seq(s"$dir/embeddings.parquet")) {
+      emb
+        .crossJoin(broadcast(signMatrix(spark)))
+        .select($"vec_id",
+          array((0 until rpDims).map { k =>
+            round(ddot($"embedding", element_at($"S", k + 1)), 6)
+          }: _*).as("pv"))
+        .withColumn("pn", ddot($"pv", $"pv"))
+        .filter($"pn" > 0) // a fully-zeroed projection cannot rank (never occurs on real data)
+        .select($"vec_id", $"pv", $"pn")
+    }
     val pq = proj.filter($"vec_id" < 10)
+      .join(broadcast(emb.filter($"vec_id" < 10)), Seq("vec_id"))
       .select($"vec_id".as("qid"), $"pv".as("qpv"), $"pn".as("qpn"),
         $"embedding".as("qe"), $"nn".as("qn"))
     val cand = proj.select($"vec_id", $"pv", $"pn")
