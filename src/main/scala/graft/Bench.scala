@@ -12,8 +12,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,16,49152] runs the same suite
+    // across REAL executor processes (separate JVMs, serialized shuffle
+    // blocks, compression on — the cross-JVM evidence VERDICT r12 #5
+    // asked for); default stays the driver's local[$cpus] invocation
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val multiProcess = master.startsWith("local-cluster")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -28,9 +34,10 @@ object Bench {
       // local single-JVM exchange: compressing shuffle blocks that live in
       // the OS page cache for microseconds only burns CPU (the DuckDB
       // baseline's in-process exchanges don't compress either). A network
-      // deployment keeps compression ON (Sessions.clusterBuilder).
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
+      // deployment keeps compression ON (Sessions.clusterBuilder) — as
+      // does the multi-process mode, whose blocks genuinely serialize.
+      .config("spark.shuffle.compress", multiProcess.toString)
+      .config("spark.shuffle.spill.compress", multiProcess.toString)
       // match Sessions.clusterBuilder's documented deployment threshold:
       // narrow dimension projections (e.g. orders' (orderkey, date) pair,
       // 24 MB at sf1p) broadcast instead of forcing a sort-merge of the
@@ -41,7 +48,17 @@ object Bench {
       // high-cardinality typed aggregates (see Sessions.local rationale)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (1 << 20).toString)
-      .getOrCreate()
+    val spark = (if (multiProcess) builder
+      // executor JVMs need the library classes and the Java 17 module
+      // opens the driver gets from its own launch command
+      .config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
+      .config("spark.executor.extraJavaOptions", Seq(
+        "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+        "java.net", "java.nio", "java.util", "java.util.concurrent",
+        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+        "sun.security.action", "sun.util.calendar")
+        .map(m => s"--add-opens=java.base/$m=ALL-UNNAMED").mkString(" "))
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warm-up: run the whole suite once at the smallest scale factor so
     // session init, codegen compilation, and JIT are not charged to the
@@ -182,7 +199,7 @@ object Bench {
     val soloJs = solo.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(shortName(k)) + ":" + r2(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_top":${math.min(topN, names.size)},"solo":$soloJs,"errors":$errs,"failed":${results.count(_._2 < 0)},"passes":2,"overhead_per_query":${f"$overhead%.4f"},"full_suite":$fullSuite$subset,"full":"target/bench_full.json","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_top":${math.min(topN, names.size)},"solo":$soloJs,"errors":$errs,"failed":${results.count(_._2 < 0)},"passes":2,"overhead_per_query":${f"$overhead%.4f"},"full_suite":$fullSuite$subset,"full":"target/bench_full.json","sf":"$sfDir","master":"$master"}"""
     val fullQs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val fullSolo = solo.toSeq.sortBy(_._1)
@@ -193,7 +210,7 @@ object Bench {
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"queries":$fullQs,"solo":$fullSolo,"errors":$fullErrs,"overhead_per_query":$overhead,"sf":"$sfDir"}""")
+      s"""{"queries":$fullQs,"solo":$fullSolo,"errors":$fullErrs,"overhead_per_query":$overhead,"sf":"$sfDir","master":"$master"}""")
     catch { case _: Throwable => () }
     println(line)
     // the driver parses the captured stdout tail for a bare JSON line;
