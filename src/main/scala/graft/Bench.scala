@@ -10,6 +10,11 @@ object Bench {
     df.write.format("noop").mode("overwrite").save()
 
   def main(args: Array[String]): Unit = {
+    // quiet BEFORE session init: setLogLevel() only applies after the
+    // context exists, so startup INFO spew (tagged [error] by sbt's
+    // stderr logger) drowned the bench tail every round
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.ERROR)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_MASTER=local-cluster[2,16,49152] runs the same suite
@@ -50,7 +55,12 @@ object Bench {
         (1 << 20).toString)
     val spark = (if (multiProcess) builder
       // executor JVMs need the library classes and the Java 17 module
-      // opens the driver gets from its own launch command
+      // opens the driver gets from its own launch command. Executor HEAP
+      // must be set explicitly — local-cluster's third bracket argument
+      // sizes the WORKER, and the executor otherwise launches at the 1g
+      // default and dies on the heavy aggregates.
+      .config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "40g"))
       .config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
       .config("spark.executor.extraJavaOptions", Seq(
         "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
