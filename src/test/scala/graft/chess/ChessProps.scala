@@ -31,10 +31,15 @@ object ChessProps extends Properties("chess") {
 
   private val seeds = Gen.chooseNum(0L, 5000L)
 
-  // guard against vacuous properties: the generator must actually play
+  // guard against vacuous properties: the generator must actually play.
+  // The bound is >1 (at least one move), NOT >10: a legal quick mate is
+  // a valid short game — seed 511 mates in 9 plies, and the former >10
+  // made the suite fail whenever ScalaCheck happened to draw such a
+  // seed (the round-13 one-in-many-runs flake; ChessSeedSweep now
+  // replays every seed in the domain deterministically).
   property("random games are non-trivial (anti-vacuousness)") =
     Prop.forAll(seeds) { seed =>
-      Board.initial.legalMoves.length == 20 && playGame(seed, 80).length > 10
+      Board.initial.legalMoves.length == 20 && playGame(seed, 80).length > 1
     }
 
   property("fen round-trips at every position of a random game") =
