@@ -84,7 +84,15 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // re-pinned round 10: the part-clustered bridge projection absorbs
     // the fact exchange into a once-per-dataset cache build; steady
     // state shuffles only the brand rollup
-    "q153_revenue_bridge" -> 16725L)
+    "q153_revenue_bridge" -> 16725L,
+    // pinned round 13: bloom-literal filter → (flag, okey) cell aggregate
+    // → key-set semi join; steady state shuffles the cell grain only
+    // (the bitset and the urgent-key count are corpus constants)
+    "q94_bloom_join" -> 175194L,
+    // pinned round 13: uniqueness = catalog row-count/NDV constants, so
+    // the orders pass is exchange-free; the one remaining exchange is the
+    // lineitem order-grain cells meeting the orders key projection
+    "q109_quality_checks" -> 202611L)
 
   for ((name, budget) <- budgets) {
     test(s"$name: shuffle volume within +25% of the reviewed plan's bytes") {
