@@ -79,13 +79,17 @@ object Multimodal {
     */
   def jpegTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.spread(Tables.documents(spark, dir)
-        .select($"doc_id")) // parallelism restore, gated on split count
-      .as[Long]
-      .mapPartitions(_.map { id =>
-        (id, Multimodal.syntheticJpeg(id))
-      })
-      .toDF("doc_id", "content")
+    // persisted media store, same rationale as [[aviTable]]
+    Tables.spread(graft.ArtifactStore.cached(spark, "media_jpeg", 1,
+      Seq(s"$dir/documents.parquet")) {
+      Tables.spread(Tables.documents(spark, dir)
+          .select($"doc_id")) // parallelism restore, gated on split count
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.syntheticJpeg(id))
+        })
+        .toDF("doc_id", "content")
+    })
   }
 
   /** ImageIO defaults to a file-backed stream cache — a temp file per
@@ -274,11 +278,15 @@ object Multimodal {
     */
   def wavTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.spread(Tables.documents(spark, dir)
-        .select(col("doc_id"))) // parallelism restore, gated on split count
-      .as[Long]
-      .mapPartitions(_.map(id => (id, syntheticWav(id))))
-      .toDF("doc_id", "content")
+    // persisted media store, same rationale as [[aviTable]]
+    Tables.spread(graft.ArtifactStore.cached(spark, "media_wav", 1,
+      Seq(s"$dir/documents.parquet")) {
+      Tables.spread(Tables.documents(spark, dir)
+          .select(col("doc_id"))) // parallelism restore, gated on split count
+        .as[Long]
+        .mapPartitions(_.map(id => (id, syntheticWav(id))))
+        .toDF("doc_id", "content")
+    })
   }
 
   /** q47 — REAL audio decode, no stub: every document's WAV payload parsed
@@ -412,15 +420,27 @@ object Multimodal {
   }
 
   /** The AVI table: one synthesized MJPEG container per document, encoded
-    * in executors (narrow mapPartitions — the [[jpegTable]] fan-out shape).
+    * in executors (narrow mapPartitions — the [[jpegTable]] fan-out
+    * shape), persisted once per dataset state as a binary-column media
+    * store. A deployment's videos live in a table/object store already;
+    * re-running the JPEG ENCODER per query (~3 frames/doc, the most
+    * expensive step of the whole pipeline and pure harness scaffolding)
+    * measured corpus synthesis, not the decode operator under test.
+    * The decode stays fully live, per document, on every run. The read
+    * re-spreads (gated): the blobs pack into few 128 MB scan splits,
+    * and decode is CPU-bound — fan-out matters more than the one narrow
+    * exchange of the binary column.
     */
   def aviTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.spread(Tables.documents(spark, dir)
-        .select(col("doc_id"))) // parallelism restore, gated on split count
-      .as[Long]
-      .mapPartitions(_.map(id => (id, syntheticMjpegAvi(id))))
-      .toDF("doc_id", "content")
+    Tables.spread(graft.ArtifactStore.cached(spark, "media_avi", 1,
+      Seq(s"$dir/documents.parquet")) {
+      Tables.spread(Tables.documents(spark, dir)
+          .select(col("doc_id"))) // parallelism restore, gated on split count
+        .as[Long]
+        .mapPartitions(_.map(id => (id, syntheticMjpegAvi(id))))
+        .toDF("doc_id", "content")
+    })
   }
 
   /** q71 — REAL video decode, no stub: every document's AVI payload

@@ -391,12 +391,24 @@ object Relational {
   }
 
   /** Dimension-join rollup (J1/J5 analog; TPC-H Q5 shape). region/nation
-    * are broadcast; customer⋈orders⋈lineitem shuffle on their keys.
+    * are broadcast; the lineitem⋈orders fact-fact join rides the
+    * co-partitioned okey-clustered views ([[ScaleOps.factByOrder]] /
+    * [[ScaleOps.ordersByOkey]] — the bucketed-by-join-key layout
+    * SCALE.md prescribes at 100 TB, realized through frameCached), so
+    * the big join plans with NO exchange on either side; customer is
+    * AQE-sized (broadcast at these SFs, shuffle when it outgrows the
+    * threshold), and the region rollup is a |regions|-row partial.
     */
   def q6JoinDims(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, dir)
-    val o = Tables.orders(spark, dir)
+    val li = ScaleOps.factByOrder(spark, dir)
+    // shuffle_hash, not broadcast: both views are co-partitioned on the
+    // key, so the SHJ plans with ZERO exchange and a distributed
+    // per-partition build — the un-hinted plan broadcast the 1.5M-row
+    // orders view (under the 64 MB deployment threshold), paying a
+    // driver-side HashedRelation build on every run for a join that is
+    // already co-located (the q9 lesson at the fact-fact seam)
+    val o = ScaleOps.ordersByOkey(spark, dir).hint("shuffle_hash")
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
@@ -721,32 +733,30 @@ object Relational {
     * columns" shape, reference `src/pipeline_import/postgres_templates.py`
     * game_materials + `src/feature_engineering.py:145-182` material
     * counts, expressed over testdata): each
-    * order's lineitems collect into ONE in-row array, then seven fixed
-    * columns pull the quantity for line numbers 1–7 by KEY from that
-    * array — the same array-to-fixed-columns derivation the chess
-    * pipeline does per FEN (qc45), with a DuckDB-expressible oracle.
+    * order's lineitems spread into seven fixed per-line-number columns
+    * keyed by l_linenumber — the same array-to-fixed-columns derivation
+    * the chess pipeline does per FEN (qc45, where the in-row ARRAY
+    * spelling lives), with a DuckDB-expressible oracle.
     *
-    * Plan shape: one map-side-combining groupBy builds the array; the
-    * seven extractions are in-row `filter`/`element_at` expressions —
-    * no pivot scan, no per-column aggregate pass, no second exchange.
+    * Plan shape: seven conditional aggregates beside the line count in
+    * ONE hash aggregate — primitive buffers, fully codegen'd — riding
+    * [[ScaleOps.factByOrder]]'s okey clustering, so the aggregate fuses
+    * in-stage with zero exchange. The former spelling collected each
+    * order's lines into a sorted in-row array first (`collect_list` →
+    * ObjectHashAggregate: object buffers, no codegen, array churn per
+    * row) and shuffled the arrays corpus-grain — 2× the oracle at sf1p
+    * for what IS the oracle's own max(CASE) plan; line numbers are
+    * neither dense nor unique per order, so MAX per line number (NULL
+    * when absent) is the exact shared semantics.
     */
   def q20WideMaterials(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lines = Tables.lineitem(spark, dir)
+    ScaleOps.factByOrder(spark, dir)
       .groupBy($"l_orderkey")
-      .agg(sort_array(collect_list(struct($"l_linenumber", $"l_quantity"))).as("lines"))
-    lines.select(
-      ($"l_orderkey" +: size($"lines").cast("long").as("n_lines") +:
-        (1 to 7).map { i =>
-          // line numbers in the corpus are neither dense nor unique per
-          // order: take the MAX quantity per line number (struct ordering
-          // ties on the equal line number, so array_max compares quantity),
-          // NULL when the order has no such line — mirroring the oracle's
-          // max(CASE WHEN ...) exactly
-          array_max(filter($"lines", x => x.getField("l_linenumber") === i))
-            .getField("l_quantity").as(s"qty_$i")
-        }): _*)
-      .orderBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        (1 to 7).map(i =>
+          max(when($"l_linenumber" === i, $"l_quantity")).as(s"qty_$i")): _*)
+      .transform(presentRanged(_, $"l_orderkey"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -85,14 +85,25 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // the fact exchange into a once-per-dataset cache build; steady
     // state shuffles only the brand rollup
     "q153_revenue_bridge" -> 16725L,
-    // pinned round 13: bloom-literal filter → (flag, okey) cell aggregate
-    // → key-set semi join; steady state shuffles the cell grain only
-    // (the bitset and the urgent-key count are corpus constants)
-    "q94_bloom_join" -> 175194L,
-    // pinned round 13: uniqueness = catalog row-count/NDV constants, so
-    // the orders pass is exchange-free; the one remaining exchange is the
-    // lineitem order-grain cells meeting the orders key projection
-    "q109_quality_checks" -> 202611L)
+    // pinned round 13 (re-pinned on the okey-clustered fact view): the
+    // bloom-literal filter and the (flag, okey) cell aggregate fuse
+    // in-stage on factByOrder's partitioning, so steady state shuffles
+    // ONLY the urgent-key artifact projection into the shuffle-hash semi
+    // (plus the |flags|-row partials)
+    "q94_bloom_join" -> 20428L,
+    // pinned round 13 (re-pinned on the clustered views): uniqueness =
+    // catalog row-count/NDV constants, the orders pass is exchange-free,
+    // and the lineitem cells meet the co-partitioned orders view with no
+    // exchange on either side — steady state shuffles only final 1-row
+    // partials
+    "q109_quality_checks" -> 568L,
+    // pinned round 13: the fact-fact join rides the co-partitioned views
+    // (zero exchange); steady state shuffles customer-join + rollup
+    // partials only
+    "q6_join_dims" -> 3649L,
+    // pinned round 13: conditional-aggregate pivot fused on the view's
+    // clustering; the only exchange is the in-partition presentation sort
+    "q20_wide_materials" -> 0L)
 
   for ((name, budget) <- budgets) {
     test(s"$name: shuffle volume within +25% of the reviewed plan's bytes") {
