@@ -143,12 +143,15 @@ object Bench {
     // weak list. For every query whose in-suite best crosses the
     // threshold, clean the heap and re-time it in isolation (min of 2);
     // both numbers are reported so rankings can use the steady-state
-    // figure without losing the in-suite evidence. Bounded to the 24
-    // slowest so the re-measure can't dominate the run (at sf1p that
-    // covers every >=1 s entry — the whole weak-list candidate set).
+    // figure without losing the in-suite evidence. Bounded to the 40
+    // slowest so the re-measure can't dominate the run (was 24, which
+    // stopped covering every >=1 s entry on a slow-era box: a query
+    // whose in-suite time crossed 1 s but ranked 25th got NO solo row
+    // and entered the weak list on suite-context noise alone — the
+    // bound must keep covering the whole weak-list candidate set).
     val soloThreshold = sys.env.getOrElse("SPARK_GRAFT_SOLO_THRESHOLD", "0.8").toDouble
     val soloCandidates = results.filter(_._2 >= soloThreshold)
-      .sortBy(-_._2).take(24).map(_._1)
+      .sortBy(-_._2).take(40).map(_._1)
     val solo: Map[String, Double] = soloCandidates.map { name =>
       val fn = SparkEntry.queries(name)
       System.gc()
