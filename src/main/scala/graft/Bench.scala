@@ -29,6 +29,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // this VM's kernel serializes the mmap/munmap churn of NIO
+      // transferTo shuffle-file merges (mmap_lock + TLB-shootdown storms:
+      // 27 of 31 task threads stuck in FileChannelImpl.map0/unmap0 while
+      // the box sat 97% idle); plain stream copy avoids mmap entirely
+      .config("spark.file.transferTo", "false")
       // the generated-class cache defaults to 100 entries; a 160+-query
       // workload cycles far more codegen'd stages than that, so every
       // repeat run was RE-COMPILING its generated code (janino, ~50ms a
@@ -150,8 +155,13 @@ object Bench {
     // and entered the weak list on suite-context noise alone — the
     // bound must keep covering the whole weak-list candidate set).
     val soloThreshold = sys.env.getOrElse("SPARK_GRAFT_SOLO_THRESHOLD", "0.8").toDouble
+    // SPARK_GRAFT_SOLO_MAX: artifact runs on a noisy box can lift the
+    // cap so EVERY candidate gets a steady-state row — a degraded era
+    // mid-suite otherwise floods the 0.8 s band past any fixed bound
+    // and the un-re-measured tail enters the weak list on noise alone
+    val soloMax = sys.env.getOrElse("SPARK_GRAFT_SOLO_MAX", "40").toInt
     val soloCandidates = results.filter(_._2 >= soloThreshold)
-      .sortBy(-_._2).take(40).map(_._1)
+      .sortBy(-_._2).take(soloMax).map(_._1)
     val solo: Map[String, Double] = soloCandidates.map { name =>
       val fn = SparkEntry.queries(name)
       System.gc()

@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // this VM's kernel serializes the mmap/munmap churn of NIO
+      // transferTo shuffle-file merges (mmap_lock + TLB-shootdown storms:
+      // 27 of 31 task threads stuck in FileChannelImpl.map0/unmap0 while
+      // the box sat 97% idle); plain stream copy avoids mmap entirely
+      .config("spark.file.transferTo", "false")
       .config("spark.sql.codegen.cache.maxEntries", "10000") // see Bench.scala
       // same broadcast threshold as Bench: the physical plans the bench
       // MEASURES (extra broadcasts vs sort-merge) must be the plans this

@@ -28,6 +28,11 @@ object LeverBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // this VM's kernel serializes the mmap/munmap churn of NIO
+      // transferTo shuffle-file merges (mmap_lock + TLB-shootdown storms:
+      // 27 of 31 task threads stuck in FileChannelImpl.map0/unmap0 while
+      // the box sat 97% idle); plain stream copy avoids mmap entirely
+      .config("spark.file.transferTo", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
