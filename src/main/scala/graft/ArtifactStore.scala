@@ -34,6 +34,24 @@ object ArtifactStore {
 
   private val lock = new Object
 
+  /** Per-query artifact-dependency tracing (VERDICT r13 #1): when a
+    * tracer is installed (Bench does, around its measured passes), every
+    * [[cached]]/[[scalarCached]]/[[frameCached]] call reports
+    * (kind, name, built) on the calling thread — `built` true iff this
+    * call ran the build rather than serving an existing entry. The bench
+    * aggregates these into `target/artifact_manifest.json`, the
+    * per-query inventory of which cache keys each query reads, so the
+    * steady-vs-cold asymmetry of the headline ratio is auditable.
+    * Tracing is observational only — no behavior change when unset.
+    */
+  @volatile private var tracer: (String, String, Boolean) => Unit = null
+  def setTracer(t: (String, String, Boolean) => Unit): Unit = tracer = t
+  def clearTracer(): Unit = tracer = null
+  private def trace(kind: String, name: String, built: Boolean): Unit = {
+    val t = tracer
+    if (t != null) t(kind, name, built)
+  }
+
   def root(spark: SparkSession): String =
     spark.conf.getOption("graft.artifacts.dir").getOrElse("target/artifacts")
 
@@ -79,6 +97,7 @@ object ArtifactStore {
       inputs: Seq[String])(build: => DataFrame): DataFrame = lock.synchronized {
     val path = s"${root(spark)}/${keyOf(name, version, inputs)}"
     val dst = new File(path)
+    trace("parquet", name, !new File(dst, "_SUCCESS").isFile)
     if (!new File(dst, "_SUCCESS").isFile) {
       val staging = new File(
         path + s".staging-${ProcessHandle.current.pid}-${System.nanoTime}")
@@ -166,9 +185,13 @@ object ArtifactStore {
     * steady-state (probe-many) runs.
     */
   def scalarCached[T](name: String, version: Int, inputs: Seq[String])
-      (compute: => T): T =
-    scalars.getOrElseUpdate(keyOf(name, version, inputs), compute)
-      .asInstanceOf[T]
+      (compute: => T): T = {
+    var built = false
+    val v = scalars.getOrElseUpdate(keyOf(name, version, inputs),
+      { built = true; compute })
+    trace("scalar", name, built)
+    v.asInstanceOf[T]
+  }
 
   /** One memoized persisted frame. The lazy body runs the build at most
     * once even under concurrent first callers (the JVM's lazy-val lock),
@@ -232,6 +255,9 @@ object ArtifactStore {
       if (frames.replace(key, cur, fresh)) { cur.evict(); cur = fresh }
       else cur = frames.getOrElse(key, fresh)
     }
+    // built = OUR holder survived (first install or fp-refresh swap); the
+    // lazy build then runs on first .frame below, on this calling thread
+    trace("frame", name, cur eq fresh)
     cur.frame
   }
 }

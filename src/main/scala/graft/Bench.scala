@@ -58,6 +58,13 @@ object Bench {
       // high-cardinality typed aggregates (see Sessions.local rationale)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (1 << 20).toString)
+    // COLD-run support (VERDICT r13 #1): point the persisted artifact
+    // store at a fresh root (the in-process frame/scalar memos are cold
+    // per JVM anyway), so pass 1 of this run pays every build and the
+    // committed artifact carries a true artifact-cold column ("p1")
+    // beside the steady one
+    sys.env.get("SPARK_GRAFT_ARTIFACT_DIR")
+      .foreach(d => builder.config("graft.artifacts.dir", d))
     val spark = (if (multiProcess) builder
       // executor JVMs need the library classes and the Java 17 module
       // opens the driver gets from its own launch command. Executor HEAP
@@ -117,9 +124,29 @@ object Bench {
     // next timed window and the suite total rose 99 → 112 s — so the
     // default stays off and matches the driver's invocation.
     val gcBetween = sys.env.getOrElse("SPARK_GRAFT_GC_BETWEEN", "0") == "1"
+    // artifact-dependency manifest (VERDICT r13 #1): per measured query,
+    // which ArtifactStore keys it touched (kind:name) and whether any
+    // call BUILT rather than served — written to
+    // target/artifact_manifest.json so the steady-state bench's cache
+    // dependencies are an auditable inventory, not lore. The tracer fires
+    // on the driver thread inside fn(), so a simple current-query cell
+    // suffices; warm-up (sf0.001) runs BEFORE the tracer is installed and
+    // never pollutes the manifest.
+    var currentQuery: String = null
+    val manifest = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.SortedMap[String, Boolean]]
+    ArtifactStore.setTracer { (kind, aname, built) =>
+      if (currentQuery != null) {
+        val m = manifest.getOrElseUpdate(currentQuery,
+          scala.collection.mutable.SortedMap.empty[String, Boolean])
+        val k = s"$kind:$aname"
+        m(k) = m.getOrElse(k, false) || built
+      }
+    }
     def pass(): Map[String, Double] = names.map { name =>
       val fn = SparkEntry.queries(name)
       if (gcBetween) System.gc()
+      currentQuery = name
       val t0 = System.nanoTime()
       try {
         force(fn(spark, sfDir))
@@ -128,7 +155,7 @@ object Bench {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           name -> Double.NaN
-      }
+      } finally currentQuery = null
     }.toMap
     val p1 = pass()
     val p2 = pass()
@@ -165,11 +192,13 @@ object Bench {
     val solo: Map[String, Double] = soloCandidates.map { name =>
       val fn = SparkEntry.queries(name)
       System.gc()
+      currentQuery = name
       val reps = (0 until 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
       }
+      currentQuery = null
       // a rep that fails is dropped; both failing records the -1 sentinel
       // (the in-suite failed convention). The former Double.MaxValue
       // rendered as a ~310-char literal under %.2f and could re-truncate
@@ -231,10 +260,25 @@ object Bench {
     val fullErrs = errors.toSeq.sortBy(_._1) // full 200-char messages live here
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"queries":$fullQs,"solo":$fullSolo,"errors":$fullErrs,"overhead_per_query":$overhead,"sf":"$sfDir","master":"$master"}""")
-    catch { case _: Throwable => () }
+    // per-pass timings ride along so a fresh-artifact-root run doubles as
+    // the COLD artifact: p1 pays every ArtifactStore build + frame/scalar
+    // memo fill, p2 (and solo) are steady state — one run, both columns
+    def passJs(p: Map[String, Double]) = names
+      .map(n => jstr(n) + ":" + (if (p(n).isNaN) "-1" else p(n).toString))
+      .mkString("{", ",", "}")
+    val manifestJs = manifest.toSeq.sortBy(_._1).map { case (q, keys) =>
+      jstr(q) + ":" + keys.toSeq
+        .map { case (k, built) => jstr(k) + ":" + (if (built) "\"built\"" else "\"served\"") }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_full.json"),
+        s"""{"queries":$fullQs,"solo":$fullSolo,"p1":${passJs(p1)},"p2":${passJs(p2)},"errors":$fullErrs,"overhead_per_query":$overhead,"sf":"$sfDir","master":"$master","artifact_dir":${jstr(sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR", "target/artifacts"))}}""")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/artifact_manifest.json"),
+        s"""{"sf":"$sfDir","note":"per query: ArtifactStore keys touched during measured passes; 'built' = this run ran the build (cold), 'served' = pre-existing entry","queries":$manifestJs}""")
+    } catch { case _: Throwable => () }
     println(line)
     // the driver parses the captured stdout tail for a bare JSON line;
     // under a non-forked `sbt runMain` the println above goes through

@@ -77,10 +77,19 @@ object Multimodal {
     * the binary column — no shuffle, no driver involvement; identical to
     * how a Pandas-UDF decode fans out on a cluster.
     */
+  /** The media_* artifacts' content depends on the SYNTHESIZER code
+    * (syntheticJpeg / syntheticWav / syntheticMjpegAvi), not only on the
+    * fingerprinted documents.parquet input — ArtifactStore can't see code.
+    * Bump THIS constant with any encoder change, or the store serves
+    * stale blobs to the live-decode queries (ADVICE r13). It feeds the
+    * version slot of all three cached() calls below.
+    */
+  private val MediaEncoderRev = 1
+
   def jpegTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // persisted media store, same rationale as [[aviTable]]
-    Tables.spread(graft.ArtifactStore.cached(spark, "media_jpeg", 1,
+    Tables.spread(graft.ArtifactStore.cached(spark, "media_jpeg", MediaEncoderRev,
       Seq(s"$dir/documents.parquet")) {
       Tables.spread(Tables.documents(spark, dir)
           .select($"doc_id")) // parallelism restore, gated on split count
@@ -279,7 +288,7 @@ object Multimodal {
   def wavTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // persisted media store, same rationale as [[aviTable]]
-    Tables.spread(graft.ArtifactStore.cached(spark, "media_wav", 1,
+    Tables.spread(graft.ArtifactStore.cached(spark, "media_wav", MediaEncoderRev,
       Seq(s"$dir/documents.parquet")) {
       Tables.spread(Tables.documents(spark, dir)
           .select(col("doc_id"))) // parallelism restore, gated on split count
@@ -433,7 +442,7 @@ object Multimodal {
     */
   def aviTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.spread(graft.ArtifactStore.cached(spark, "media_avi", 1,
+    Tables.spread(graft.ArtifactStore.cached(spark, "media_avi", MediaEncoderRev,
       Seq(s"$dir/documents.parquet")) {
       Tables.spread(Tables.documents(spark, dir)
           .select(col("doc_id"))) // parallelism restore, gated on split count

@@ -127,9 +127,10 @@ object Relational {
         when(col("_g") === g, tree(e(g).zipWithIndex)).otherwise(acc)
       }
     }
-    val (edges, offsets, totals):
-        (Map[String, Seq[Double]], Map[String, Long], Map[String, Long]) =
-      graft.ArtifactStore.scalarCached(cacheName, 1, inputs) {
+    val (edges, offsets, totals, bucketCounts):
+        (Map[String, Seq[Double]], Map[String, Long], Map[String, Long],
+          Map[String, Long]) =
+      graft.ArtifactStore.scalarCached(cacheName, 2, inputs) {
         val qs = (1 to nEdges).map(i => i.toDouble / (nEdges + 1))
         val e: Map[String, Seq[Double]] = base.groupBy(col("_g"))
           .agg(expr(s"percentile(_v, array(${qs.mkString(",")}))").as("es"))
@@ -148,15 +149,33 @@ object Relational {
         val tots: Map[String, Long] = cnts.groupBy(_._1).toSeq.map {
           case (g, rows) => g -> rows.map(_._3).sum
         }.toMap
-        (e, offs, tots)
+        val bCnts: Map[String, Long] =
+          cnts.map { case (g, b, c) => s"$g|$b" -> c }.toMap
+        (e, offs, tots, bCnts)
       }
     val wB = Window.partitionBy(col("_g"), col("_b")).orderBy(value, tie)
+    // Caller-contract guard (VERDICT r13 #5): the cached edges/offsets are
+    // valid ONLY if `df` is the deterministic function of `inputs` that was
+    // fingerprinted — a caller that filters/samples df first would get
+    // offsets from the unfiltered corpus and silently wrong ranks. The
+    // per-(group, bucket) LIVE row count must equal the cached one: offsets
+    // depend on nothing but bucket counts, so count equality per bucket IS
+    // the exactness condition. The count window shares wB's partitioning
+    // (no extra exchange, no sort — unordered frame) and is fused into the
+    // rank column itself so column pruning can never elide the check.
+    val bKey = concat_ws("|", col("_g"), col("_b"))
+    val liveCnt = count(lit(1)).over(Window.partitionBy(col("_g"), col("_b")))
     base
       .withColumn("_b", bucketExpr(edges))
       .repartition(col("_g"), col("_b"))
       .withColumn(rankOut,
-        element_at(typedLit(offsets), concat_ws("|", col("_g"), col("_b")))
-          + row_number().over(wB))
+        when(liveCnt === element_at(typedLit(bucketCounts), bKey),
+          element_at(typedLit(offsets), bKey) + row_number().over(wB))
+          .otherwise(raise_error(concat(lit(
+            s"bucketed-rank cache drift [$cacheName]: live rows in bucket "),
+            bKey, lit(" != cached count — the input frame is not the " +
+              "fingerprinted function of its inputs (filtered/sampled " +
+              "caller?); rebuild the cache or rank the live frame directly")))))
       .withColumn(sizeOut, element_at(typedLit(totals), col("_g")))
       .drop("_g", "_v", "_b")
   }

@@ -276,7 +276,12 @@ object ScaleOps {
         typedLit(bloomBits), $"l_orderkey", 1 << 21, 5))
       .groupBy($"l_returnflag", $"l_orderkey")
       .agg(count(lit(1)).as("n"), sum(d).as("r2"), count(d).as("nd"),
-        max(abs(d)).as("maxabs"))
+        // coalesce to 0: a cell whose extendedprice values are ALL NULL
+        // yields max(abs)=NULL, which would NULL the flag-level overflow
+        // predicate below and fall through to raise_error — a spurious
+        // failure on null-bearing data (nd=0 contributes nothing, so 0
+        // is the correct no-op bound; ADVICE r13)
+        coalesce(max(abs(d)), lit(0L)).as("maxabs"))
     cells
       .join(urgentSide, $"l_orderkey" === $"o_orderkey", "left_semi")
       .groupBy($"l_returnflag")
@@ -314,6 +319,82 @@ object ScaleOps {
         count(lit(1)).as("n_events"),
         first($"user_total").as("user_total"),
         Relational.dsum($"value").as("total_value"))
+      .transform(Relational.presentRanged(_, $"user_id"))
+  }
+
+  /** Skew-demo twin pair for [[q37SaltedJoin]] (VERDICT r13 #4): the
+    * events corpus is key-uniform, so q37 alone demonstrates only the
+    * COST side of salting (the ×salts replicated-dimension exchange it
+    * deliberately pays). This pair synthesizes a hot key — a
+    * deterministic, oracle-expressible funnel that lands 80% of events
+    * on user 0 (`event_id % 5 < 4`) — and runs the IDENTICAL dim-join +
+    * aggregate both ways. Unsalted, one reducer owns the hot key's join
+    * AND aggregate rows end-to-end (the serialized straggler a cluster
+    * sees); salted, the hot key spreads over `salts` reducers and only
+    * the final per-user merge is single-key. Result equality is pinned
+    * by the shared DuckDB oracle hash; the wall-clock pair is the
+    * benefit-side evidence SCALE.md cites beside q37's cost-side waiver.
+    * AQE's skew-join split cannot rescue the unsalted plan here: the
+    * aggregate consumes the join's hash partitioning, so splitting the
+    * skewed partition would break the downstream distribution
+    * requirement — exactly the case the manual salt exists for.
+    */
+  private def skewedDemoEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("user_id",
+        when(pmod($"event_id", lit(5)) < 4, lit(0L)).otherwise($"user_id"))
+  }
+
+  /** The straggler plan: plain dim join + aggregate on the hot key. One
+    * reducer owns 80% of the corpus through BOTH the join probe and the
+    * aggregate — wall-clock is bounded by that single task no matter how
+    * many cores the cluster has.
+    */
+  def q165SkewJoinPlain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = skewedDemoEvents(spark, dir)
+    val userDim = events.groupBy($"user_id").agg(count(lit(1)).as("user_total"))
+    events.join(userDim, Seq("user_id"))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        first($"user_total").as("user_total"),
+        Relational.dsum($"value").as("total_value"))
+      .transform(Relational.presentRanged(_, $"user_id"))
+  }
+
+  /** The salted plan, BOTH halves two-phase: the join probes on
+    * (user_id, salt) so the hot key's rows spread over `salts` reducers,
+    * and the aggregate runs partial per (user_id, salt) — fused in-stage
+    * with the join, zero extra exchange, since the join output is already
+    * hash-partitioned on exactly those keys — before a final merge that
+    * shuffles only |users|×salts tiny partial rows. Skipping the partial
+    * level (q37's single-level spelling) would re-concentrate the hot key
+    * at the aggregate and forfeit the benefit. Partial sums merge in
+    * scaled-long integer arithmetic, so the result is bit-equal to
+    * [[Relational.dsum]]'s single-phase spelling (|values| ≤ 1e4·100 and
+    * 10 M rows keep the merged long < 1e13, far inside 2^63).
+    */
+  def q166SkewJoinSalted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val salts = 8
+    val events = skewedDemoEvents(spark, dir)
+      .withColumn("salt", pmod($"event_id", lit(salts)).cast("int"))
+    val userDim = skewedDemoEvents(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("user_total"))
+    val saltedDim = userDim
+      .crossJoin(spark.range(salts).select($"id".cast("int").as("salt")))
+    val d = graft.functions.DecScaledLong.decScaledLong($"value", 2)
+    events.join(saltedDim, Seq("user_id", "salt"))
+      .groupBy($"user_id", $"salt")
+      .agg(count(lit(1)).as("n_p"), first($"user_total").as("ut_p"),
+        sum(d).as("v_p"))
+      .groupBy($"user_id")
+      .agg(
+        sum($"n_p").as("n_events"),
+        first($"ut_p").as("user_total"),
+        (sum($"v_p").cast("double") / 100).as("total_value"))
       .transform(Relational.presentRanged(_, $"user_id"))
   }
 
@@ -3354,12 +3435,27 @@ object ScaleOps {
     "q83_topk_per_group" -> (q83TopkPerGroup _),
     "q84_group_profile" -> (q84GroupProfile _),
     "q37_salted_join" -> (q37SaltedJoin _),
+    "q165_skew_join_plain" -> (q165SkewJoinPlain _),
+    "q166_skew_join_salted" -> (q166SkewJoinSalted _),
     "q38_rollup" -> (q38Rollup _),
     "q39_sessionize" -> (q39Sessionize _),
     "q41_quantiles" -> (q41Quantiles _),
     "q42_asof_join" -> (q42AsofJoin _),
     "q57_funnel" -> (q57Funnel _)
   )
+
+  private val skewDemoOracle: String =
+    """WITH se AS (
+      |  SELECT CASE WHEN event_id % 5 < 4 THEN 0 ELSE user_id END AS user_id,
+      |    value
+      |  FROM events)
+      |SELECT se.user_id, COUNT(*) AS n_events,
+      |  ANY_VALUE(d.user_total) AS user_total,
+      |  CAST(SUM(CAST(se.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM se
+      |JOIN (SELECT user_id, COUNT(*) AS user_total FROM se GROUP BY user_id) d
+      |  ON se.user_id = d.user_id
+      |GROUP BY se.user_id ORDER BY se.user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q156_weekly_kpis" ->
@@ -4061,6 +4157,11 @@ object ScaleOps {
         |JOIN (SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY user_id) d
         |  ON e.user_id = d.user_id
         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+    // the skew twins share ONE oracle: the point of the pair is that the
+    // salted spelling is result-identical to the straggler spelling (the
+    // hash pins it), differing only in wall-clock under a hot key
+    "q165_skew_join_plain" -> skewDemoOracle,
+    "q166_skew_join_salted" -> skewDemoOracle,
     "q38_rollup" ->
       """SELECT COALESCE(o_orderpriority, '<all>') AS priority,
         |  COALESCE(o_orderstatus, '<all>') AS status,

@@ -110,6 +110,34 @@ class NtileSpec extends AnyFunSuite {
     }
   }
 
+  test("withBucketedGroupRank throws on a filtered caller, never mis-ranks") {
+    import spark.implicits._
+    // the caller-contract trap (VERDICT r13 #5): cached offsets are a
+    // function of the FULL fingerprinted frame; a caller that filters df
+    // before ranking would inherit offsets from the unfiltered corpus.
+    // The guard must fail loudly, not return silently wrong ranks.
+    val df = spark.range(2000).select(
+      concat(lit("g"), pmod(hash($"id"), lit(3))).as("g"), $"id",
+      pmod(hash($"id" * 13), lit(31)).cast("long").as("v"))
+    val cacheKey = "ntile_spec_bucketed_guard"
+    val inputs = Seq("/root/testdata/sf0.001/region.parquet")
+    // warm the cache against the FULL frame
+    Relational.withBucketedGroupRank(df, $"g", $"v", $"id", "_r", "_gn",
+      cacheKey, inputs)
+      .write.format("noop").mode("overwrite").save()
+    // a filtered caller reusing the same cache entry must throw
+    val filtered = Relational.withBucketedGroupRank(
+      df.filter($"id" % 7 =!= 0), $"g", $"v", $"id", "_r", "_gn",
+      cacheKey, inputs)
+    val e = intercept[Exception] {
+      filtered.write.format("noop").mode("overwrite").save()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("bucketed-rank cache drift")),
+      s"expected the cache-drift guard, got: ${e.getMessage}")
+  }
+
   test("single-task window is GONE from the q102 plan") {
     val df = ScaleOps.q102NtileHist(spark, "/root/testdata/sf0.001")
     df.write.format("noop").mode("overwrite").save()
