@@ -65,6 +65,12 @@ object Bench {
     // beside the steady one
     sys.env.get("SPARK_GRAFT_ARTIFACT_DIR")
       .foreach(d => builder.config("graft.artifacts.dir", d))
+    // multi-process mover chase (VERDICT r13 #3): the shuffle-heaviest
+    // queries pay real block compression CPU under local-cluster; the
+    // codec is the lever (lz4 default vs zstd's better ratio / higher
+    // CPU). Env-switchable so the A/B is one flag, not a rebuild.
+    sys.env.get("SPARK_GRAFT_IO_CODEC")
+      .foreach(c => builder.config("spark.io.compression.codec", c))
     val spark = (if (multiProcess) builder
       // executor JVMs need the library classes and the Java 17 module
       // opens the driver gets from its own launch command. Executor HEAP

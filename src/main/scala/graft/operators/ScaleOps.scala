@@ -339,7 +339,7 @@ object ScaleOps {
     * skewed partition would break the downstream distribution
     * requirement — exactly the case the manual salt exists for.
     */
-  private def skewedDemoEvents(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def skewedDemoEvents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
       .withColumn("user_id",

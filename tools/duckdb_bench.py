@@ -2,15 +2,24 @@
 """Time the DuckDB oracle suite — the same-box head-to-head partner of
 `graft.Bench` (SCALE.md). Per-query min over N passes, warm connection.
 
-Usage: python3 tools/duckdb_bench.py <sfDir> <oracle_sql.json> [passes=2]
-Prints one JSON line: {"total": s, "n": k, "queries": {name: s, ...}}
+Usage: python3 tools/duckdb_bench.py <sfDir> <oracle_sql.json> [passes=2] [timeout_s=0]
+Prints one JSON line: {"total": s, "n": k, "queries": {...}, "timeouts": [...]}
+
+timeout_s > 0 interrupts any query past that wall-clock (duckdb
+con.interrupt() from a timer thread) and records the elapsed time as a
+LOWER BOUND, listing the query under "timeouts". Needed at sf10p where
+a few oracle formulations are superlinear; a lower-bound oracle time
+only UNDERSTATES the spark-vs-oracle ratio's denominator, so a weak
+verdict derived from it is conservative in spark's favor — never
+flattering.
 """
-import sys, json, time, os
+import sys, json, time, os, threading
 import duckdb
 
 sf = sys.argv[1]
 sqlfile = sys.argv[2]
 passes = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+timeout_s = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
 
 con = duckdb.connect()
 for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
@@ -22,14 +31,31 @@ for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
 
 sqls = json.load(open(sqlfile))
 times = {}
+timeouts = []
 for name, sql in sorted(sqls.items()):
     best = float('inf')
+    timed_out = False
     for _ in range(passes):
+        timer = None
+        if timeout_s > 0:
+            timer = threading.Timer(timeout_s, con.interrupt)
+            timer.start()
         t0 = time.time()
-        con.execute(sql).fetchall()
+        try:
+            con.execute(sql).fetchall()
+        except duckdb.InterruptException:
+            timed_out = True
+        finally:
+            if timer:
+                timer.cancel()
         best = min(best, time.time() - t0)
+        if timed_out:
+            break  # no point paying the timeout again
     times[name] = round(best, 3)
-    print(f'{name} {best:.3f}', file=sys.stderr)
+    if timed_out:
+        timeouts.append(name)
+    print(f'{name} {best:.3f}{" TIMEOUT(lower bound)" if timed_out else ""}',
+          file=sys.stderr, flush=True)
 
 print(json.dumps({"total": round(sum(times.values()), 3),
-                  "n": len(times), "queries": times}))
+                  "n": len(times), "queries": times, "timeouts": timeouts}))
