@@ -71,6 +71,16 @@ object Bench {
     // CPU). Env-switchable so the A/B is one flag, not a rebuild.
     sys.env.get("SPARK_GRAFT_IO_CODEC")
       .foreach(c => builder.config("spark.io.compression.codec", c))
+    // Shuffle-file debt (round-14 sf10p incident, SCALE.md): a 48 g heap
+    // under a 166-query sweep feels no GC pressure, so ShuffleDependency
+    // objects survive and ContextCleaner never deletes their on-disk
+    // shuffle files during the timed passes — 53 GB accumulated at sf10p
+    // and exhausted the partition (spills then fail with "No space left").
+    // The cleaner's periodic GC is the lever; default OFF because forced
+    // GCs bleed into sub-second timed windows at small SF (the r11
+    // GC_BETWEEN finding). Large-SF runs set e.g. 120s.
+    sys.env.get("SPARK_GRAFT_PERIODIC_GC")
+      .foreach(v => builder.config("spark.cleaner.periodicGC.interval", v))
     val spark = (if (multiProcess) builder
       // executor JVMs need the library classes and the Java 17 module
       // opens the driver gets from its own launch command. Executor HEAP
