@@ -78,16 +78,25 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-      // executor sizing lives HERE, not in deployment lore (VERDICT r13
-      // #3): the heavy typed aggregates (weighted-median per part, the
-      // object-hash maps sized by fallbackThreshold above) and the
-      // MEMORY_AND_DISK frameCached views need real executor heap — the
-      // 1g default OOMs them. 16g/4-core executors (4g/core) is the
-      // measured-safe shape for this library's workload; the
-      // multi-process bench (Bench.scala, local-cluster) uses the same
-      // ratio via SPARK_GRAFT_EXECUTOR_MEM.
-      .config("spark.executor.memory", "16g")
-      .config("spark.executor.cores", "4")
+      // executor sizing lives HERE as a DEFAULT, not a mandate (ADVICE
+      // r14): programmatic builder config has the highest precedence, so
+      // hard-coding would lock out spark-submit flags / conf files on a
+      // real deployment. We only fill the values in when the environment
+      // did not: spark-submit puts --executor-memory/--conf into system
+      // properties before the session builds, and standalone mode reads
+      // SPARK_EXECUTOR_MEMORY/SPARK_EXECUTOR_CORES. Rationale for the
+      // 16g/4-core (4g/core) fallback: the heavy typed aggregates
+      // (weighted-median per part, the object-hash maps sized by
+      // fallbackThreshold above) and the MEMORY_AND_DISK frameCached
+      // views need real executor heap — the 1g default OOMs them. The
+      // multi-process bench (Bench.scala, local-cluster) keeps the same
+      // per-core ratio via its own SPARK_GRAFT_EXECUTOR_MEM knob.
+      .config("spark.executor.memory",
+        sys.props.get("spark.executor.memory")
+          .orElse(sys.env.get("SPARK_EXECUTOR_MEMORY")).getOrElse("16g"))
+      .config("spark.executor.cores",
+        sys.props.get("spark.executor.cores")
+          .orElse(sys.env.get("SPARK_EXECUTOR_CORES")).getOrElse("4"))
 }
 
 /** Readers for the driver-provided synthetic tables (TESTDATA.md).

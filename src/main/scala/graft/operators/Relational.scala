@@ -157,27 +157,46 @@ object Relational {
     // Caller-contract guard (VERDICT r13 #5): the cached edges/offsets are
     // valid ONLY if `df` is the deterministic function of `inputs` that was
     // fingerprinted — a caller that filters/samples df first would get
-    // offsets from the unfiltered corpus and silently wrong ranks. The
-    // per-(group, bucket) LIVE row count must equal the cached one: offsets
-    // depend on nothing but bucket counts, so count equality per bucket IS
-    // the exactness condition. The count window shares wB's partitioning
-    // (no extra exchange, no sort — unordered frame) and is fused into the
-    // rank column itself so column pruning can never elide the check.
+    // offsets from the unfiltered corpus and silently wrong ranks. Two
+    // conditions together are the exactness condition (ADVICE r14: the
+    // per-bucket check alone misses a filter that elides an ENTIRE bucket,
+    // leaving no rows to fail the comparison while later buckets inherit
+    // the vanished bucket's cached offset):
+    //  1. per-(group, bucket): LIVE window count == cached count. The count
+    //     window shares wB's partitioning (no extra exchange, no sort —
+    //     unordered frame).
+    //  2. per-group: LIVE total == cached total. Sum-of-live-buckets equals
+    //     the cached grand total only when no cached bucket vanished, so
+    //     (1) + (2) ⇒ the live (g,b) key set IS the cached key set. The
+    //     live totals come from a map-side-combined groupBy (≤ |groups|
+    //     rows shuffled) broadcast-joined back — no per-group window, which
+    //     would re-serialize each group through one partition and recreate
+    //     the straggler this operator exists to avoid; the cost is one
+    //     extra (projected, filtered) scan of the input lineage.
+    // Both are fused into the rank column itself so column pruning can
+    // never elide the check. Residual: a caller that drops EVERY row of a
+    // group leaves no rows to check for that group — but offsets are
+    // per-group self-contained, so surviving groups still rank exactly.
     val bKey = concat_ws("|", col("_g"), col("_b"))
     val liveCnt = count(lit(1)).over(Window.partitionBy(col("_g"), col("_b")))
+    val liveGroupTotals = base.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_live_tot"))
     base
       .withColumn("_b", bucketExpr(edges))
+      .join(broadcast(liveGroupTotals), Seq("_g"), "left")
       .repartition(col("_g"), col("_b"))
       .withColumn(rankOut,
-        when(liveCnt === element_at(typedLit(bucketCounts), bKey),
+        when(liveCnt === element_at(typedLit(bucketCounts), bKey) &&
+            col("_live_tot") === element_at(typedLit(totals), col("_g")),
           element_at(typedLit(offsets), bKey) + row_number().over(wB))
           .otherwise(raise_error(concat(lit(
             s"bucketed-rank cache drift [$cacheName]: live rows in bucket "),
-            bKey, lit(" != cached count — the input frame is not the " +
+            bKey, lit(" or group total "), col("_live_tot").cast("string"),
+            lit(" != cached counts — the input frame is not the " +
               "fingerprinted function of its inputs (filtered/sampled " +
               "caller?); rebuild the cache or rank the live frame directly")))))
       .withColumn(sizeOut, element_at(typedLit(totals), col("_g")))
-      .drop("_g", "_v", "_b")
+      .drop("_g", "_v", "_b", "_live_tot")
   }
 
   def withGlobalNtile(

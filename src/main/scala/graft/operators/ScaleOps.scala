@@ -343,7 +343,12 @@ object ScaleOps {
     import spark.implicits._
     Tables.events(spark, dir)
       .withColumn("user_id",
-        when(pmod($"event_id", lit(5)) < 4, lit(0L)).otherwise($"user_id"))
+        // `%`, not pmod (ADVICE r14): the shared DuckDB oracle says
+        // `event_id % 5 < 4`, and for a negative event_id the two
+        // disagree (pmod(-1,5)=4 → cold, -1%5=-1 → hot). Spark's `%` is
+        // the same signed remainder as DuckDB's, so the twins' oracle
+        // hash pin no longer leans on a non-negative-id corpus invariant.
+        when($"event_id" % 5 < 4, lit(0L)).otherwise($"user_id"))
   }
 
   /** The straggler plan: plain dim join + aggregate on the hot key. One

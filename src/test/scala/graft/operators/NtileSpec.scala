@@ -138,6 +138,37 @@ class NtileSpec extends AnyFunSuite {
       s"expected the cache-drift guard, got: ${e.getMessage}")
   }
 
+  test("withBucketedGroupRank throws when a filter elides an ENTIRE bucket") {
+    import spark.implicits._
+    // ADVICE r14: a value predicate aligned with bucket edges can remove
+    // every row of one (group, bucket) while leaving every SURVIVING
+    // bucket's count intact — the per-bucket check alone has no row left
+    // to fail, and later buckets would silently inherit the vanished
+    // bucket's cached offset. The per-group live-total check must raise.
+    val df = spark.range(2000).select(
+      concat(lit("g"), pmod(hash($"id"), lit(3))).as("g"), $"id",
+      pmod(hash($"id" * 13), lit(31)).cast("long").as("v"))
+    val cacheKey = "ntile_spec_bucketed_guard_elide"
+    val inputs = Seq("/root/testdata/sf0.001/region.parquet")
+    Relational.withBucketedGroupRank(df, $"g", $"v", $"id", "_r", "_gn",
+      cacheKey, inputs)
+      .write.format("noop").mode("overwrite").save()
+    // 31 edges over 31 distinct values ⇒ buckets align with single values;
+    // dropping one VALUE drops whole buckets and nothing else, so every
+    // surviving bucket still matches its cached per-bucket count
+    val elided = Relational.withBucketedGroupRank(
+      df.filter($"v" =!= 0L), $"g", $"v", $"id", "_r", "_gn",
+      cacheKey, inputs)
+    val e = intercept[Exception] {
+      elided.write.format("noop").mode("overwrite").save()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("bucketed-rank cache drift")),
+      s"expected the cache-drift guard on whole-bucket elision, " +
+        s"got: ${e.getMessage}")
+  }
+
   test("single-task window is GONE from the q102 plan") {
     val df = ScaleOps.q102NtileHist(spark, "/root/testdata/sf0.001")
     df.write.format("noop").mode("overwrite").save()

@@ -34,24 +34,38 @@ times = {}
 timeouts = []
 for name, sql in sorted(sqls.items()):
     best = float('inf')
-    timed_out = False
+    completed = 0
+    timed_out_any = False
     for _ in range(passes):
         timer = None
+        # done-flag guards the race (ADVICE r14): if the timer fires in
+        # the window AFTER fetchall() returns but BEFORE timer.cancel(),
+        # an unguarded con.interrupt() would abort the NEXT execution and
+        # mislabel a fast query as a near-zero "timeout lower bound".
+        done = threading.Event()
         if timeout_s > 0:
-            timer = threading.Timer(timeout_s, con.interrupt)
+            timer = threading.Timer(
+                timeout_s, lambda: None if done.is_set() else con.interrupt())
             timer.start()
         t0 = time.time()
+        this_timed_out = False
         try:
             con.execute(sql).fetchall()
+            completed += 1
         except duckdb.InterruptException:
-            timed_out = True
+            this_timed_out = True
+            timed_out_any = True
         finally:
+            done.set()
             if timer:
                 timer.cancel()
         best = min(best, time.time() - t0)
-        if timed_out:
+        if this_timed_out:
             break  # no point paying the timeout again
     times[name] = round(best, 3)
+    # TIMEOUT labels a LOWER BOUND — only honest when NO pass completed;
+    # a genuine completed-pass time must never carry the label
+    timed_out = timed_out_any and completed == 0
     if timed_out:
         timeouts.append(name)
     print(f'{name} {best:.3f}{" TIMEOUT(lower bound)" if timed_out else ""}',
