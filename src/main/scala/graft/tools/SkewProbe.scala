@@ -95,18 +95,42 @@ object SkewProbe {
 
     def force(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // Wall-clock alone under-reports the straggler on this box: at ≤10 M
+    // events the per-variant fixed cost (corpus scan + dim aggregate,
+    // parallel over all 32 threads) dominates, so the hot reducer's
+    // serial tail hides inside it. The MAX TASK DURATION is the number
+    // that scales as hot-rows/1 for the straggler but hot-rows/salts for
+    // the salted spellings — i.e. the single-thread wall a 1000-executor
+    // cluster cannot parallelize away. Collected per variant via a
+    // listener; task-end events are async, so a short drain sleep bounds
+    // the undercount (reps take seconds; the bus drains in ms).
+    val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val d = te.taskInfo.duration
+          var cur = maxTask.get
+          while (d > cur && !maxTask.compareAndSet(cur, d)) cur = maxTask.get
+        }
+      })
     // warm: page cache + codegen for every variant once
     plans.foreach { case (_, f) => force(f()) }
     val times = plans.map { case (name, f) =>
+      maxTask.set(0)
       val reps = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
         force(f())
         (System.nanoTime() - t0) / 1e9
       }
-      name -> reps.min
+      Thread.sleep(300) // drain the listener bus before reading maxTask
+      name -> (reps.min, maxTask.get / 1e3)
     }
-    val line = times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
-      .mkString("{", ",", s""","sf":"$sfDir","salts":$salts}""")
+    val line = times.map { case (k, (v, _)) => s""""$k":${f"$v%.3f"}""" }
+      .mkString("{", ",", ",") +
+      times.map { case (k, (_, mt)) => s""""$k":${f"$mt%.3f"}""" }
+        .mkString(""""max_task":{""", ",", "}") +
+      s""","sf":"$sfDir","salts":$salts}"""
     val rawOut = new java.io.PrintStream(
       new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
     rawOut.println("\n" + line)
