@@ -409,6 +409,20 @@ object Similarity {
       .transform(Relational.presentRanged(_, $"vec_a", $"vec_b"))
   }
 
+  /** [[q45LshNearDup]]'s contract with the q80 bits lever applied
+    * (`bits ≈ log2(N / target-density)` instead of the oracle-pinned 6):
+    * the scale path SCALE.md's contract-vs-lever rows measure. Candidate
+    * recall narrows with the buckets exactly as in [[semdedupLsh]] — the
+    * documented trade a growing corpus makes to keep per-bucket pair work
+    * constant. */
+  def q45LshNearDupScaled(spark: SparkSession, dir: String, bits: Int): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.spread(Tables.embeddings(spark, dir))
+      .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
+    lshSimPairs(emb, bands = 2, bits = bits, tau = 0.3)
+      .transform(Relational.presentRanged(_, $"vec_a", $"vec_b"))
+  }
+
   /** LSH-blocked exact-cosine pair stream (vec_a, vec_b, sim ≥ tau at
     * 6 dp) — the ONE candidate-generation + rerank core behind q45
     * (near-dup pairs) and [[semdedupLsh]]/q80 (dup verdicts): in-row

@@ -48,14 +48,28 @@ object LeverBench {
         Similarity.semdedupLsh(emb(), bands = 2, bits = 6, tau = Similarity.semdedupTau)),
       s"semdedup_lsh_bits${bits}_scaled" -> (() =>
         Similarity.semdedupLsh(emb(), bands = 2, bits = bits, tau = Similarity.semdedupTau)),
-      "q45_lsh_neardup_bits6_fixed" -> (() => Similarity.q45LshNearDup(spark, sfDir))
+      "q45_lsh_neardup_bits6_fixed" -> (() => Similarity.q45LshNearDup(spark, sfDir)),
+      // q45's contract (bands=2, bits=6, tau=0.3) with the q80 bits lever
+      // applied — the pair the sf10p table shows as contract-vs-lever
+      s"q45_lsh_neardup_bits${bits}_scaled" -> (() =>
+        Similarity.q45LshNearDupScaled(spark, sfDir, bits))
     )
+    // SPARK_GRAFT_LEVER_ONLY=substr[,substr...] restricts the probe set —
+    // at sf10p the fixed-density growers take hundreds of seconds EACH and
+    // the full suite already times them; the lever run only needs the
+    // scaled rows
+    val onlyF = sys.env.get("SPARK_GRAFT_LEVER_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = onlyF match {
+      case Some(pats) => probes.filter { case (n, _) => pats.exists(n.contains) }
+      case None => probes
+    }
     // warm pass (JIT + codegen), then two measured passes, min per entry
-    probes.foreach { case (_, fn) => try force(fn()) catch { case _: Throwable => () } }
+    selected.foreach { case (_, fn) => try force(fn()) catch { case _: Throwable => () } }
     // a probe that dies (OOM on a fixed-density grower is exactly what
     // this tool exists to catch) records -1 instead of aborting the run
     // and losing every other probe's timing
-    def pass(): Map[String, Double] = probes.map { case (name, fn) =>
+    def pass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { force(fn()); name -> (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
@@ -64,7 +78,7 @@ object LeverBench {
       }
     }.toMap
     val p1 = pass(); val p2 = pass()
-    val qs = probes.map { case (name, _) =>
+    val qs = selected.map { case (name, _) =>
       "\"" + name + "\":" + f"${math.min(p1(name), p2(name))}%.3f"
     }.mkString("{", ",", "}")
     println(s"""{"lever_bench":$qs,"n_vecs":$nVecs,"bits_scaled":$bits,"sf":"$sfDir"}""")
