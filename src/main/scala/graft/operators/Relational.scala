@@ -482,8 +482,12 @@ object Relational {
     * so sort-merge pays two full sorts (15 M order keys + 1.5 M customers
     * at sf10p, 6.4 s measured) where a shuffled hash anti probes
     * per-partition key sets (no sort at all — anti join only asks "key
-    * present?", never an order). Below the broadcast threshold the
-    * planner still broadcasts; the hint only displaces the SMJ fallback.
+    * present?", never an order). The hint displaces BOTH the size-based
+    * broadcast and the SMJ fallback (JoinSelection gives a SHUFFLE_HASH
+    * hint precedence over everything but a BROADCAST hint): the sf0.01
+    * AQE-final plan is ShuffledHashJoin LeftAnti BuildRight (verified
+    * r16 via ExplainQ) — the same shape at every SF, which is the
+    * point: the small-SF timing measures the plan the 100 TB run gets.
     */
   def q8Anti(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

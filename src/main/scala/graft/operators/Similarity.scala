@@ -401,13 +401,10 @@ object Similarity {
     * Near-dup here is BY DEFINITION over the candidate set — like minhash
     * LSH (q28), recall tunes with the band count.
     */
-  def q45LshNearDup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val emb = Tables.spread(Tables.embeddings(spark, dir)) // parallelism restore, gated on split count
-      .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
-    lshSimPairs(emb, bands = 2, bits = 6, tau = 0.3)
-      .transform(Relational.presentRanged(_, $"vec_a", $"vec_b"))
-  }
+  def q45LshNearDup(spark: SparkSession, dir: String): DataFrame =
+    // single copy of the contract (ADVICE r15): the oracle pin is just
+    // the scaled spelling at bits = 6
+    q45LshNearDupScaled(spark, dir, bits = 6)
 
   /** [[q45LshNearDup]]'s contract with the q80 bits lever applied
     * (`bits ≈ log2(N / target-density)` instead of the oracle-pinned 6):

@@ -64,6 +64,15 @@ object LeverBench {
       case Some(pats) => probes.filter { case (n, _) => pats.exists(n.contains) }
       case None => probes
     }
+    // a filter that matches nothing is a typo, not a valid empty run
+    // (ADVICE r15) — fail loudly instead of emitting an empty artifact
+    if (selected.isEmpty) {
+      System.err.println(
+        s"[lever] SPARK_GRAFT_LEVER_ONLY=${onlyF.map(_.mkString(",")).getOrElse("")} " +
+          s"selected zero probes of ${probes.map(_._1).mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     // warm pass (JIT + codegen), then two measured passes, min per entry
     selected.foreach { case (_, fn) => try force(fn()) catch { case _: Throwable => () } }
     // a probe that dies (OOM on a fixed-density grower is exactly what
@@ -81,7 +90,14 @@ object LeverBench {
     val qs = selected.map { case (name, _) =>
       "\"" + name + "\":" + f"${math.min(p1(name), p2(name))}%.3f"
     }.mkString("{", ",", "}")
-    println(s"""{"lever_bench":$qs,"n_vecs":$nVecs,"bits_scaled":$bits,"sf":"$sfDir"}""")
+    // the filter (and the names it selected) are part of the artifact
+    // (ADVICE r15): a committed lever JSON must show whether it was a
+    // restricted run
+    val filterJson = onlyF
+      .map(p => "\"" + p.mkString(",") + "\"").getOrElse("null")
+    val selJson = selected.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(s"""{"lever_bench":$qs,"n_vecs":$nVecs,"bits_scaled":$bits,""" +
+      s""""only_filter":$filterJson,"selected":$selJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
