@@ -297,32 +297,23 @@ object ScaleOps {
       .transform(Relational.presentSorted(_, $"l_returnflag"))
   }
 
-  /** Skew-salted join: replicate the (small) dimension side per salt
-    * bucket so one hot key spreads over N reducers, then aggregate away
-    * the salt. Result equals the plain join — the salt only reshapes the
-    * shuffle. At 100 TB this is the manual fallback when AQE's skew-join
-    * splitting can't apply (e.g. aggregations after the join).
+  /** Skew-aware dim join on the (key-uniform) events corpus, spelling
+    * CHOSEN by [[AdaptiveSkew.decide]] from measured stats instead of
+    * pinned (VERDICT r15 #1; this was `q37_salted_join`, a hand-pinned
+    * ×8 salt that paid the replicated-dimension exchange on data that
+    * never needed it). With the session's real broadcast threshold the
+    * per-user dim (≤150k rows at sf10p, ~14 MB estimated) broadcasts —
+    * no fact shuffle at all — and the uniform key distribution would
+    * pick Plain, never Salted, even past the threshold. The oracle (and
+    * its hash) is unchanged from the salted spelling: the chooser only
+    * reshapes the shuffle.
     */
-  def q37SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val salts = 8
-    val events = Tables.events(spark, dir)
-      .withColumn("salt", pmod($"event_id", lit(salts)).cast("int"))
-    val userDim = Tables.events(spark, dir)
-      .groupBy($"user_id").agg(count(lit(1)).as("user_total"))
-    val saltedDim = userDim
-      .crossJoin(spark.range(salts).select($"id".cast("int").as("salt")))
-    events
-      .join(saltedDim, Seq("user_id", "salt"))
-      .groupBy($"user_id")
-      .agg(
-        count(lit(1)).as("n_events"),
-        first($"user_total").as("user_total"),
-        Relational.dsum($"value").as("total_value"))
-      .transform(Relational.presentRanged(_, $"user_id"))
-  }
+  def q37DimJoinAdaptive(spark: SparkSession, dir: String): DataFrame =
+    AdaptiveSkew.adaptiveUserDimJoinAgg(
+      spark, Tables.events(spark, dir), "adsk_dim_uniform",
+      Seq(s"$dir/events.parquet"), AdaptiveSkew.policyFor(spark))
 
-  /** Skew-demo twin pair for [[q37SaltedJoin]] (VERDICT r13 #4): the
+  /** Skew-demo twin pair for [[q37DimJoinAdaptive]] (VERDICT r13 #4): the
     * events corpus is key-uniform, so q37 alone demonstrates only the
     * COST side of salting (the ×salts replicated-dimension exchange it
     * deliberately pays). This pair synthesizes a hot key — a
@@ -369,39 +360,23 @@ object ScaleOps {
       .transform(Relational.presentRanged(_, $"user_id"))
   }
 
-  /** The salted plan, BOTH halves two-phase: the join probes on
-    * (user_id, salt) so the hot key's rows spread over `salts` reducers,
-    * and the aggregate runs partial per (user_id, salt) — fused in-stage
-    * with the join, zero extra exchange, since the join output is already
-    * hash-partitioned on exactly those keys — before a final merge that
-    * shuffles only |users|×salts tiny partial rows. Skipping the partial
-    * level (q37's single-level spelling) would re-concentrate the hot key
-    * at the aggregate and forfeit the benefit. Partial sums merge in
-    * scaled-long integer arithmetic, so the result is bit-equal to
-    * [[Relational.dsum]]'s single-phase spelling (|values| ≤ 1e4·100 and
-    * 10 M rows keep the merged long < 1e13, far inside 2^63).
+  /** The skewed twin under the CHOOSER (VERDICT r15 #1; this was
+    * `q166_skew_join_salted`, the hand-pinned ×8 two-phase salt — that
+    * spelling now lives in [[AdaptiveSkew.userDimJoinAgg]] as the
+    * `Salted` arm, salt count sized from the stats). Against the
+    * session's real broadcast threshold the hot-key dim still fits
+    * (|users| rows), so the chosen spelling is Broadcast — SkewProbe's
+    * measured winner, which absorbs the hot key via the broadcast probe
+    * + map-side partials. The Salted arm engages exactly when the dim
+    * outgrows broadcast AND a key owns > hotShare of the fact —
+    * SkewProbe's `salt_2phase` regime, exercised with a forced policy in
+    * AdaptiveSkewSpec and measured as SkewProbe's `adaptive` row. Shares
+    * q165's oracle: all spellings are row-identical by hash.
     */
-  def q166SkewJoinSalted(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val salts = 8
-    val events = skewedDemoEvents(spark, dir)
-      .withColumn("salt", pmod($"event_id", lit(salts)).cast("int"))
-    val userDim = skewedDemoEvents(spark, dir)
-      .groupBy($"user_id").agg(count(lit(1)).as("user_total"))
-    val saltedDim = userDim
-      .crossJoin(spark.range(salts).select($"id".cast("int").as("salt")))
-    val d = graft.functions.DecScaledLong.decScaledLong($"value", 2)
-    events.join(saltedDim, Seq("user_id", "salt"))
-      .groupBy($"user_id", $"salt")
-      .agg(count(lit(1)).as("n_p"), first($"user_total").as("ut_p"),
-        sum(d).as("v_p"))
-      .groupBy($"user_id")
-      .agg(
-        sum($"n_p").as("n_events"),
-        first($"ut_p").as("user_total"),
-        (sum($"v_p").cast("double") / 100).as("total_value"))
-      .transform(Relational.presentRanged(_, $"user_id"))
-  }
+  def q166SkewJoinAdaptive(spark: SparkSession, dir: String): DataFrame =
+    AdaptiveSkew.adaptiveUserDimJoinAgg(
+      spark, skewedDemoEvents(spark, dir), "adsk_dim_hot",
+      Seq(s"$dir/events.parquet"), AdaptiveSkew.policyFor(spark))
 
   /** Rollup hierarchy (beyond the reference: it has no grouping sets).
     * Grouping columns are surfaced with explicit null markers so both
@@ -3439,9 +3414,9 @@ object ScaleOps {
     "q125_resample_ffill" -> (q125ResampleFfill _),
     "q83_topk_per_group" -> (q83TopkPerGroup _),
     "q84_group_profile" -> (q84GroupProfile _),
-    "q37_salted_join" -> (q37SaltedJoin _),
+    "q37_dim_join_adaptive" -> (q37DimJoinAdaptive _),
     "q165_skew_join_plain" -> (q165SkewJoinPlain _),
-    "q166_skew_join_salted" -> (q166SkewJoinSalted _),
+    "q166_skew_join_adaptive" -> (q166SkewJoinAdaptive _),
     "q38_rollup" -> (q38Rollup _),
     "q39_sessionize" -> (q39Sessionize _),
     "q41_quantiles" -> (q41Quantiles _),
@@ -4154,7 +4129,7 @@ object ScaleOps {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q37_salted_join" ->
+    "q37_dim_join_adaptive" ->
       """SELECT e.user_id, COUNT(*) AS n_events,
         |  ANY_VALUE(d.user_total) AS user_total,
         |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -4162,11 +4137,12 @@ object ScaleOps {
         |JOIN (SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY user_id) d
         |  ON e.user_id = d.user_id
         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
-    // the skew twins share ONE oracle: the point of the pair is that the
-    // salted spelling is result-identical to the straggler spelling (the
-    // hash pins it), differing only in wall-clock under a hot key
+    // the skew twins share ONE oracle: the point of the pair is that
+    // every spelling the chooser can pick (broadcast / plain / salted)
+    // is result-identical (the hash pins it), differing only in
+    // wall-clock under a hot key
     "q165_skew_join_plain" -> skewDemoOracle,
-    "q166_skew_join_salted" -> skewDemoOracle,
+    "q166_skew_join_adaptive" -> skewDemoOracle,
     "q38_rollup" ->
       """SELECT COALESCE(o_orderpriority, '<all>') AS priority,
         |  COALESCE(o_orderstatus, '<all>') AS status,

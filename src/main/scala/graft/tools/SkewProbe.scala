@@ -17,18 +17,23 @@ import graft.operators.{Relational, ScaleOps}
   * FIRST line of skew defense, and salting only matters once the
   * dimension outgrows broadcast). This probe pins `shuffle_hash` on the
   * dimension side — the plan shape of a billions-of-users dimension that
-  * cannot broadcast — and measures four spellings of the identical
+  * cannot broadcast — and measures five spellings of the identical
   * aggregate (row-identical by the q165/q166 oracle hash):
   *
   *   broadcast      — the shipped q165 plan (baseline, skew absorbed)
   *   straggler      — shuffle join + agg on the raw hot key: ONE reducer
   *                    owns 80% of the corpus end-to-end
-  *   salt_1level    — q37's spelling: the JOIN spreads over salts, but
+  *   salt_1level    — the former q37 pinned spelling: the JOIN spreads
+  *                    over salts, but
   *                    the single-level aggregate re-concentrates the hot
   *                    key on one reducer
-  *   salt_2phase    — q166's spelling: partial agg per (user, salt)
+  *   salt_2phase    — the former q166 pinned spelling (now
+  *                    AdaptiveSkew's Salted arm): partial agg per (user, salt)
   *                    fuses with the join stage; only |users|×salts
   *                    partial rows reach the final merge
+  *   adaptive       — AdaptiveSkew.decide under this regime (broadcast
+  *                    disabled): stats-sized salt count, expected to
+  *                    at-or-beat salt_2phase
   *
   * AQE's skew-join split cannot rescue the straggler: the aggregate
   * consumes the join's hash partitioning, so splitting the skewed
@@ -91,6 +96,21 @@ object SkewProbe {
           .groupBy($"user_id")
           .agg(sum($"n_p").as("n_events"), first($"ut_p").as("user_total"),
             (sum($"v_p").cast("double") / 100).as("total_value"))
+      }),
+      // the CHOOSER under this probe's emulated regime (dim too big to
+      // broadcast): decision made once, plan-time, from the same stats
+      // every row sees; the timed body is the chosen spelling over the
+      // same recomputed dim as every other row, so the comparison is
+      // execution-vs-execution. Expected: Salted(ceil(hotShare×cpus)),
+      // at-or-beating salt_2phase (same shape, stats-sized salt count).
+      "adaptive" -> (() => {
+        import graft.operators.AdaptiveSkew
+        val policy = AdaptiveSkew.SkewPolicy(
+          broadcastBytesLimit = -1L, parallelism = cpus.toInt)
+        val spelling = AdaptiveSkew.decide(
+          AdaptiveSkew.statsFromDim(userDim, "user_total"), policy)
+        System.err.println(s"[skewprobe] adaptive chose: $spelling")
+        AdaptiveSkew.userDimJoinAgg(spark, events, userDim, spelling)
       }))
 
     def force(df: DataFrame): Unit =

@@ -119,12 +119,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("pos"), p)
   }
 
-  test("q37: salt replication broadcasts and the fact join keys on the salt") {
-    val p = plan(ScaleOps.q37SaltedJoin(spark, dir))
+  test("q37: chooser picks broadcast at test scale — no salt, no fact shuffle on the key") {
+    // the per-user dim fits the session's broadcast threshold, so the
+    // adaptive spelling must plan a broadcast probe (Spark's first line
+    // of skew defense), not the former pinned ×8 salt
+    val p = plan(ScaleOps.q37DimJoinAdaptive(spark, dir))
     assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
-    assert(p.contains("salt"), s"salt column absent from plan:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"salt replication not broadcast:\n$p")
+    assert(!p.contains("salt"), s"salt column present — chooser salted a broadcastable dim:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim not broadcast:\n$p")
   }
 
   test("q32: centroids broadcast; the assignment window ranks narrow rows") {
