@@ -3313,49 +3313,52 @@ object ScaleOps {
     */
   def q136PageRank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // The edge list and degree table are referenced by every power
-    // iteration; both build once per dataset state as frameCached caches
-    // (the basket-family discipline). Edges land hash(v)-PARTITIONED:
-    // each iteration's (node, rank) and degree sides are |nodes|-bounded
-    // and broadcast, so the contribution projection preserves the edge
-    // partitioning and the groupBy(v) sum rides it — a power iteration
-    // costs two broadcast joins and an in-partition aggregate, ZERO
-    // exchanges of the edge-sized stream (the former localCheckpoint
-    // surfaced UnknownPartitioning under AQE and re-exchanged the
-    // contributions every iteration).
-    val edges = graft.ArtifactStore.frameCached(spark, "basket_edges", 1,
+    // The iteration's ONLY per-round inputs are the edge stream and the
+    // |nodes|-bounded rank table (VERDICT r15 #3 — the former spelling
+    // paid a fixed per-iteration tax of a second broadcast build (deg),
+    // a node-table rebuild join, and a crossJoin'd scalar). The degree
+    // is FUSED into the cached edge list once per dataset — (u, v,
+    // n_ab, deg), hash(v)-PARTITIONED — so a power iteration costs
+    // exactly: one broadcast build of rank, one in-stage probe of the
+    // cache, one in-partition partial+final sum riding the cache's
+    // hash(v), one projection. Zero exchanges of the edge-sized stream,
+    // zero node-table joins: the symmetrized graph guarantees every
+    // node has in-edges (u-set == v-set by construction), so the
+    // contribution aggregate itself enumerates ALL nodes and the old
+    // `deg LEFT JOIN contrib` rebuild (whose coalesce branch was
+    // provably dead) is pure overhead. n_nodes is a plan-time literal
+    // from the k-row cached deg (same double ops, identical picos).
+    val edges = graft.ArtifactStore.frameCached(spark, "basket_edges_w", 1,
       Seq(s"$dir/lineitem.parquet")) {
-      basketPairCounts(rankedItems(spark, dir)).select(explode(array(
+      val e = basketPairCounts(rankedItems(spark, dir)).select(explode(array(
           struct($"p1".as("u"), $"p2".as("v"), $"n_ab"),
           struct($"p2".as("u"), $"p1".as("v"), $"n_ab"))).as("e"))
         .select($"e.u".as("u"), $"e.v".as("v"), $"e.n_ab".as("n_ab"))
+      e.join(broadcast(e.groupBy($"u").agg(sum($"n_ab").as("deg"))), Seq("u"))
         .repartition($"v")
     }
-    val deg = graft.ArtifactStore.frameCached(spark, "basket_deg", 1,
+    val deg = graft.ArtifactStore.frameCached(spark, "basket_deg", 2,
       Seq(s"$dir/lineitem.parquet")) {
-      edges.groupBy($"u").agg(sum($"n_ab").as("deg"))
+      edges.groupBy($"u").agg(first($"deg").as("deg"))
     }
-    val n = deg.agg(count(lit(1)).as("n_nodes"))
-    var rank = deg.select($"u").crossJoin(broadcast(n))
-      .withColumn("r_pico", round(lit(1e12) / $"n_nodes").cast("long"))
+    val nNodes: Long = deg.count()
+    var rank = deg.select($"u")
+      .withColumn("r_pico", round(lit(1e12) / lit(nNodes)).cast("long"))
       .select($"u", $"r_pico")
     for (_ <- 1 to prIters) {
-      val contrib = edges
-        .join(broadcast(rank), Seq("u")).join(broadcast(deg), Seq("u"))
+      rank = edges
+        .join(broadcast(rank), Seq("u"))
         .select($"v",
           round($"r_pico".cast("double") * $"n_ab" / $"deg").cast("long").as("c"))
         .groupBy($"v").agg(sum($"c").as("sc"))
-      rank = deg.select($"u").crossJoin(broadcast(n))
-        .join(contrib.withColumnRenamed("v", "u"), Seq("u"), "left")
-        .withColumn("r_pico",
-          round(lit(1.0 - prDamping) * 1e12 / $"n_nodes").cast("long") +
-            round(lit(prDamping) * coalesce($"sc", lit(0L)).cast("double")).cast("long"))
-        .select($"u", $"r_pico")
+        .select($"v".as("u"),
+          (round(lit(1.0 - prDamping) * 1e12 / lit(nNodes)).cast("long") +
+            round(lit(prDamping) * $"sc".cast("double")).cast("long")).as("r_pico"))
     }
-    rank.crossJoin(broadcast(n))
+    rank
       .orderBy($"r_pico".desc, $"u")
       .limit(100)
-      .select($"u".as("part"), $"n_nodes",
+      .select($"u".as("part"), lit(nNodes).as("n_nodes"),
         ($"r_pico".cast("double") / 1e12).as("rank"))
   }
 
