@@ -3420,12 +3420,28 @@ object ScaleOps {
     "q37_dim_join_adaptive" -> (q37DimJoinAdaptive _),
     "q165_skew_join_plain" -> (q165SkewJoinPlain _),
     "q166_skew_join_adaptive" -> (q166SkewJoinAdaptive _),
+    // r15→r16 continuity aliases: these names were declared (and judged
+    // green) through round 15; the driver contract forbids a declared
+    // query from disappearing. Same chooser-backed functions, same
+    // oracles — every spelling is row-identical by hash, so the alias
+    // costs one duplicate sub-second bench entry and nothing else.
+    "q37_salted_join" -> (q37DimJoinAdaptive _),
+    "q166_skew_join_salted" -> (q166SkewJoinAdaptive _),
     "q38_rollup" -> (q38Rollup _),
     "q39_sessionize" -> (q39Sessionize _),
     "q41_quantiles" -> (q41Quantiles _),
     "q42_asof_join" -> (q42AsofJoin _),
     "q57_funnel" -> (q57Funnel _)
   )
+
+  private val dimJoinOracle: String =
+    """SELECT e.user_id, COUNT(*) AS n_events,
+      |  ANY_VALUE(d.user_total) AS user_total,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events e
+      |JOIN (SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY user_id) d
+      |  ON e.user_id = d.user_id
+      |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
 
   private val skewDemoOracle: String =
     """WITH se AS (
@@ -4132,20 +4148,16 @@ object ScaleOps {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q37_dim_join_adaptive" ->
-      """SELECT e.user_id, COUNT(*) AS n_events,
-        |  ANY_VALUE(d.user_total) AS user_total,
-        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events e
-        |JOIN (SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY user_id) d
-        |  ON e.user_id = d.user_id
-        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+    "q37_dim_join_adaptive" -> dimJoinOracle,
     // the skew twins share ONE oracle: the point of the pair is that
     // every spelling the chooser can pick (broadcast / plain / salted)
     // is result-identical (the hash pins it), differing only in
     // wall-clock under a hot key
     "q165_skew_join_plain" -> skewDemoOracle,
     "q166_skew_join_adaptive" -> skewDemoOracle,
+    // r15→r16 continuity aliases (see queries map): identical oracles
+    "q37_salted_join" -> dimJoinOracle,
+    "q166_skew_join_salted" -> skewDemoOracle,
     "q38_rollup" ->
       """SELECT COALESCE(o_orderpriority, '<all>') AS priority,
         |  COALESCE(o_orderstatus, '<all>') AS status,
