@@ -144,17 +144,51 @@ object DotOps {
       .setScale(14, java.math.RoundingMode.HALF_UP)
 
   /** Scale-14 HALF_UP quantization of the SHORTEST-REPR decimal of `p`,
-    * as a scaled long — the allocation-light equivalent of [[quant14Big]]
-    * (which paid a BigDecimal parse + setScale per element and dominated
-    * the similarity family's profile). Parses `Double.toString`'s digits
-    * directly: value = digits × 10^(dotPos − len); scaled target is the
-    * integer of the digit string shifted to dotPos+14, HALF_UP decided by
-    * the first dropped digit (HALF_UP rounds away from zero iff the
-    * discarded fraction ≥ ½, i.e. iff that digit ≥ 5). Returns
-    * [[NeedsBig]] when the magnitude could overflow the long (|value| >
-    * ~9e4 after scaling) — the caller falls back to the reference path.
+    * as a scaled long.
+    *
+    * Fast path (r16, the FixedPointOps.scaledLongOrNull guard applied at
+    * scale 14): the reference semantics round the shortest decimal D(p)
+    * half-up at 14 places, and |D(p) − p| ≤ ulp(p)/2, so y = p·10¹⁴ (one
+    * correctly-rounded multiply; 10¹⁴ < 2⁵³ is an exact double) differs
+    * from D(p)·10¹⁴ by ≤ ~2 ulp of y. Whenever y sits farther than a
+    * conservative error bound from the .5 rounding boundary, floor(y)+
+    * (frac>.5) is provably the same integer the string path derives —
+    * decided with zero allocation. Only boundary-adjacent values (~1 in
+    * 10¹²) and |y| ≥ 2⁵² (double integer spacing exceeds the margin)
+    * fall through to [[quant14Slow]]. This was the dominant per-element
+    * cost of every exact dot product: JDK 17's `Double.toString` runs
+    * ~1 µs, turning a 64-dim ddot into ~100 µs — the whole similarity
+    * family's profile was this call (OPTIMIZATION_r16.md).
+    *
+    * The differential spec (GraftFunctionsSpec) drives fast and slow
+    * paths against [[quant14Big]] across random and boundary draws.
     */
   private def quant14(p: Double): Long = {
+    val y = p * 1e14
+    val ay = math.abs(y)
+    if (ay < 4.5e15) { // < 2^52: floor exact, margin meaningful
+      val f = math.floor(y)
+      val frac = y - f
+      // representation + multiply error ≤ ~4 ulp of y, plus an absolute
+      // floor for tiny y (NaN/±Inf fracs are NaN → comparisons false →
+      // fall through to the slow path, which handles them as before)
+      val margin = ay * 1e-15 + 1e-12
+      if (frac > 0.5 + margin || frac < 0.5 - margin)
+        return (if (frac > 0.5) f + 1.0 else f).toLong
+    }
+    quant14Slow(p)
+  }
+
+  /** The string-parsing reference path of [[quant14]]: parses
+    * `Double.toString`'s digits directly — value = digits ×
+    * 10^(dotPos − len); scaled target is the integer of the digit string
+    * shifted to dotPos+14, HALF_UP decided by the first dropped digit
+    * (HALF_UP rounds away from zero iff the discarded fraction ≥ ½, i.e.
+    * iff that digit ≥ 5). Returns [[NeedsBig]] when the magnitude could
+    * overflow the long (|value| > ~9e4 after scaling) — the caller falls
+    * back to the BigDecimal reference path.
+    */
+  private def quant14Slow(p: Double): Long = {
     if (p == 0.0) return 0L // covers -0.0: "−0.0" would parse sign-only digits
     if (!java.lang.Double.isFinite(p)) return NeedsBig // NaN/Inf: reference path throws, as before
     val s = java.lang.Double.toString(p)

@@ -844,9 +844,10 @@ object Dedup {
     * hash-partitioned by node for the push join, one by bucket for the pull
     * join — every iteration reuses those partitionings instead of
     * re-shuffling the memberships. Size-1 buckets carry no connectivity and
-    * are dropped up front (the sizing window shares the bucket
-    * partitioning). Labels are localCheckpoint'ed per iteration — the same
-    * lineage-truncation requirement documented on [[connectedComponents]].
+    * are dropped up front by the same per-bucket aggregate that seeds round
+    * 1 (see the body comment). Labels are localCheckpoint'ed per iteration
+    * — the same lineage-truncation requirement documented on
+    * [[connectedComponents]].
     *
     * Output: (node, label) for every node appearing in a ≥2-member bucket,
     * label = min node id of the component.
@@ -856,17 +857,34 @@ object Dedup {
     import m.sparkSession.implicits._
     import org.apache.spark.storage.StorageLevel
     val bc = bucketCols.map(col)
-    val sized = m
-      .withColumn("_sz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(bc: _*)))
+    // r16: ONE map-side-combining aggregate serves both the ≥2-member
+    // filter and the whole FIRST propagation round. Per bucket it yields
+    // the member count and the minimum node id `_bm` — exactly the value
+    // the former loop's iteration 1 pushed to every member from the
+    // identity labels — so the seed `labels` below (per node, min `_bm`
+    // over its buckets) IS round 1, computed without the old sizing
+    // window (a full sort of the membership), without the identity
+    // `distinct` pass, and without round 1's two frontier joins. The
+    // loop then continues from round 2 with the frontier = nodes whose
+    // seed label differs from their id; the fixpoint (min node id per
+    // component) is unchanged — CcProps pins equality against the edge
+    // formulation on random bipartite graphs.
+    val bstats = m.groupBy(bc: _*)
+      .agg(count(lit(1)).as("_sz"), min(col(nodeCol)).as("_bm"))
       .filter($"_sz" >= 2)
-      .select(bc :+ col(nodeCol).as("node"): _*)
-    val byBucket = sized.repartition(bc: _*).persist(StorageLevel.MEMORY_AND_DISK)
+      .select(bc :+ $"_bm": _*)
+    val sized = m.join(bstats, bucketCols)
+      .select(bc :+ col(nodeCol).as("node") :+ $"_bm": _*)
+    // byNode materializes the (joined) membership ONCE; byBucket reshapes
+    // byNode's CACHED blocks (two narrow columns) instead of re-running
+    // the upstream band pipeline a second time (the former code paid the
+    // window+scan once per persisted copy).
     val byNode = sized.repartition($"node").persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = byNode.select($"node").distinct()
-      .withColumn("label", $"node")
+    val byBucket = byNode.select(bc :+ $"node": _*)
+      .repartition(bc: _*).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = byNode.groupBy($"node").agg(min($"_bm").as("label"))
       .localCheckpoint(true)
-    var frontier = labels
+    var frontier = labels.filter($"label" < $"node")
     var moved = frontier.count()
     while (moved > 0) {
       val bmin = byNode.join(frontier, Seq("node"))

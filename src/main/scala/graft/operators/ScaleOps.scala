@@ -1498,15 +1498,28 @@ object ScaleOps {
       .withColumn("hb", expr("ts div 3600000000000"))
       .groupBy($"user_id", $"hb")
       .agg(expr("max_by(value, struct(ts, event_id))").as("v_last"))
-    val grid = hourly.groupBy($"user_id")
-      .agg(min($"hb").as("h0"), max($"hb").as("h1"))
-      .select($"user_id", explode(sequence($"h0", $"h1")).as("hb"))
+    // r16 (guide §2.4): the former spelling materialized the grid from a
+    // per-user min/max aggregate, LEFT-joined the observed cells back in,
+    // and ran a second (running last_value) window over the full grid —
+    // three wide operators whose join carried every grid row. But the
+    // fill value of every unobserved grid hour is, by construction, the
+    // v_last of the observed cell that OPENS its gap — so one lead(hb)
+    // window over the |cells| rows (far fewer than grid rows) yields each
+    // cell's gap span, and the grid rows explode IN-ROW from
+    // sequence(hb, next_hb−1), already carrying their fill value. Same
+    // rows bit-for-bit (oracle-checked): grid spans min..max observed
+    // hour per user, `observed` marks the opening cell, later grid hours
+    // inherit its value with no lookahead. Plan: 2 exchanges + the
+    // presentation sort, where the old plan paid 3 exchanges + a join +
+    // a grid-sized window sort.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id").orderBy($"hb")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    grid.join(hourly, Seq("user_id", "hb"), "left")
-      .select($"user_id", $"hb", $"v_last".isNotNull.as("observed"),
-        last($"v_last", ignoreNulls = true).over(w).as("v_ffill"))
+    hourly
+      .withColumn("next_hb", lead($"hb", 1).over(w))
+      .select($"user_id", $"hb".as("h0"), $"v_last",
+        explode(sequence($"hb", coalesce($"next_hb" - 1, $"hb"))).as("hb"))
+      .select($"user_id", $"hb", ($"hb" === $"h0").as("observed"),
+        $"v_last".as("v_ffill"))
       .orderBy($"user_id", $"hb")
   }
 
@@ -2878,9 +2891,16 @@ object ScaleOps {
       .select($"s_suppkey".as("sid"), grams($"s_name").as("sg"))
     val ce = c.select($"cid", explode($"cg").as("g"))
     val se = s.select($"sid", explode($"sg").as("g"))
-    val rare = ce.groupBy($"g").agg(count(lit(1)).as("dc"))
-      .join(se.groupBy($"g").agg(count(lit(1)).as("ds")), Seq("g"), "full_outer")
-      .filter(coalesce($"dc", lit(0L)) + coalesce($"ds", lit(0L)) <= fuzzyMaxDf)
+    // r16 (guide §2.4): the combined document frequency is ONE aggregate
+    // over the two gram streams unioned — the former spelling aggregated
+    // each side separately and full-outer-joined the counts, paying two
+    // exchanges plus a sort-merge join for what a union computes with a
+    // single exchange (both legs partial-aggregate map-side). Identical
+    // rare-gram set: coalesce(dc,0)+coalesce(ds,0) == count over the
+    // union, and grams absent from both sides never existed anyway.
+    val rare = ce.select($"g").union(se.select($"g"))
+      .groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" <= fuzzyMaxDf)
       .select($"g")
     val cand = ce.join(rare, Seq("g")).join(se, Seq("g"))
       .select($"cid", $"sid").distinct()

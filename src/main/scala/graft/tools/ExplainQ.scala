@@ -32,11 +32,23 @@ object ExplainQ {
       .find(_._1.startsWith(args.head)).get
     val df = fn(spark, sfDir)
     df.write.format("noop").mode("overwrite").save()
-    println(s"=== $name (AQE final) ===")
-    if (args.contains("--formatted"))
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-    else println(df.queryExecution.executedPlan.toString)
+    val body =
+      if (args.contains("--formatted"))
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      else df.queryExecution.executedPlan.toString
+    val text = s"=== $name (AQE final) ===\n$body"
+    // --out <path>: write the plan to a file unmangled (sbt's forked-run
+    // logger prefixes every stdout line, which corrupts committed plan
+    // artifacts under plans/)
+    args.sliding(2).collectFirst { case Array("--out", p) => p } match {
+      case Some(p) =>
+        val f = java.nio.file.Paths.get(p)
+        Option(f.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(f, text + "\n")
+        println(s"[explainq] wrote $p")
+      case None => println(text)
+    }
     spark.stop()
   }
 }

@@ -289,5 +289,20 @@ class GraftFunctionsSpec extends AnyFunSuite {
     run(Array(3e5, 3e5), Array(3e5, -3e5))
     run(Array(1e9), Array(1e9))
     run(Array.fill(64)(9e4), Array.fill(64)(1.0))
+    // r16 fast-path seam: the zero-allocation floor(y)+guard path decides
+    // everything except boundary-adjacent values, which must fall back to
+    // the string parse. Hammer exact k+0.5 half-up boundaries at scale 14
+    // (both signs), values a few ulps either side of them, and the
+    // |y| ≈ 2^52 cap where the margin swamps the fraction
+    for (k <- 0 to 400) {
+      val h = (2 * k + 1) * 0.5e-14 // D(h)·1e14 lands on or near k+0.5
+      run(Array(h), Array(1.0)); run(Array(-h), Array(1.0))
+      run(Array(math.nextUp(h)), Array(1.0))
+      run(Array(math.nextDown(h)), Array(1.0))
+    }
+    for (m <- Seq(4.4e15, 4.5e15, 4.6e15, 5.0e14, 4.9e14)) {
+      run(Array(m / 1e14), Array(1.0)) // straddles the 2^52 fast-path cap
+      run(Array(-(m / 1e14)), Array(1.0))
+    }
   }
 }
