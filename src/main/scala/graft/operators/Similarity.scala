@@ -776,22 +776,33 @@ object Similarity {
     */
   def q111EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.spread(Tables.embeddings(spark, dir))
-      .select($"label", pmod($"vec_id", lit(2L)).as("half"),
-        posexplode($"embedding").as(Seq("pos", "x")))
-    val means = emb
-      .groupBy($"label", $"half", $"pos")
-      .agg(round(sum($"x".cast("double").cast("decimal(28,14)")).cast("double") /
-        count(lit(1)), 6).as("m"))
-    val cents = means.groupBy($"label", $"half")
-      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
-        s => s.getField("m")).as("ce"))
-      .select($"label", $"half", $"ce", dnorm2($"ce").as("nn"))
-    val a = cents.filter($"half" === 0).select($"label", $"ce".as("ce_a"), $"nn".as("nn_a"))
-    val b = cents.filter($"half" === 1).select($"label", $"ce".as("ce_b"), $"nn".as("nn_b"))
-    a.join(b, Seq("label"))
+    // r16 (guide §2.4): both halves' per-dimension means are CONDITIONAL
+    // aggregates of one (label, pos) pass — the former spelling keyed the
+    // aggregate by (label, half, pos), collected per-(label, half)
+    // centroid rows, and self-joined half 0 against half 1, re-running
+    // the collect aggregate once per filter branch. Same values: a
+    // conditional decimal sum over the half partition is the same sum,
+    // the per-half counts divide the same way, and the centroid arrays
+    // assemble in the same pos order. Plan: 2 exchanges, 0 joins (was 3
+    // exchanges + the a×b join).
+    def mean(h: Int) = round(
+      sum(when(pmod($"vec_id", lit(2L)) === h,
+        $"x".cast("double").cast("decimal(28,14)"))).cast("double") /
+        count(when(pmod($"vec_id", lit(2L)) === h, lit(1))), 6)
+    val cents = Tables.spread(Tables.embeddings(spark, dir))
+      .select($"label", $"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(mean(0).as("ma"), mean(1).as("mb"))
+      .groupBy($"label")
+      .agg(
+        transform(array_sort(collect_list(struct($"pos", $"ma"))),
+          s => s.getField("ma")).as("ce_a"),
+        transform(array_sort(collect_list(struct($"pos", $"mb"))),
+          s => s.getField("mb")).as("ce_b"))
+    cents
       .select($"label",
-        round(ddot($"ce_a", $"ce_b") / sqrt($"nn_a" * $"nn_b"), 6).as("cos_sim"))
+        round(ddot($"ce_a", $"ce_b") /
+          sqrt(dnorm2($"ce_a") * dnorm2($"ce_b")), 6).as("cos_sim"))
       .withColumn("stable", $"cos_sim" >= 0.98)
       .transform(Relational.presentSorted(_, $"label"))
   }

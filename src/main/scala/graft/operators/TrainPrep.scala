@@ -115,20 +115,24 @@ object TrainPrep {
     import spark.implicits._
     // benchmark membership filters BEFORE shingling: the two sides share no
     // subtree, so neither pipeline is instantiated twice (the q26/q28
-    // self-join lesson), and the bench side only shingles 1/97 of the docs
-    def shingled(side: DataFrame) =
-      Dedup.shingleRows(spark, side.select($"doc_id", $"text"))
-        .select($"doc_id", Dedup.portableHash($"shingle").as("sh_h"))
-        .distinct()
+    // self-join lesson), and the bench side only shingles 1/97 of the docs.
+    // r16: per-doc DISTINCT shingle hashes come from the in-row native
+    // shingle_hashes expression (the q26/q85 shape) — the former spelling
+    // exploded words through shingleRows' two lead() windows, distinct'ed
+    // the (doc_id, hash) rows, and ran a count window for n_shingles:
+    // three sorts of the exploded corpus for values one projection
+    // computes (identical 60-bit md5 per trigram, identical distinct set).
+    def hashed(side: DataFrame) = side.select($"doc_id",
+      graft.functions.ShingleFunctions.shingleHashes(split($"text", " ")).as("shs"))
     // partition by doc_id (not round-robin): hash(doc_id) satisfies the
-    // shingle window, the (doc_id, sh_h) distinct, the n_shingles window,
-    // and the final groupBy — one exchange feeds the whole corpus pipeline,
-    // and the bench side is a broadcast so the semi join adds none
+    // final groupBy — one exchange feeds the whole corpus pipeline, and
+    // the bench side is a broadcast so the semi join adds none
     val docs = Tables.spreadBy(Tables.documents(spark, dir), "doc_id") // gated: skipped on wide inputs
     val bench = broadcast(
-      shingled(docs.filter(isBenchmark)).select($"sh_h").distinct())
-    val corpus = shingled(docs.filter(!isBenchmark))
-      .withColumn("n_shingles", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      hashed(docs.filter(isBenchmark)).select(explode($"shs").as("sh_h")).distinct())
+    val corpus = hashed(docs.filter(!isBenchmark))
+      .select($"doc_id", size($"shs").cast("long").as("n_shingles"),
+        explode($"shs").as("sh_h"))
     corpus
       .join(bench, Seq("sh_h"), "left_semi")
       .groupBy($"doc_id")
