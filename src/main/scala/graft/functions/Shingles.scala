@@ -30,15 +30,19 @@ object ShingleOps {
 
   /** 60-bit portable hash of the 3-gram starting at `i`, digested
     * incrementally (identical bytes to `md5(w0 ++ " " ++ w1 ++ " " ++ w2)`).
+    * Token bytes arrive pre-extracted (`tokenBytes`) — every token
+    * participates in up to three grams, and re-materializing its UTF-8
+    * bytes per gram tripled the allocation churn of the corpus-wide
+    * signature passes (r16).
     */
   private def gramHash(
-      md: java.security.MessageDigest, tokens: ArrayData, i: Int): Long = {
+      md: java.security.MessageDigest, toks: Array[Array[Byte]], i: Int): Long = {
     md.reset()
-    md.update(tokens.getUTF8String(i).getBytes)
+    md.update(toks(i))
     md.update(' '.toByte)
-    md.update(tokens.getUTF8String(i + 1).getBytes)
+    md.update(toks(i + 1))
     md.update(' '.toByte)
-    md.update(tokens.getUTF8String(i + 2).getBytes)
+    md.update(toks(i + 2))
     val d = md.digest()
     var v = 0L
     var k = 0
@@ -46,24 +50,39 @@ object ShingleOps {
     (v << 4) | ((d(7) & 0xf0L) >> 4)
   }
 
+  private def tokenBytes(tokens: ArrayData): Array[Array[Byte]] = {
+    val n = tokens.numElements()
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { toks(i) = tokens.getUTF8String(i).getBytes; i += 1 }
+    toks
+  }
+
   /** Sorted DISTINCT 60-bit hashes of a document's word 3-grams (empty
     * for <3 words) — `size()` of the result is the q26 `n_sh`.
+    * Primitive sort + in-place dedup (r16): the former boxed TreeSet
+    * allocated a node per gram on the hottest per-row path of the whole
+    * dedup family; output is identical (sorted distinct).
     */
   def shingleHashes(tokens: ArrayData): ArrayData = {
     val n = tokens.numElements()
     if (n < 3) return new GenericArrayData(Array.emptyLongArray)
     val md = java.security.MessageDigest.getInstance("MD5")
-    val set = new java.util.TreeSet[java.lang.Long]()
+    val toks = tokenBytes(tokens)
+    val hs = new Array[Long](n - 2)
     var i = 0
     while (i + 2 < n) {
-      set.add(gramHash(md, tokens, i))
+      hs(i) = gramHash(md, toks, i)
       i += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    new GenericArrayData(out)
+    java.util.Arrays.sort(hs)
+    var w = 1
+    i = 1
+    while (i < hs.length) {
+      if (hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w))
   }
 
   /** [n_2grams, n_distinct_2grams, top_2gram_count] over a document's
@@ -93,6 +112,7 @@ object ShingleOps {
     val n = tokens.numElements()
     if (n < 3) return null
     val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = tokenBytes(tokens)
     val as = new Array[Long](8)
     val bs = new Array[Long](8)
     var k = 0
@@ -100,7 +120,7 @@ object ShingleOps {
     val mins = Array.fill(8)(Long.MaxValue)
     var i = 0
     while (i + 2 < n) {
-      val g = gramHash(md, tokens, i) % P
+      val g = gramHash(md, toks, i) % P
       k = 0
       while (k < 8) {
         val h = (as(k) * g + bs(k)) % P
