@@ -539,7 +539,7 @@ object Dedup {
     * case here (contrast [[gateAgainst]]'s <3-token band gap).
     */
   def gatePassages(index: DataFrame, batch: DataFrame): DataFrame =
-    gatePassagesCore(index, batch).orderBy(col("doc_id"))
+    gatePassagesCore(index, batch).transform(Relational.presentRanged(_, col("doc_id")))
 
   /** The un-ordered gate core, shared VERBATIM by the batch q76 and the
     * streaming twin [[graft.streaming.EventStream.passageGateStream]]
@@ -637,7 +637,7 @@ object Dedup {
     // multiset minimum equals the distinct-set minimum) — zero shuffles,
     // where the round-3 shape exploded every shingle through a groupBy.
     // Docs with <3 words have no shingles and drop, as the explode did.
-    minhashSigRaw(spark, dir).orderBy($"doc_id")
+    minhashSigRaw(spark, dir).transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** [[q27MinhashSig]] without the presentation sort (band construction
@@ -707,7 +707,7 @@ object Dedup {
     // LSH buckets are small by construction (and a pathologically hot one
     // is chunked to bounded rows by boundedPairs); the value-ordered
     // chunks guarantee doc_a < doc_b without a filter.
-    lshCandidatePairs(spark, dir).orderBy($"doc_a", $"doc_b")
+    lshCandidatePairs(spark, dir).transform(Relational.presentRanged(_, $"doc_a", $"doc_b"))
   }
 
   /** SimHash over tokens at any width: bit j of the sketch is the sign of
@@ -729,7 +729,7 @@ object Dedup {
     * pins; [[q44SimhashPairs]] uses a wider one for pairing).
     */
   def q29Simhash(spark: SparkSession, dir: String): DataFrame =
-    simhashSketch(spark, dir, 16).orderBy(col("doc_id"))
+    simhashSketch(spark, dir, 16).transform(Relational.presentRanged(_, col("doc_id")))
 
   /** SimHash near-dup pairs: Hamming distance ≤ 3 on 32-bit sketches.
     * Candidate generation blocks on the four bytes of the sketch — by
@@ -1085,7 +1085,8 @@ object Dedup {
       Seq(s"$dir/documents.parquet")) {
       buildBandIndex(docs.filter($"doc_id" % 3 =!= 0))
     }
-    gateAgainst(index, docs.filter($"doc_id" % 3 === 0)).orderBy($"doc_id")
+    gateAgainst(index, docs.filter($"doc_id" % 3 === 0))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** BUILD-ONCE band index for the incremental dedup gate: the DISTINCT

@@ -412,7 +412,7 @@ object Relational {
               parts.getItem(2).cast("int")),
           lit(-1)))
       .select($"o_orderkey", $"clock_str", $"clock_seconds")
-      .orderBy($"o_orderkey")
+      .transform(presentRanged(_, $"o_orderkey"))
   }
 
   /** P14 drop-last-token canonicalization (FEN-cleaning shape) via
@@ -522,7 +522,7 @@ object Relational {
     Tables.documents(spark, dir)
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos0", "word")))
       .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"word")
-      .orderBy($"doc_id", $"pos")
+      .transform(presentRanged(_, $"doc_id", $"pos"))
   }
 
   /** E5: aligned multi-array explode via arrays_zip (positional lockstep). */
@@ -537,7 +537,7 @@ object Relational {
         $"doc_id", ($"pos0" + 1).cast("long").as("pos"),
         $"pair".getField("0").as("word"),
         $"pair".getField("1").cast("long").as("wlen"))
-      .orderBy($"doc_id", $"pos")
+      .transform(presentRanged(_, $"doc_id", $"pos"))
   }
 
   /** A2: count-distinct aggregation per group. */
@@ -614,7 +614,7 @@ object Relational {
       .withColumn("cascade_value",
         coalesce(lead($"value", 1).over(w), lag($"value", 2).over(w), $"value"))
       .select($"event_id", $"user_id", $"next_value", $"cascade_value")
-      .orderBy($"event_id")
+      .transform(presentRanged(_, $"event_id"))
   }
 
   /** A9: first-row-per-group (initial clock pattern, `models.py:37-48`). */
@@ -654,7 +654,7 @@ object Relational {
       .filter($"o_totalprice" < 1000)
       .select($"o_orderkey", $"o_totalprice")
     big.unionByName(smallNoBucket.withColumn("bucket", lit(null: String)), allowMissingColumns = true)
-      .orderBy($"o_orderkey")
+      .transform(presentRanged(_, $"o_orderkey"))
   }
 
   /** q103 — set operations (INTERSECT / EXCEPT), the two relational
@@ -672,7 +672,7 @@ object Relational {
       .withColumn("segment", lit("view_and_purchase"))
     val lapsed = users("click").except(users("purchase"))
       .withColumn("segment", lit("click_no_purchase"))
-    both.unionByName(lapsed).orderBy($"segment", $"user_id")
+    both.unionByName(lapsed).transform(presentRanged(_, $"segment", $"user_id"))
   }
 
   /** q104 — unpivot (wide → long): per-returnflag totals melted from

@@ -459,7 +459,7 @@ object ScaleOps {
         expr("session_start div 1000").as("session_start"),
         expr("session_end div 1000").as("session_end"),
         $"n_events", round($"total_value", 6).as("total_value"))
-      .orderBy($"user_id", $"session_start")
+      .transform(Relational.presentRanged(_, $"user_id", $"session_start"))
   }
 
   /** Append the range-normalized Morton key: each coordinate is linearly
@@ -557,7 +557,7 @@ object ScaleOps {
         expr("min(ts) div 1000").as("start_us"),
         expr("max(ts) div 1000").as("end_us"),
         count(lit(1)).cast("int").as("n_events"))
-      .orderBy($"user_id", $"island")
+      .transform(Relational.presentRanged(_, $"user_id", $"island"))
   }
 
   /** q97 — cohort retention: users bucketed by first-seen epoch-week
@@ -911,7 +911,8 @@ object ScaleOps {
         lit(ndv(c)).as("n_distinct"),
         mm(0).as("min_num"), mm(1).as("max_num"))
     }
-    stacked.reduce(_ unionByName _).orderBy($"col_name")
+    stacked.reduce(_ unionByName _)
+      .transform(Relational.presentSorted(_, $"col_name"))
   }
 
   /** q112 — hourly distinct users, the sketch warehouse at window
@@ -1132,7 +1133,7 @@ object ScaleOps {
       events.agg(count(when($"value" <= 0, 1)).as("c0")),
       Seq("events.value positive"))
     ordersChecks.unionByName(liChecks).unionByName(evChecks)
-      .orderBy($"check_name")
+      .transform(Relational.presentSorted(_, $"check_name"))
   }
 
   /** q106 — robust outlier detection (median/MAD): per event_type, the
@@ -1356,7 +1357,7 @@ object ScaleOps {
         sum($"value".cast(DecimalType(18, 2))).over(w).cast("double"))
       .select($"user_id", $"event_id", expr("ts div 1000").as("ts_us"),
         $"roll_n", $"roll_sum", round($"roll_sum" / $"roll_n", 6).as("roll_avg"))
-      .orderBy($"user_id", $"ts_us", $"event_id")
+      .transform(Relational.presentRanged(_, $"user_id", $"ts_us", $"event_id"))
   }
 
   /** q102 — equi-depth decile histogram of the value distribution:
@@ -1440,7 +1441,7 @@ object ScaleOps {
       .withColumn("last_purchase_value", last($"pval", ignoreNulls = true).over(w))
       .filter($"side" === 1)
       .select($"event_id", $"user_id", $"last_purchase_value")
-      .orderBy($"event_id")
+      .transform(Relational.presentRanged(_, $"event_id"))
   }
 
   /** q57 — funnel analysis: per user, the earliest view, the first click
@@ -1520,7 +1521,7 @@ object ScaleOps {
         explode(sequence($"hb", coalesce($"next_hb" - 1, $"hb"))).as("hb"))
       .select($"user_id", $"hb", ($"hb" === $"h0").as("observed"),
         $"v_last".as("v_ffill"))
-      .orderBy($"user_id", $"hb")
+      .transform(Relational.presentRanged(_, $"user_id", $"hb"))
   }
 
   /** KMV key-sample size for q123. */

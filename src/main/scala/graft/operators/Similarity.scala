@@ -470,7 +470,7 @@ object Similarity {
         when($"maxabs" === 0f, lit(0))
           .otherwise(round($"x".cast("double") *
             (lit(127.0) / $"maxabs".cast("double"))).cast("int")).as("qval"))
-      .orderBy($"vec_id", $"pos")
+      .transform(Relational.presentRanged(_, $"vec_id", $"pos"))
   }
 
   /** Output dimensionality for [[q89RandomProjection]]. */
@@ -629,7 +629,8 @@ object Similarity {
       .select($"vec_id", $"embedding", dnorm2($"embedding").as("nn"))
     val best = nearestStruct(emb, kmeansCentroids1(spark, dir))
     emb.select($"vec_id", best.getField("cid").as("cid"),
-      best.getField("dist").as("dist")).orderBy($"vec_id")
+      best.getField("dist").as("dist"))
+      .transform(Relational.presentRanged(_, $"vec_id"))
   }
 
   /** The post-update centroid set (cid, mean vector, squared norm),

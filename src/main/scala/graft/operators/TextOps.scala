@@ -71,7 +71,7 @@ object TextOps {
     * filter applies before expensive stages).
     */
   def q22Quality(spark: SparkSession, dir: String): DataFrame =
-    qualityRaw(spark, dir).orderBy(col("doc_id"))
+    qualityRaw(spark, dir).transform(Relational.presentRanged(_, col("doc_id")))
 
   private def stopRatioExpr(w: Column): Column = {
     val enStops = array(langStopwords.head._2.map(lit): _*)
@@ -510,7 +510,7 @@ object TextOps {
       // artifact covers a narrow word range, so the probe's pushed
       // `word IN (...)` skips whole row groups off min/max stats — the
       // build pays one range exchange ONCE for O(matched) probes forever
-      .orderBy($"word", $"doc_id")
+      .transform(Relational.presentRanged(_, $"word", $"doc_id"))
   }
 
   /** BM25 over a persisted [[buildTextIndex]] table — identical scores

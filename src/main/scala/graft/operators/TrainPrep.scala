@@ -54,7 +54,8 @@ object TrainPrep {
     * order-dependent greedy state.
     */
   def q50SeqPack(spark: SparkSession, dir: String): DataFrame =
-    pack(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    pack(Tables.documents(spark, dir))
+      .transform(Relational.presentRanged(_, col("doc_id")))
 
   /** The packing stage over any (doc_id, lang, source, text, ...) frame —
     * shared by q50 and the q54 pipeline composition.
@@ -644,7 +645,8 @@ object TrainPrep {
       Seq(s"$dir/documents.parquet")) {
       buildChunkIndex(docs.filter($"doc_id" % 3 =!= 0))
     }
-    gateChunksCore(index, docs.filter($"doc_id" % 3 === 0)).orderBy($"doc_id")
+    gateChunksCore(index, docs.filter($"doc_id" % 3 === 0))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** q53 — top-3 tf-idf terms per document: tf from the exploded tokens,
@@ -749,7 +751,7 @@ object TrainPrep {
       .select($"doc_id", $"lang", $"n_tokens",
         round($"avg_raw", 6).as("avg_logratio"),
         (round($"avg_raw", 6) >= round($"thr", 6)).as("selected"))
-      .orderBy($"doc_id")
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** Per-language 0.9-percentile cutoff over a [[dsirScores]] stream —
@@ -927,7 +929,7 @@ object TrainPrep {
       .filter(!isBenchmark)
       .join(nonReps, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
-    pack(kept).orderBy($"doc_id")
+    pack(kept).transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** q74 — the v2 corpus pipeline, composing the round-6 family end to end
@@ -969,7 +971,8 @@ object TrainPrep {
     }
     val picked = dsirSampleScored(scored, exactThreshold = true) // oracle pin
       .filter($"selected").select($"doc_id")
-    pack(rebuilt.join(picked, Seq("doc_id"), "left_semi")).orderBy($"doc_id")
+    pack(rebuilt.join(picked, Seq("doc_id"), "left_semi"))
+      .transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** q56 — survivor selection by QUALITY: one row per near-dup cluster,
