@@ -28,6 +28,33 @@ object ExplainQ {
         (64L * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // --all <outDir>: one session, every declared query — execute through
+    // the noop sink and write each AQE-final formatted plan to
+    // <outDir>/<name>.txt (the §1 "plan shape per query" evidence without
+    // paying a JVM start per query)
+    if (args.head == "--all") {
+      val outDir = java.nio.file.Paths.get(args(1))
+      // in --all mode args(1) is the OUTPUT dir; the data dir is args(2)
+      // or the env/default (the generic sfDir parse above misreads it)
+      val allSf = args.drop(2).headOption
+        .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+        .getOrElse("/root/testdata/sf0.01")
+      java.nio.file.Files.createDirectories(outDir)
+      graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, allSf)
+          df.write.format("noop").mode("overwrite").save()
+          java.nio.file.Files.writeString(outDir.resolve(s"$name.txt"),
+            s"=== $name (AQE final) ===\n" + df.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted")) + "\n")
+        } catch {
+          case e: Throwable => println(s"[explainq] $name failed: ${e.getMessage}")
+        }
+      }
+      println(s"[explainq] wrote ${graft.SparkEntry.queries.size} plans to $outDir")
+      spark.stop()
+      return
+    }
     val (name, fn) = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .find(_._1.startsWith(args.head)).get
     val df = fn(spark, sfDir)
