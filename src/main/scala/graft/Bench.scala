@@ -239,16 +239,32 @@ object Bench {
     def r2(v: Double) = f"$v%.2f"
     // the harness keeps only the LAST ~2000 chars of stdout: the reported
     // line must fit that window WHOLE or the artifact is head-truncated
-    // and unparseable (round 6's was, and round 11's again at 164
-    // queries — short names + centisecond rounding alone brush ~1970
-    // chars before the envelope). The stdout line therefore carries only
-    // the TOP-40 slowest queries (the only per-query figures a ranking
-    // reads) plus totals; the full-name full-precision map always goes
-    // to target/bench_full.json, whose path rides in the line.
+    // and unparseable (round 6's was, round 11's again at 164 queries,
+    // and rounds 14-16's every time — the window holds BOTH the bare FD-1
+    // line and sbt's `[info]` logger copy, so the line must stay under
+    // ~900 chars for the bare copy to survive whole). The stdout line
+    // therefore carries only the TOP-40 slowest queries (the only
+    // per-query figures a ranking reads) plus totals; the full-name
+    // full-precision map (and the solo re-measures, r17) always goes to
+    // target/bench_full.json, whose path rides in the line.
+    //
+    // r17 (VERDICT r16 #2): minimal-unique short names. The old
+    // first-segment prefix map collapsed to FULL names the moment any two
+    // queries shared a prefix (the r16 q37/q166 alias pairs), growing the
+    // line ~1000 → ~1530 chars and head-truncating the bare copy out of
+    // the driver's tail window three rounds running. Each name now keeps
+    // the shortest underscore-prefix that no other name extends.
     val shortName: Map[String, String] = {
-      val pref = names.map(n => n -> n.takeWhile(_ != '_')).toMap
-      if (pref.values.toSet.size == names.size) pref
-      else names.map(n => n -> n).toMap // prefix collision → keep full names
+      def prefixes(n: String): Seq[String] = {
+        val parts = n.split('_')
+        (1 to parts.length).map(i => parts.take(i).mkString("_"))
+      }
+      names.map { n =>
+        val unique = prefixes(n).find { p =>
+          names.forall(m => m == n || (m != p && !m.startsWith(p + "_")))
+        }
+        n -> unique.getOrElse(n)
+      }.toMap
     }
     val topN = 40
     val qs = results.sortBy(-_._2).take(topN)
@@ -264,10 +280,10 @@ object Bench {
     val fullSuite = names.size == SparkEntry.queries.size
     val subset = if (fullSuite) "" else
       s""","subset":${names.map(n => jstr(shortName(n))).mkString("[", ",", "]")}"""
-    val soloJs = solo.toSeq.sortBy(_._1)
-      .map { case (k, v) => jstr(shortName(k)) + ":" + r2(v) }
-      .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_top":${math.min(topN, names.size)},"solo":$soloJs,"errors":$errs,"failed":${results.count(_._2 < 0)},"passes":2,"overhead_per_query":${f"$overhead%.4f"},"full_suite":$fullSuite$subset,"full":"target/bench_full.json","sf":"$sfDir","master":"$master"}"""
+    // solo re-measures moved OFF the stdout line (r17, VERDICT r16 #2):
+    // they ride target/bench_full.json with everything else — the line
+    // budget belongs to the driver-parsed totals and top-N map
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"queries_top":${math.min(topN, names.size)},"errors":$errs,"failed":${results.count(_._2 < 0)},"passes":2,"overhead_per_query":${f"$overhead%.4f"},"full_suite":$fullSuite$subset,"full":"target/bench_full.json","sf":"$sfDir","master":"$master"}"""
     val fullQs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val fullSolo = solo.toSeq.sortBy(_._1)
@@ -296,15 +312,18 @@ object Bench {
         s"""{"sf":"$sfDir","note":"per query: ArtifactStore keys touched during measured passes; 'built' = this run ran the build (cold), 'served' = pre-existing entry","queries":$manifestJs}""")
     } catch { case _: Throwable => () }
     println(line)
+    spark.stop()
     // the driver parses the captured stdout tail for a bare JSON line;
     // under a non-forked `sbt runMain` the println above goes through
     // sbt's logger and lands prefixed as `[info] {...}`, which fails the
     // driver's parse (BENCH_r11/r12 both recorded "parsed": null).
     // Writing straight to file descriptor 1 bypasses sbt's swapped
-    // System.out, so the line reaches the terminal unprefixed.
+    // System.out, so the line reaches the terminal unprefixed. r17: the
+    // FD-1 write moved AFTER spark.stop() so it is the process's LAST
+    // output — in r14-r16 the bare line flushed BEFORE sbt's buffered
+    // logger copy and was the one head-truncated out of the tail window.
     val rawOut = new java.io.PrintStream(
       new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
     rawOut.println("\n" + line) // leading \n: never append to a half-flushed logger line
-    spark.stop()
   }
 }
