@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract: the harness parses the LAST ~2000 chars of
+// stdout for one bare JSON line. With fork=true sbt's default
+// outputStrategy PIPES the forked JVM's stdout through its logger, which
+// prefixes every line `[info] ` — including writes straight to file
+// descriptor 1 — so the line never reached the parser bare (rounds
+// 14-16: "parsed": null). StdoutOutput makes the forked process INHERIT
+// sbt's own stdout/stderr: app output passes through unprefixed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

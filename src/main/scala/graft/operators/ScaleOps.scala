@@ -1495,6 +1495,15 @@ object ScaleOps {
     */
   def q125ResampleFfill(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NON-NULL ASSUMPTION (ADVICE r16): events.value is non-nullable in
+    // this schema, so every observed cell's v_last is a real value. If a
+    // deployment's value column were nullable, a null-valued cell would
+    // previously have read as UNOBSERVED (the old left-join grid left it
+    // null and last(..., ignoreNulls) carried the prior value through),
+    // whereas the lead/explode spelling below marks it observed and fills
+    // its gap with null — such a deployment must filter null values (or
+    // null v_last cells) before the lead() window to keep the old
+    // semantics.
     val hourly = Tables.events(spark, dir)
       .withColumn("hb", expr("ts div 3600000000000"))
       .groupBy($"user_id", $"hb")

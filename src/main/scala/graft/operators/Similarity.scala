@@ -793,7 +793,16 @@ object Similarity {
     val cents = Tables.spread(Tables.embeddings(spark, dir))
       .select($"label", $"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
       .groupBy($"label", $"pos")
-      .agg(mean(0).as("ma"), mean(1).as("mb"))
+      .agg(mean(0).as("ma"), mean(1).as("mb"),
+        count(when(pmod($"vec_id", lit(2L)) === 0, lit(1))).as("_n0"),
+        count(when(pmod($"vec_id", lit(2L)) === 1, lit(1))).as("_n1"))
+      // r17 (ADVICE r16): a label whose vec_ids all share one parity has
+      // no other-half centroid — the pre-r16 half0×half1 INNER join
+      // dropped it; the conditional-aggregate spelling would emit it with
+      // null means. Requiring both conditional counts > 0 restores the
+      // inner-join membership exactly (no such label exists in the
+      // synthetic corpus, so current outputs are bit-identical).
+      .filter($"_n0" > 0 && $"_n1" > 0)
       .groupBy($"label")
       .agg(
         transform(array_sort(collect_list(struct($"pos", $"ma"))),
