@@ -592,11 +592,21 @@ object Dedup {
     // 60-bit hash keeps fixed-width shuffle keys, and the oracle applies
     // the same hash so any (vanishingly unlikely) collision changes both
     // sides identically. n_sh = |distinct shingle hashes| per doc.
+    // explode_outer, NOT explode (r17, guide §1.2/§4.4 duplication): a
+    // non-outer explode lets InferFiltersFromGenerate add
+    // `size(shs) > 0 AND isnotnull(shs)`, and filter pushdown substitutes
+    // the shingle_hashes expression through the projection — the whole
+    // shingle+md5 pass re-ran per row inside the SCAN stage (single-task
+    // for a one-file parquet, BEFORE the parallelizing exchange) and then
+    // again in the projection. Outer generates are exempt from the
+    // inference; <3-token docs yield an empty array → one null sh_h row,
+    // dropped by the post-generate filter (which cannot push below it).
     val hashed = Tables.spread(Tables.documents(spark, dir)) // parallelism restore, gated on split count
       .select($"doc_id", $"lang", $"source",
         graft.functions.ShingleFunctions.shingleHashes(split($"text", " ")).as("shs"))
       .select($"doc_id", $"lang", $"source", size($"shs").as("n_sh"),
-        explode($"shs").as("sh_h"))
+        explode_outer($"shs").as("sh_h"))
+      .filter($"sh_h".isNotNull)
     val inv = maxDf match {
       case Some(cap) =>
         // stop-shingle df filter ALSO shrinks each doc's shingle set, so
@@ -869,40 +879,66 @@ object Dedup {
     // seed label differs from their id; the fixpoint (min node id per
     // component) is unchanged — CcProps pins equality against the edge
     // formulation on random bipartite graphs.
-    val bstats = m.groupBy(bc: _*)
-      .agg(count(lit(1)).as("_sz"), min(col(nodeCol)).as("_bm"))
+    val sc = m.sparkSession.sparkContext
+    def labeled[T](desc: String)(body: => T): T = {
+      sc.setJobDescription(desc); try body finally sc.setJobDescription(null)
+    }
+    // r17 (guide §1.2/§2.4): ONE pass of the upstream band pipeline. The
+    // r16 shape aggregated `m` into bstats and then joined `m` against it
+    // — two full instantiations of the expensive signature pipeline
+    // (StageProbe: 9.9 s + 6.5 s cpu of the q48 seed at sf0.1). The
+    // narrow (bucket, node) membership rows are now cached ONCE,
+    // hash-partitioned by bucket, and everything upstream rides that
+    // cache: bstats' groupBy fuses in-stage (same clustering), the sized
+    // join is co-partitioned on both sides (zero exchange), and the pull
+    // side of every propagation round (`byBucket`) IS the same cache —
+    // its extra size-1-bucket rows never match `bmin` (whose keys come
+    // from byNode's ≥2-member rows), so the pull join result is
+    // unchanged.
+    val bands = m
+      .select(bc :+ col(nodeCol).as("node"): _*)
+      .repartition(bc: _*).persist(StorageLevel.MEMORY_AND_DISK)
+    val bstats = bands.groupBy(bc: _*)
+      .agg(count(lit(1)).as("_sz"), min($"node").as("_bm"))
       .filter($"_sz" >= 2)
       .select(bc :+ $"_bm": _*)
-    val sized = m.join(bstats, bucketCols)
-      .select(bc :+ col(nodeCol).as("node") :+ $"_bm": _*)
-    // byNode materializes the (joined) membership ONCE; byBucket reshapes
-    // byNode's CACHED blocks (two narrow columns) instead of re-running
-    // the upstream band pipeline a second time (the former code paid the
-    // window+scan once per persisted copy).
+    // shuffle_hash: both sides are already hash(bc)-partitioned, so the
+    // SHJ is exchange-free AND sort-free — the default sort-merge paid
+    // two full sorts of the membership table for a join that only asks
+    // "is this bucket in the ≥2 set" (the q8Anti rationale); the build
+    // side (bstats, one row per ≥2 bucket) is the per-partition hash map
+    val sized = bands.join(bstats.hint("shuffle_hash"), bucketCols)
+      .select(bc :+ $"node" :+ $"_bm": _*)
     val byNode = sized.repartition($"node").persist(StorageLevel.MEMORY_AND_DISK)
-    val byBucket = byNode.select(bc :+ $"node": _*)
-      .repartition(bc: _*).persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = byNode.groupBy($"node").agg(min($"_bm").as("label"))
-      .localCheckpoint(true)
+    val byBucket = bands
+    var labels = labeled("cc: seed labels (byNode build + round 1)") {
+      byNode.groupBy($"node").agg(min($"_bm").as("label"))
+        .localCheckpoint(true)
+    }
     var frontier = labels.filter($"label" < $"node")
-    var moved = frontier.count()
+    var moved = labeled("cc: seed frontier count")(frontier.count())
+    var round = 2
     while (moved > 0) {
       val bmin = byNode.join(frontier, Seq("node"))
         .groupBy(bc: _*).agg(min($"label").as("_bl"))
       val cand = byBucket.join(bmin, bucketCols)
         .groupBy($"node").agg(min($"_bl").as("_cand"))
-      val step = labels.join(cand, Seq("node"), "left")
-        .select($"node",
-          least($"label", coalesce($"_cand", $"label")).as("label"),
-          coalesce($"_cand" < $"label", lit(false)).as("_moved"))
-        .localCheckpoint(true)
-      moved = step.filter($"_moved").count()
+      val step = labeled(s"cc: round $round propagate") {
+        labels.join(cand, Seq("node"), "left")
+          .select($"node",
+            least($"label", coalesce($"_cand", $"label")).as("label"),
+            coalesce($"_cand" < $"label", lit(false)).as("_moved"))
+          .localCheckpoint(true)
+      }
+      moved = labeled(s"cc: round $round moved count")(
+        step.filter($"_moved").count())
       if (java.lang.Boolean.getBoolean("graft.cc.log"))
         println(s"[cc] membership round: moved=$moved")
       labels = step.select($"node", $"label")
       frontier = step.filter($"_moved").select($"node", $"label")
+      round += 1
     }
-    byBucket.unpersist()
+    bands.unpersist()
     byNode.unpersist()
     labels
   }

@@ -62,10 +62,20 @@ object TrainPrep {
     */
   private def pack(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    packCounted(docs.select($"doc_id", $"lang", $"source",
+      size(split($"text", " ")).cast("long").as("n_tokens")))
+  }
+
+  /** [[pack]] over a frame that already carries `n_tokens` — the caller
+    * projects the count EARLY (before its joins) so no exchange upstream
+    * of the window has to ship `text` (guide §2.3: project before the
+    * exchange; the q54 anti joins shuffled full documents for it).
+    */
+  private def packCounted(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
     docs
-      .select($"doc_id", $"lang", $"source",
-        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .select($"doc_id", $"lang", $"source", $"n_tokens")
       .withColumn("start_off", sum($"n_tokens").over(w) - $"n_tokens")
       .select($"doc_id", $"lang", $"source", $"n_tokens",
         floor($"start_off" / lit(packBudget.toDouble)).as("bin_id"),
@@ -128,12 +138,20 @@ object TrainPrep {
     // partition by doc_id (not round-robin): hash(doc_id) satisfies the
     // final groupBy — one exchange feeds the whole corpus pipeline, and
     // the bench side is a broadcast so the semi join adds none
+    // explode_outer + null filter, NOT explode (r17): the non-outer
+    // explode triggered InferFiltersFromGenerate, whose pushed-down
+    // `size(shingle_hashes(..)) > 0` predicate re-ran the whole shingle
+    // pass per row in the SCAN stage (single-task before the spreadBy
+    // exchange) — the projection then computed it again. See
+    // Dedup.shingleJaccardPairs for the full mechanism.
     val docs = Tables.spreadBy(Tables.documents(spark, dir), "doc_id") // gated: skipped on wide inputs
     val bench = broadcast(
-      hashed(docs.filter(isBenchmark)).select(explode($"shs").as("sh_h")).distinct())
+      hashed(docs.filter(isBenchmark)).select(explode_outer($"shs").as("sh_h"))
+        .filter($"sh_h".isNotNull).distinct())
     val corpus = hashed(docs.filter(!isBenchmark))
       .select($"doc_id", size($"shs").cast("long").as("n_shingles"),
-        explode($"shs").as("sh_h"))
+        explode_outer($"shs").as("sh_h"))
+      .filter($"sh_h".isNotNull)
     corpus
       .join(bench, Seq("sh_h"), "left_semi")
       .groupBy($"doc_id")
@@ -229,21 +247,30 @@ object TrainPrep {
   def q85BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.spreadBy(Tables.documents(spark, dir), "doc_id") // gated: skipped on wide inputs
+    // explode_outer + null filters (r17): the non-outer explodes let
+    // InferFiltersFromGenerate push `size(shingle_hashes(..)) > 0` into
+    // the scan stage, re-running the shingle pass per row before the
+    // projection ran it again (see Dedup.shingleJaccardPairs). The
+    // shingles-exist gate is the CHEAP token-count predicate instead —
+    // shingleHashes is empty exactly when the doc has <3 tokens
+    // (Shingles.scala) — applied before the expensive projection.
     val benchHashes = docs.filter(isBenchmark)
-      .select(explode(
+      .select(explode_outer(
         graft.functions.ShingleFunctions.shingleHashes(split($"text", " "))).as("sh_h"))
+      .filter($"sh_h".isNotNull)
     val bits = bloomBuild(benchHashes)
     val probed = docs.filter(!isBenchmark)
+      .filter(size(split($"text", " ")) >= 3)
       .crossJoin(broadcast(bits))
       .select($"doc_id",
         graft.functions.ShingleFunctions.shingleHashes(split($"text", " ")).as("hs"),
         $"bits")
       .select($"doc_id", $"hs",
         bloomHits($"bits", $"hs").as("n_bloom"))
-      .filter(size($"hs") > 0)
     val bench = broadcast(benchHashes.distinct().withColumn("hit", lit(1)))
     val perDoc = probed
-      .select($"doc_id", $"n_bloom", explode($"hs").as("sh_h"))
+      .select($"doc_id", $"n_bloom", explode_outer($"hs").as("sh_h"))
+      .filter($"sh_h".isNotNull)
       .join(bench, Seq("sh_h"), "left")
       .groupBy($"doc_id")
       .agg(
@@ -925,11 +952,18 @@ object TrainPrep {
     val contaminated = q52Contamination(spark, dir)
       .filter($"contamination" >= 0.5)
       .select($"doc_id")
+    // r17 (guide §2.3): n_tokens is projected BEFORE the anti joins and
+    // text dropped — the former spelling shuffled the full document rows
+    // (text included) through the doc_id exchange of the non-rep anti
+    // join and again through the pack window's (lang, source) exchange,
+    // for a value one narrow projection computes at the scan.
     val kept = Tables.documents(spark, dir)
       .filter(!isBenchmark)
+      .select($"doc_id", $"lang", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
       .join(nonReps, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
-    pack(kept).transform(Relational.presentRanged(_, $"doc_id"))
+    packCounted(kept).transform(Relational.presentRanged(_, $"doc_id"))
   }
 
   /** q74 — the v2 corpus pipeline, composing the round-6 family end to end
@@ -971,6 +1005,11 @@ object TrainPrep {
     }
     val picked = dsirSampleScored(scored, exactThreshold = true) // oracle pin
       .filter($"selected").select($"doc_id")
+    // (r17 note: q54's early-n_tokens move was tried here too and
+    // REVERTED — q74's joins are all broadcast, so clean_text never
+    // crosses a real exchange anyway, and hoisting the projection above
+    // the semi join made the docs broadcast carry ALL documents instead
+    // of the picked ~10%.)
     pack(rebuilt.join(picked, Seq("doc_id"), "left_semi"))
       .transform(Relational.presentRanged(_, $"doc_id"))
   }

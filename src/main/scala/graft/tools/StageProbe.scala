@@ -41,11 +41,23 @@ object StageProbe {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     force() // warm
     val rows = ArrayBuffer.empty[(Int, String, Int, Long, Long, Long)]
+    // stage → owning job's description (SQL stages all share the useless
+    // CompletableFuture call-site name; the setJobDescription labels the
+    // operators set — guide §1.5 — are the only readable attribution)
+    val stageJob = scala.collection.concurrent.TrieMap.empty[Int, String]
     val l = new SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+        j.stageIds.foreach(sid => stageJob.putIfAbsent(sid, desc))
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val i = s.stageInfo
         val m = i.taskMetrics
-        rows += ((i.stageId, i.name.takeWhile(_ != '\n').take(60), i.numTasks,
+        val label = stageJob.getOrElse(i.stageId, "")
+        val nm = if (label.nonEmpty) label.take(60)
+          else i.name.takeWhile(_ != '\n').take(60)
+        rows += ((i.stageId, nm, i.numTasks,
           m.executorRunTime, m.shuffleWriteMetrics.bytesWritten,
           m.executorDeserializeTime))
       }
