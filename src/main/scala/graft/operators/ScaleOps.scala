@@ -2895,12 +2895,27 @@ object ScaleOps {
       when(length(name) >= 3, array_distinct(transform(
         sequence(lit(1), length(name) - 2), i => lower(name).substr(i, lit(3)))))
         .otherwise(array().cast("array<string>"))
+    // (r17 note: spreading the two single-file scans to defaultParallelism
+    // was tried and REVERTED — q135 is stage-LATENCY bound, not
+    // CPU-starved: wall stayed 2.1 s while executor time rose 6× in task
+    // overhead. The win is fewer stages, below, not more tasks.)
     val c = Tables(spark, dir, "customer")
       .select($"c_custkey".as("cid"), grams($"c_name").as("cg"))
     val s = Tables(spark, dir, "supplier")
       .select($"s_suppkey".as("sid"), grams($"s_name").as("sg"))
-    val ce = c.select($"cid", explode($"cg").as("g"))
-    val se = s.select($"sid", explode($"sg").as("g"))
+    // (r17 note 2: carrying cg/sg THROUGH the candidate join to delete
+    // the two re-attach broadcast joins was also tried and REVERTED — the
+    // pair exchange grew 4 MB → 77 MB from ~500 bytes of gram arrays per
+    // candidate and wall went 2.1 → 2.5 s. §8's "shuffle a lightweight
+    // proxy" cuts the other way here: bare (cid, sid) pairs ARE the
+    // proxy, and the name arrays re-attach from two tiny broadcasts.)
+    // explode_outer: the plain explode's inferred size(grams(..)) > 0
+    // filter re-evaluated the gram transform in the scan stage (the
+    // q26/q52 mechanism, Dedup.shingleJaccardPairs)
+    val ce = c.select($"cid", explode_outer($"cg").as("g"))
+      .filter($"g".isNotNull)
+    val se = s.select($"sid", explode_outer($"sg").as("g"))
+      .filter($"g".isNotNull)
     // r16 (guide §2.4): the combined document frequency is ONE aggregate
     // over the two gram streams unioned — the former spelling aggregated
     // each side separately and full-outer-joined the counts, paying two
