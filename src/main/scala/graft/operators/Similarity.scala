@@ -862,12 +862,34 @@ object Similarity {
     */
   def semdedup(emb: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
     import emb.sparkSession.implicits._
-    val assign = rankedCentroids(emb, centroids)
-      .filter($"rk" === 1).select($"vec_id", $"cid")
-    // re-attach arrays, then expand within-cell pairs in-row from bounded
-    // posting lists (struct ordering is by leading vec_id → a < b for free)
+    // r17 (guide §1.2/§2.4): cell assignment is an IN-ROW argmin. The
+    // former [[rankedCentroids]] spelling exploded emb × k centroid rows,
+    // ranked them with a row_number window (a full sort of N·k rows) and
+    // re-attached the embedding arrays with a vec_id join — and q62
+    // references `assign` twice, so the whole explode+window+join
+    // pipeline ran twice (StageProbe: the two 12 s + 8 s cpu stages of
+    // q62 at sf0.1). The centroid table folds into ONE broadcast row
+    // carrying an array of (cid, ce, cn) structs; per embedding,
+    // array_min over a transform() computes the same
+    // (dist asc, cid asc) minimum — struct ordering is lexicographic, so
+    // the tie-break matches row_number's orderBy exactly, and the dist
+    // expression (6dp-rounded exact-decimal dot) is unchanged. Zero
+    // explode, zero window, zero re-attach join; embedding/nn ride the
+    // same projection.
+    val csArr = broadcast(centroids.agg(
+      collect_list(struct($"cid", $"ce", $"cn")).as("_cs")))
+    def bestCid(): org.apache.spark.sql.Column =
+      array_min(transform($"_cs", c =>
+        struct(
+          round($"nn" + c.getField("cn") -
+            lit(2.0) * ddot($"embedding", c.getField("ce")), 6).as("dist"),
+          c.getField("cid").as("cid")))).getField("cid")
+    val assign = emb.crossJoin(csArr)
+      .select($"vec_id", bestCid().as("cid"), $"embedding", $"nn")
+    // expand within-cell pairs in-row from bounded posting lists (struct
+    // ordering is by leading vec_id → a < b for free)
     val cand = graft.operators.Dedup.boundedPairs(
-      assign.join(emb, Seq("vec_id"))
+      assign
         .select($"cid", struct($"vec_id", $"embedding", $"nn").as("v")),
       Seq("cid"), "v")
     val dups = cand
