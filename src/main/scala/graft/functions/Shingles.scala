@@ -36,14 +36,18 @@ object ShingleOps {
     * signature passes (r16).
     */
   private def gramHash(
-      md: java.security.MessageDigest, toks: Array[Array[Byte]], i: Int): Long = {
+      md: java.security.MessageDigest, toks: Array[Array[Byte]], i: Int,
+      d: Array[Byte]): Long = {
     md.reset()
     md.update(toks(i))
     md.update(' '.toByte)
     md.update(toks(i + 1))
     md.update(' '.toByte)
     md.update(toks(i + 2))
-    val d = md.digest()
+    // digest into the caller's reused 16-byte buffer: md.digest() would
+    // allocate a fresh array per gram — ~200 per document, tens of
+    // millions per corpus-wide signature pass (r17)
+    md.digest(d, 0, 16)
     var v = 0L
     var k = 0
     while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
@@ -68,11 +72,12 @@ object ShingleOps {
     val n = tokens.numElements()
     if (n < 3) return new GenericArrayData(Array.emptyLongArray)
     val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new Array[Byte](16)
     val toks = tokenBytes(tokens)
     val hs = new Array[Long](n - 2)
     var i = 0
     while (i + 2 < n) {
-      hs(i) = gramHash(md, toks, i)
+      hs(i) = gramHash(md, toks, i, buf)
       i += 1
     }
     java.util.Arrays.sort(hs)
@@ -112,6 +117,7 @@ object ShingleOps {
     val n = tokens.numElements()
     if (n < 3) return null
     val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new Array[Byte](16)
     val toks = tokenBytes(tokens)
     val as = new Array[Long](8)
     val bs = new Array[Long](8)
@@ -120,7 +126,7 @@ object ShingleOps {
     val mins = Array.fill(8)(Long.MaxValue)
     var i = 0
     while (i + 2 < n) {
-      val g = gramHash(md, toks, i) % P
+      val g = gramHash(md, toks, i, buf) % P
       k = 0
       while (k < 8) {
         val h = (as(k) * g + bs(k)) % P
