@@ -28,8 +28,19 @@ object Similarity {
   private def ddot(a: Column, b: Column): Column =
     graft.functions.DotProduct.ddot(a, b)
 
+  /** coalesce makes the norm column STATICALLY non-nullable (r17): the
+    * bare ddot is nullable in the schema, so every join/filter touching
+    * `nn` let InferFiltersFromConstraints push an
+    * `isnotnull(ddot_native(embedding, embedding))` predicate into the
+    * SCAN stage — the exact-decimal 64-dim dot ran once per row there
+    * (single-task, before the parallelism-restore exchange) and again in
+    * the real projection (q31/q45/q62/q80 plans). With nullable=false the
+    * constraint folds to true and disappears; values are unchanged
+    * (embeddings are non-null, and a hypothetical null embedding is
+    * still dropped by the inferred isnotnull(embedding) itself).
+    */
   private def dnorm2(a: Column): Column =
-    graft.functions.DotProduct.ddot(a, a)
+    coalesce(graft.functions.DotProduct.ddot(a, a), lit(0.0))
 
   /** Fast approximate dot (plain double fold) — PRUNING ONLY, never
     * surfaced: |fdot − ddot| ≲ 1e-14 relative, so a margin below the real
