@@ -919,6 +919,9 @@ object Dedup {
     var moved = labeled("cc: seed frontier count")(frontier.count())
     var round = 2
     while (moved > 0) {
+      // (r17 note: shuffle_hash hints on these three co-partitioned loop
+      // joins were tried and REVERTED — they split round 2 into two extra
+      // build stages and added a 60 KB exchange; wall went 3.0 → 3.8 s.)
       val bmin = byNode.join(frontier, Seq("node"))
         .groupBy(bc: _*).agg(min($"label").as("_bl"))
       val cand = byBucket.join(bmin, bucketCols)
